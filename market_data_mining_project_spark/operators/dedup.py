@@ -1,0 +1,215 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash-LSH, SimHash and n-gram-Jaccard near-dup — each designed so
+the expensive pairwise comparison only ever happens *within* a small
+candidate bucket, never all-pairs across the corpus:
+
+- exact:      one hash-groupBy shuffle on md5(text). O(n).
+- minhash:    shingles → k minhashes → band buckets → join within bucket.
+              Shuffle keys on (band, signature-slice); candidate pairs are
+              verified with true Jaccard. O(n·k) + tiny bucket joins.
+- simhash:    64-bit weighted-bit signature; near-dups share signature or
+              differ in few bits — bucketed by 16-bit chunks (Hamming ≤ 3
+              guarantees an exact chunk match by pigeonhole).
+- ngram_jaccard: token-shingle inverted index (explode → join on shingle)
+              with per-pair intersection counts — exact Jaccard, used both
+              standalone and as the verifier for LSH candidates.
+
+All hashing uses crc32/md5/xxhash64 built-ins — deterministic across
+executors and runs (no Python ``hash()``, which is salted per-process).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id representative per exact text hash (md5).
+
+    Single shuffle on the 128-bit digest — uniform keys, no skew. At 100 TB
+    hash first, never groupBy the raw text (shuffle payload shrinks to 32
+    bytes/row + id).
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document."""
+    toks = F.filter(F.split(F.trim(text), "\\s+"), lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: per hash function i, min over shingles of
+    xxhash64(shingle, seed=i). Returns array<bigint> of length num_hashes."""
+    def hash_i(i: int):
+        # arity-1 lambda factory (a second lambda param would be interpreted
+        # by F.transform as the element index)
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    return F.array(
+        *[F.array_min(F.transform(shingle_col, hash_i(i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    rows = bands × rows_per_band; docs sharing ANY band's full slice collide.
+    The band bucket join shuffles on (band_id, slice-hash) — bucket sizes are
+    tiny for non-duplicate corpora, so the join is near-linear.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    left = banded.withColumnRenamed("doc", "doc_a")
+    right = banded.withColumnRenamed("doc", "doc_b")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via inverted index.
+
+    explode(shingles) → self-join on shingle → per-pair intersection count →
+    |A∪B| = |A|+|B|−|A∩B|. The shuffle keys on the shingle value; a hot
+    shingle (stopword run) fans out quadratically — at scale, drop the top
+    0.1% most frequent shingles first (standard LSH practice).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def simhash64(text: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash over word shingles, built from native expressions.
+
+    For each bit position, sum +1/−1 votes of each shingle's xxhash64 bit;
+    the signature bit is 1 iff the vote is positive. Near-dup docs differ in
+    few bits (compare with :func:`hamming64`).
+    """
+    sh = shingles(text, shingle_n)
+
+    def vote(b: int):
+        # arity-2 (acc, element) lambda factory — extra params would break
+        # F.aggregate's arity dispatch
+        return lambda acc, s: acc + F.when(
+            F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_votes = [F.aggregate(sh, F.lit(0), vote(b)) for b in range(64)]
+    out = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        # shiftleft instead of lit(2**b): 2**63 overflows a Java long literal
+        out = out + F.when(
+            vote > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on 16-bit signature chunks
+    (pigeonhole: Hamming ≤ 3 over 4 chunks ⇒ ≥ 1 identical chunk), verify
+    with exact Hamming distance within buckets."""
+    sig = df.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sig"))
+    chunks = sig.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sig", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc", "sig", "cc.chunk", "cc.val")
+    a = chunks.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "chunk", "val")
+    b = chunks.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), "chunk", "val")
+    return (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,168 @@
+"""Schema-generic relational operators (SURVEY.md §2.2–§2.8).
+
+Each function is a thin, composable DataFrame transform that stays fully
+declarative so Catalyst keeps predicate pushdown, column pruning and top-k
+(`TakeOrderedAndProject`) optimizations. The reference implements these as
+hand-written SQL strings / Django querysets (citations inline); at 100 TB the
+key property is that *none* of these force a collect, a Python row loop, or
+an unnecessary shuffle.
+
+Scale notes
+-----------
+- ``top_n`` compiles to TakeOrderedAndProject — no global sort of the fact
+  table, each partition keeps n rows then the driver merges n×partitions.
+- ``paginate`` uses sort + offset/limit; deep pagination on a fact table is a
+  driver-side anti-pattern at scale — prefer keyset pagination (also
+  provided) which pushes a range predicate into the scan instead.
+- ``dedup_keep_max`` is a single window shuffle on the dedup key; equivalent
+  to the reference's ``DELETE ... NOT IN (SELECT MAX(id) ... GROUP BY ...)``
+  (clean_transactions.py) without the O(n²) anti-join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.functions.expressions import icontains
+
+# --- Projections / predicates (P1–P7) ---------------------------------------
+
+
+def project(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Column projection (P1) — Catalyst prunes the parquet ReadSchema."""
+    return df.select(*columns)
+
+
+def filter_ranges(df: DataFrame, ranges: Mapping[str, tuple[float | None, float | None]]) -> DataFrame:
+    """Generic ``*_min/_max`` range filter map (P2; reference views.py:1288-1316).
+
+    Predicates are ANDed and push down to the parquet row-group stats.
+    """
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.filter(F.col(col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(col) <= hi)
+    return df
+
+
+def filter_isin(df: DataFrame, col: str, values: Sequence) -> DataFrame:
+    """Equality/IN predicate (P3)."""
+    return df.filter(F.col(col).isin(list(values)))
+
+
+def search(df: DataFrame, needle: str, columns: Sequence[str]) -> DataFrame:
+    """OR-combined case-insensitive substring search over ``columns``
+    (P5; reference views.py:1247-1284). Numeric needles additionally match
+    numeric columns by equality, mirroring the reference's dispatch."""
+    preds: list[Column] = []
+    numeric = None
+    try:
+        numeric = float(needle)
+    except ValueError:
+        pass
+    types = dict(df.dtypes)
+    for col in columns:
+        if types.get(col) in ("string",):
+            preds.append(icontains(F.col(col), needle))
+        elif numeric is not None:
+            preds.append(F.col(col) == numeric)
+    if not preds:
+        return df.limit(0)
+    combined = preds[0]
+    for p in preds[1:]:
+        combined = combined | p
+    return df.filter(combined)
+
+
+# --- Sorts / limits / pagination (O1–O6) -------------------------------------
+
+
+def top_n(df: DataFrame, n: int, by: Sequence[Column | str], ascending: bool = False) -> DataFrame:
+    """Top-N by measure (O1; reference ``TOP k ... ORDER BY`` views.py:891-918).
+
+    Callers should include a unique tiebreaker column for determinism.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in by]
+    ordered = [c.asc() if ascending else c.desc() for c in cols]
+    return df.orderBy(*ordered).limit(n)
+
+
+def paginate(df: DataFrame, order: Sequence[Column], page: int, page_size: int) -> DataFrame:
+    """Offset pagination (O4; reference views.py:1337-1350).
+
+    Fine for UI-depth pages; for deep scans use :func:`keyset_page`.
+    """
+    return df.orderBy(*order).offset(page * page_size).limit(page_size)
+
+
+def keyset_page(df: DataFrame, key: str, after: float | int | None, page_size: int) -> DataFrame:
+    """Keyset (seek) pagination: ``WHERE key > after ORDER BY key LIMIT n``.
+
+    Unlike offset pagination this pushes the predicate into the scan, so page
+    1000 costs the same as page 1 — the scalable idiom for 100 TB exports.
+    """
+    if after is not None:
+        df = df.filter(F.col(key) > after)
+    return df.orderBy(F.col(key).asc()).limit(page_size)
+
+
+# --- Dedup / distinct (U1–U2, A13) -------------------------------------------
+
+
+def dedup_keep_max(df: DataFrame, keys: Sequence[str], tiebreak: str | Sequence[str]) -> DataFrame:
+    """Keep the max-``tiebreak`` row per key group (U2/A13; reference
+    clean_transactions.py / remove_duplicates.py keep ``MAX(id)``).
+
+    ``tiebreak`` accepts multiple columns; pass enough to make the winner
+    unique per group, else the kept row is nondeterministic across engines.
+    One shuffle on ``keys``; survives skew via AQE. For the 100 TB variant
+    prefer pre-bucketed storage on the dedup key so this is shuffle-free.
+    """
+    tiebreaks = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(t).desc() for t in tiebreaks])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --- Windows (W1–W4) ----------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame, bucket: Column, per_bucket: int, order_key: Column
+) -> DataFrame:
+    """Stratified sampling: ``ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY
+    order_key) <= per_bucket`` (W1; reference ml_models.py:294-311).
+
+    The reference orders by ``NEWID()``; pass a seeded ``F.rand(seed)`` or a
+    deterministic hash column for reproducibility (SURVEY §7.4.2).
+    """
+    w = Window.partitionBy(bucket).orderBy(order_key)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_bucket)
+        .drop("__rn")
+    )
+
+
+def lag_diff(df: DataFrame, partition: str, order: str, out: str = "gap") -> DataFrame:
+    """Per-group consecutive difference (W2; reference purchase-gap
+    ``groupby('household_key')['day'].diff()``, analytics.py:483-486)."""
+    w = Window.partitionBy(partition).orderBy(order)
+    return df.withColumn(out, F.col(order) - F.lag(order).over(w))
+
+
+def ntile_score(
+    df: DataFrame, metric: Column, n: int, out: str, tiebreak: Column, descending: bool = False
+) -> DataFrame:
+    """Quantile scoring 1..n via NTILE with a deterministic tiebreaker
+    (W3/W4; reference ``pd.qcut(... .rank(method='first'))``,
+    analytics.py:223-230)."""
+    order = [metric.desc() if descending else metric.asc(), tiebreak.asc()]
+    return df.withColumn(out, F.ntile(n).over(Window.orderBy(*order)))

@@ -1,0 +1,155 @@
+"""RFM customer segmentation (SURVEY.md §2.9 M5; reference
+``Website/market/dunnhumby/analytics.py:187-328``).
+
+Reference lifecycle: SQL GROUP BY per household → pandas ``qcut`` quintiles →
+per-row Python ``assign_segment`` cascade → row-by-row DB writes. Spark-first
+this is ONE lazy plan: hash aggregate → quantile scoring → native
+``when``-chain — no driver-side loop, writable with a single
+``write.mode('overwrite')``.
+
+Quantile scoring has two implementations:
+
+- :func:`ntile_scores` — exact NTILE(5) with a deterministic tiebreaker
+  (mirrors the reference's ``rank(method='first')`` tie handling,
+  analytics.py:224). NTILE without PARTITION BY is a single-partition global
+  sort — fine for ≤ tens of millions of customers, and oracle-checkable.
+- :func:`quantile_edge_scores` — the 100 TB path: compute 4 quantile edges
+  per metric with ``approxQuantile`` (a driver-side array of 12 doubles),
+  then score by comparison against broadcast edges. No global sort, no
+  single-partition window; fully parallel. Matches ``pd.qcut`` semantics
+  (value-edge buckets) up to approximation error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.functions.expressions import money, safe_ratio
+
+#: The reference's 11-way segment cascade (analytics.py:243-290), order matters.
+#: Each entry: (condition over (r, f, m) Columns, label). "Can't Lose Them" is
+#: unreachable after "At Risk" in the reference too — kept for parity.
+SEGMENT_RULES = [
+    (lambda r, f, m: (r >= 4) & (f >= 4) & (m >= 4), "Champions"),
+    (lambda r, f, m: (f >= 4) & (m >= 3), "Loyal Customers"),
+    (lambda r, f, m: (r >= 4) & (f >= 3), "Potential Loyalists"),
+    (lambda r, f, m: (r >= 4) & (f <= 2), "New Customers"),
+    (lambda r, f, m: m >= 4, "Big Spenders"),
+    (lambda r, f, m: (f >= 3) & (r >= 3), "Regular Customers"),
+    (lambda r, f, m: (r <= 2) & (f >= 3) & (m >= 3), "Need Attention"),
+    (lambda r, f, m: (r <= 2) & (f >= 2) & (m >= 2), "At Risk"),
+    (lambda r, f, m: (r <= 2) & (f >= 4) & (m >= 4), "Can't Lose Them"),
+    (lambda r, f, m: r <= 2, "Hibernating"),
+]
+
+
+def segment_expr(r: Column, f: Column, m: Column) -> Column:
+    """The 11-way cascade as a native when-chain (no UDF; replaces the
+    reference's per-row ``assign_segment``, analytics.py:243-290)."""
+    expr = None
+    for cond_fn, label in SEGMENT_RULES:
+        cond = cond_fn(r, f, m)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return expr.otherwise("Lost")
+
+
+def rfm_base(fact: DataFrame, customer: str, basket: str, day: str, sales: str) -> DataFrame:
+    """Per-customer R/F/M raw metrics (A5; analytics.py:198-210).
+
+    recency = max(day) over all customers − customer's max(day); computed
+    without a second scan via a scalar subquery-free window-less max (a tiny
+    2-stage agg: global max is broadcast as a 1-row cross join).
+    """
+    per_cust = fact.groupBy(customer).agg(
+        F.max(day).alias("last_transaction_day"),
+        F.countDistinct(basket).alias("frequency"),
+        F.sum(money(sales)).cast("double").alias("monetary"),
+    )
+    global_max = per_cust.agg(F.max("last_transaction_day").alias("__max_day"))
+    return per_cust.crossJoin(F.broadcast(global_max)).withColumn(
+        "recency", F.col("__max_day") - F.col("last_transaction_day")
+    ).drop("__max_day")
+
+
+def ntile_scores(rfm: DataFrame, customer: str, quantiles: int = 5) -> DataFrame:
+    """Exact quintile scores with deterministic tiebreakers.
+
+    R: low recency → high score (label order [5..1], analytics.py:223);
+    F/M: high value → high score. Single-partition window — use
+    :func:`quantile_edge_scores` beyond ~10^8 customers.
+    """
+    tiebreak = F.col(customer).asc()
+    w_r = Window.orderBy(F.col("recency").asc(), tiebreak)
+    w_f = Window.orderBy(F.col("frequency").asc(), tiebreak)
+    w_m = Window.orderBy(F.col("monetary").asc(), tiebreak)
+    return (
+        rfm.withColumn("recency_score", (quantiles + 1 - F.ntile(quantiles).over(w_r)).cast("int"))
+        .withColumn("frequency_score", F.ntile(quantiles).over(w_f).cast("int"))
+        .withColumn("monetary_score", F.ntile(quantiles).over(w_m).cast("int"))
+    )
+
+
+def quantile_edge_scores(
+    rfm: DataFrame, quantiles: int = 5, relative_error: float = 1e-4
+) -> DataFrame:
+    """Scale path: score by comparison against approxQuantile edges.
+
+    One pass computes all 3×(q−1) edges (Greenwald–Khanna sketch, merged
+    across partitions); scoring is then an embarrassingly parallel
+    when-chain. This is how the operator survives 10^9 customers.
+    """
+    probs = [i / quantiles for i in range(1, quantiles)]
+    edges = {
+        col: rfm.approxQuantile(col, probs, relative_error)
+        for col in ("recency", "frequency", "monetary")
+    }
+
+    def score(col: str, invert: bool) -> Column:
+        expr = None
+        for i, edge in enumerate(edges[col]):
+            bucket = i + 1
+            cond = F.col(col) <= edge
+            expr = F.when(cond, bucket) if expr is None else expr.when(cond, bucket)
+        out = expr.otherwise(quantiles)
+        return ((quantiles + 1) - out).cast("int") if invert else out.cast("int")
+
+    return (
+        rfm.withColumn("recency_score", score("recency", invert=True))
+        .withColumn("frequency_score", score("frequency", invert=False))
+        .withColumn("monetary_score", score("monetary", invert=False))
+    )
+
+
+def segment(scored: DataFrame) -> DataFrame:
+    """Attach ``rfm_segment`` + ``avg_basket_value`` (analytics.py:294-313)."""
+    r, f, m = F.col("recency_score"), F.col("frequency_score"), F.col("monetary_score")
+    return scored.withColumn("rfm_segment", segment_expr(r, f, m)).withColumn(
+        "avg_basket_value",
+        F.round(safe_ratio(F.col("monetary"), F.col("frequency")), 6).cast("double"),
+    )
+
+
+def segment_summary(segments: DataFrame) -> DataFrame:
+    """Per-segment roll-up (analytics.py:320-328)."""
+    return segments.groupBy("rfm_segment").agg(
+        F.count(F.lit(1)).alias("segment_count"),
+        F.round(F.avg("recency"), 2).alias("avg_recency"),
+        F.round(F.avg("frequency"), 2).alias("avg_frequency"),
+        F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+        F.round(F.sum("monetary"), 2).alias("total_revenue"),
+    )
+
+
+def rfm_pipeline(
+    fact: DataFrame,
+    customer: str,
+    basket: str,
+    day: str,
+    sales: str,
+    exact: bool = True,
+) -> DataFrame:
+    """End-to-end M5: metrics → scores → segments, one lazy plan."""
+    base = rfm_base(fact, customer, basket, day, sales)
+    scored = ntile_scores(base, customer) if exact else quantile_edge_scores(base)
+    return segment(scored)

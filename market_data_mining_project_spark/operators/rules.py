@@ -1,0 +1,216 @@
+"""Association-rule mining (SURVEY.md §2.9 M1–M4, §2.3 J4/J5).
+
+The reference ships three implementations: a SQL pair self-join
+(``Website/market/dunnhumby/views.py:133-348``), a pure-Python Apriori
+(``analytics.py:15-184``) and a streamed category miner
+(``views.py:361-678``). Spark-first, there are two paths:
+
+- :func:`pairwise_rules` — 1⇒1 rules exactly like the reference's SQL path:
+  distinct (basket, item) → self-join on basket with ``item_a < item_b`` →
+  distinct-basket pair counts → join per-item counts → metric expressions.
+  All shuffles key on ``basket``/pair; AQE handles skewed popular items.
+  At 100 TB the frequent-item pre-filter (Apriori monotonicity, reference
+  views.py:414-437) is what bounds the pair explosion — applied here BEFORE
+  the self-join so Catalyst pushes it into both scan branches.
+- :func:`fpgrowth_rules` — multi-item rules via ``pyspark.ml.fpm.FPGrowth``
+  (same frequent-itemset semantics as the reference's Apriori at equal
+  minSupport, SURVEY §7.4.6), the scalable replacement for level-wise
+  candidate generation.
+
+Metric identities (validate_results.py:104-139):
+    support    = pair_baskets / total_baskets
+    confidence = pair_baskets / antecedent_baskets
+    lift       = confidence / (consequent_baskets / total_baskets)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # MLlib import gated so a missing mllib build degrades gracefully
+    from pyspark.ml.fpm import FPGrowth
+
+    HAS_FPGROWTH = True
+except ImportError:  # pragma: no cover
+    HAS_FPGROWTH = False
+
+
+def item_baskets(fact: DataFrame, basket: str, item: str) -> DataFrame:
+    """Distinct (basket, item) pairs — dedups multi-line purchases so that
+    COUNT(*) == COUNT(DISTINCT basket) downstream (reference counts
+    DISTINCT basket_id throughout, views.py:219-233)."""
+    return fact.select(basket, item).distinct()
+
+
+def frequent_items(
+    fact: DataFrame, basket: str, item: str, min_count: int, cap: int | None = None
+) -> DataFrame:
+    """Items appearing in ≥ min_count distinct baskets (A6; reference
+    frequent-1 pruning with candidate caps, views.py:414-437)."""
+    counts = (
+        item_baskets(fact, basket, item)
+        .groupBy(item)
+        .agg(F.count(F.lit(1)).alias("item_baskets"))
+        .filter(F.col("item_baskets") >= min_count)
+    )
+    if cap is not None:
+        counts = counts.orderBy(F.col("item_baskets").desc(), F.col(item).asc()).limit(cap)
+    return counts
+
+
+def pair_counts(
+    fact: DataFrame, basket: str, item: str, min_count: int, item_cap: int | None = None
+) -> DataFrame:
+    """Co-occurrence pair counts via self-join (J4; reference views.py:199-235).
+
+    Apriori pruning first: only frequent items enter the self-join, so the
+    shuffle is |frequent items' baskets|², not |all baskets|². The join keys
+    on ``basket`` — a co-partitioned shuffle both sides reuse.
+    """
+    freq = frequent_items(fact, basket, item, min_count, item_cap)
+    ib = item_baskets(fact, basket, item).join(
+        F.broadcast(freq.select(item)), item, "left_semi"
+    )
+    a = ib.select(F.col(basket).alias("__b"), F.col(item).alias("item_a"))
+    b = ib.select(F.col(basket).alias("__b"), F.col(item).alias("item_b"))
+    pairs = a.join(b, "__b").filter(F.col("item_a") < F.col("item_b"))
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_baskets"))
+        .filter(F.col("pair_baskets") >= min_count)
+    )
+
+
+def pairwise_rules(
+    fact: DataFrame,
+    basket: str,
+    item: str,
+    min_support: float = 0.01,
+    min_confidence: float = 0.0,
+    min_lift: float = 0.0,
+    max_results: int | None = None,
+    item_cap: int | None = None,
+) -> DataFrame:
+    """1⇒1 association rules, both directions (M3; reference views.py:133-348).
+
+    Returns columns: antecedent, consequent, pair_baskets, antecedent_baskets,
+    consequent_baskets, support, confidence, lift — floats rounded to 6.
+    """
+    total = item_baskets(fact, basket, item).select(basket).distinct().count()
+    min_count = max(1, int(total * min_support))
+
+    freq = frequent_items(fact, basket, item, min_count, item_cap)
+    pairs = pair_counts(fact, basket, item, min_count, item_cap)
+
+    counts_a = freq.select(F.col(item).alias("antecedent"), F.col("item_baskets").alias("antecedent_baskets"))
+    counts_b = freq.select(F.col(item).alias("consequent"), F.col("item_baskets").alias("consequent_baskets"))
+
+    # Both rule directions from each unordered pair (reference emits A→B and B→A).
+    directed = pairs.selectExpr(
+        "item_a as antecedent", "item_b as consequent", "pair_baskets"
+    ).unionByName(
+        pairs.selectExpr("item_b as antecedent", "item_a as consequent", "pair_baskets")
+    )
+
+    rules = (
+        directed.join(F.broadcast(counts_a), "antecedent")
+        .join(F.broadcast(counts_b), "consequent")
+        .withColumn("support", F.round(F.col("pair_baskets") / F.lit(total), 6))
+        .withColumn("confidence", F.round(F.col("pair_baskets") / F.col("antecedent_baskets"), 6))
+        .withColumn(
+            "lift",
+            F.round(
+                (F.col("pair_baskets") / F.col("antecedent_baskets"))
+                / (F.col("consequent_baskets") / F.lit(total)),
+                6,
+            ),
+        )
+        .filter((F.col("confidence") >= min_confidence) & (F.col("lift") >= min_lift))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_baskets",
+            "antecedent_baskets",
+            "consequent_baskets",
+            "support",
+            "confidence",
+            "lift",
+        )
+    )
+    if max_results is not None:
+        rules = rules.orderBy(
+            F.col("lift").desc(), F.col("antecedent").asc(), F.col("consequent").asc()
+        ).limit(max_results)
+    return rules
+
+
+def category_rules(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    category: str,
+    basket: str,
+    min_support: float = 0.01,
+    min_confidence: float = 0.0,
+    item_cap: int | None = 1000,
+    max_results: int | None = None,
+) -> DataFrame:
+    """Category-level rules (M4; reference dept/commodity miners,
+    views.py:361-678): broadcast-join the dim, then mine categories as items.
+
+    The reference streams sorted rows through a Python cursor loop
+    (views.py:461-479) — here the same semantics are the pairwise miner over
+    (basket, category)."""
+    cat_fact = fact.join(F.broadcast(dim.select(key, category)), key, "inner").filter(
+        F.col(category).isNotNull()
+    )
+    return pairwise_rules(
+        cat_fact,
+        basket,
+        category,
+        min_support=min_support,
+        min_confidence=min_confidence,
+        item_cap=item_cap,
+        max_results=max_results,
+    )
+
+
+def basket_itemsets(fact: DataFrame, basket: str, item: str) -> DataFrame:
+    """Per-basket distinct item arrays for FPGrowth (sorted for determinism)."""
+    return (
+        fact.select(basket, item)
+        .distinct()
+        .groupBy(basket)
+        .agg(F.sort_array(F.collect_list(item)).alias("items"))
+    )
+
+
+def fpgrowth_rules(
+    fact: DataFrame,
+    basket: str,
+    item: str,
+    min_support: float = 0.01,
+    min_confidence: float = 0.2,
+) -> DataFrame:
+    """Multi-item rules via MLlib FPGrowth (M1/M2; replaces the reference's
+    level-wise Apriori, analytics.py:56-160 — same frequent-itemset
+    semantics at equal minSupport, SURVEY §7.4.6).
+
+    Returns antecedent array, consequent array, support/confidence/lift.
+    """
+    if not HAS_FPGROWTH:  # pragma: no cover
+        raise NotImplementedError("pyspark.ml.fpm.FPGrowth unavailable in this build")
+    baskets = basket_itemsets(fact, basket, item).withColumn(
+        "items", F.col("items").cast("array<string>")
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=min_support, minConfidence=min_confidence
+    ).fit(baskets)
+    return model.associationRules.select(
+        F.col("antecedent"),
+        F.col("consequent"),
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    )

@@ -1,0 +1,29 @@
+"""Named query catalog — binds schema-generic operators to the test tables.
+
+Each module exposes ``QUERIES: dict[str, fn(spark, sf_dir) -> DataFrame]``
+and ``ORACLE: dict[str, str]`` (DuckDB-runnable ANSI SQL with identical
+column aliases). The merged catalog backs ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    from market_data_mining_project_spark.plans import (
+        dunnhumby_domain,
+        llm_pipeline,
+        tpch_relational,
+    )
+
+    queries: dict[str, QueryFn] = {}
+    oracle: dict[str, str] = {}
+    for mod in (tpch_relational, dunnhumby_domain, llm_pipeline):
+        queries.update(mod.QUERIES)
+        oracle.update(mod.ORACLE)
+    return queries, oracle

@@ -1,0 +1,211 @@
+"""Domain-pipeline queries (SURVEY.md §2.9) bound to the TPC-H-ish tables.
+
+The RFM / association-rule / basket pipelines are schema-generic; here they
+bind lineitem/orders/part/customer to the roles transactions/baskets/
+product/household play in the reference (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.functions.expressions import money
+from market_data_mining_project_spark.operators import rfm as RFM
+from market_data_mining_project_spark.operators import rules as RULES
+from market_data_mining_project_spark.operators.basket import department_mix
+from market_data_mining_project_spark.sources.tables import load_table
+
+_RFM_EPOCH = "1995-01-01"
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 end-to-end: per-customer RFM metrics → NTILE(5) scores →
+    11-way segment cascade (reference analytics.py:187-328)."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_day", F.datediff("o_orderdate", F.lit(_RFM_EPOCH).cast("date"))
+    )
+    segments = RFM.rfm_pipeline(
+        orders, customer="o_custkey", basket="o_orderkey", day="order_day", sales="o_totalprice"
+    )
+    return segments.select(
+        F.col("o_custkey").alias("customer"),
+        "last_transaction_day",
+        "recency",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        "recency_score",
+        "frequency_score",
+        "monetary_score",
+        "rfm_segment",
+        "avg_basket_value",
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH base AS (
+  SELECT o_custkey AS customer,
+         MAX(datediff('day', DATE '1995-01-01', o_orderdate)) AS last_transaction_day,
+         COUNT(DISTINCT o_orderkey) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+), rec AS (
+  SELECT *, (SELECT MAX(last_transaction_day) FROM base) - last_transaction_day AS recency
+  FROM base
+), scored AS (
+  SELECT *,
+         CAST(6 - NTILE(5) OVER (ORDER BY recency ASC, customer ASC) AS INT) AS recency_score,
+         CAST(NTILE(5) OVER (ORDER BY frequency ASC, customer ASC) AS INT) AS frequency_score,
+         CAST(NTILE(5) OVER (ORDER BY monetary ASC, customer ASC) AS INT) AS monetary_score
+  FROM rec
+)
+SELECT customer, last_transaction_day, recency, frequency,
+       ROUND(monetary, 2) AS monetary,
+       recency_score, frequency_score, monetary_score,
+       CASE
+         WHEN recency_score >= 4 AND frequency_score >= 4 AND monetary_score >= 4 THEN 'Champions'
+         WHEN frequency_score >= 4 AND monetary_score >= 3 THEN 'Loyal Customers'
+         WHEN recency_score >= 4 AND frequency_score >= 3 THEN 'Potential Loyalists'
+         WHEN recency_score >= 4 AND frequency_score <= 2 THEN 'New Customers'
+         WHEN monetary_score >= 4 THEN 'Big Spenders'
+         WHEN frequency_score >= 3 AND recency_score >= 3 THEN 'Regular Customers'
+         WHEN recency_score <= 2 AND frequency_score >= 3 AND monetary_score >= 3 THEN 'Need Attention'
+         WHEN recency_score <= 2 AND frequency_score >= 2 AND monetary_score >= 2 THEN 'At Risk'
+         WHEN recency_score <= 2 AND frequency_score >= 4 AND monetary_score >= 4 THEN 'Can''t Lose Them'
+         WHEN recency_score <= 2 THEN 'Hibernating'
+         ELSE 'Lost'
+       END AS rfm_segment,
+       ROUND(CASE WHEN frequency > 0 THEN monetary / frequency ELSE 0 END, 6) AS avg_basket_value
+FROM scored
+"""
+
+
+def q_rfm_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 segment summary (analytics.py:320-328)."""
+    segs = q_rfm_segments(spark, sf_dir)
+    return segs.groupBy("rfm_segment").agg(
+        F.count(F.lit(1)).alias("segment_count"),
+        F.round(F.avg("recency"), 2).alias("avg_recency"),
+        F.round(F.avg(F.col("frequency").cast("double")), 2).alias("avg_frequency"),
+        F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+        F.round(F.sum("monetary"), 2).alias("total_revenue"),
+    )
+
+
+SQL_RFM_SUMMARY = f"""
+WITH segments AS ({SQL_RFM_SEGMENTS})
+SELECT rfm_segment,
+       COUNT(*) AS segment_count,
+       ROUND(AVG(CAST(recency AS DOUBLE)), 2) AS avg_recency,
+       ROUND(AVG(CAST(frequency AS DOUBLE)), 2) AS avg_frequency,
+       ROUND(AVG(monetary), 2) AS avg_monetary,
+       ROUND(SUM(monetary), 2) AS total_revenue
+FROM segments
+GROUP BY rfm_segment
+"""
+
+
+def q_pairwise_rules_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3/M4: category-level 1⇒1 association rules (brand ≈ department).
+
+    lineitem ⨝ broadcast(part) → distinct (order, brand) → frequent-item
+    pruning → self-join pair counts → support/confidence/lift expressions
+    (reference views.py:133-348 / 361-678)."""
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    part = load_table(spark, sf_dir, "part")
+    rules = RULES.category_rules(
+        li,
+        part,
+        key="p_partkey",
+        category="p_brand",
+        basket="l_orderkey",
+        min_support=0.02,
+        min_confidence=0.05,
+        item_cap=None,
+    )
+    return rules
+
+
+SQL_PAIRWISE_RULES_BRAND = """
+WITH ib AS (
+  SELECT DISTINCT l_orderkey AS b, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IS NOT NULL
+), tot AS (
+  SELECT COUNT(DISTINCT b) AS total FROM ib
+), mc AS (
+  -- 2% support as integer arithmetic (total // 50) to avoid float-floor drift
+  SELECT GREATEST(1, total // 50) AS min_count, total FROM tot
+), freq AS (
+  SELECT item, COUNT(*) AS item_baskets FROM ib GROUP BY item
+  HAVING COUNT(*) >= (SELECT min_count FROM mc)
+), fib AS (
+  SELECT ib.b, ib.item FROM ib JOIN freq ON ib.item = freq.item
+), pairs AS (
+  SELECT a.item AS item_a, b2.item AS item_b, COUNT(*) AS pair_baskets
+  FROM fib a JOIN fib b2 ON a.b = b2.b AND a.item < b2.item
+  GROUP BY a.item, b2.item
+  HAVING COUNT(*) >= (SELECT min_count FROM mc)
+), directed AS (
+  SELECT item_a AS antecedent, item_b AS consequent, pair_baskets FROM pairs
+  UNION ALL
+  SELECT item_b AS antecedent, item_a AS consequent, pair_baskets FROM pairs
+)
+SELECT d.antecedent, d.consequent, d.pair_baskets,
+       fa.item_baskets AS antecedent_baskets,
+       fb.item_baskets AS consequent_baskets,
+       ROUND(CAST(d.pair_baskets AS DOUBLE) / (SELECT total FROM tot), 6) AS support,
+       ROUND(CAST(d.pair_baskets AS DOUBLE) / fa.item_baskets, 6) AS confidence,
+       ROUND((CAST(d.pair_baskets AS DOUBLE) / fa.item_baskets)
+             / (CAST(fb.item_baskets AS DOUBLE) / (SELECT total FROM tot)), 6) AS lift
+FROM directed d
+JOIN freq fa ON d.antecedent = fa.item
+JOIN freq fb ON d.consequent = fb.item
+WHERE ROUND(CAST(d.pair_baskets AS DOUBLE) / fa.item_baskets, 6) >= 0.05
+  AND ROUND((CAST(d.pair_baskets AS DOUBLE) / fa.item_baskets)
+            / (CAST(fb.item_baskets AS DOUBLE) / (SELECT total FROM tot)), 6) >= 0.0
+"""
+
+
+def q_department_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 basket analyzer: per-basket category mix map + distinct-category
+    count (reference department_mix JSONField, analytics.py:330-402).
+    Output flattened (map → sorted json string) for oracle comparison."""
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    part = load_table(spark, sf_dir, "part")
+    mix = department_mix(li, part, key="p_partkey", category="p_type", basket="l_orderkey")
+    return mix.select(
+        "l_orderkey",
+        F.to_json("department_mix").alias("mix_json"),
+        "unique_departments",
+    ).filter(F.col("unique_departments") >= 4)
+
+
+SQL_DEPARTMENT_MIX = """
+WITH per_cat AS (
+  SELECT l_orderkey, p_type, COUNT(*) AS cnt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY l_orderkey, p_type
+)
+SELECT l_orderkey,
+       '{' || string_agg('"' || p_type || '":' || cnt, ',' ORDER BY p_type) || '}' AS mix_json,
+       COUNT(DISTINCT p_type) AS unique_departments
+FROM per_cat
+GROUP BY l_orderkey
+HAVING COUNT(DISTINCT p_type) >= 4
+"""
+
+
+QUERIES = {
+    "rfm_segments": q_rfm_segments,
+    "rfm_summary": q_rfm_summary,
+    "pairwise_rules_brand": q_pairwise_rules_brand,
+    "department_mix": q_department_mix,
+}
+
+ORACLE = {
+    "rfm_segments": SQL_RFM_SEGMENTS,
+    "rfm_summary": SQL_RFM_SUMMARY,
+    "pairwise_rules_brand": SQL_PAIRWISE_RULES_BRAND,
+    "department_mix": SQL_DEPARTMENT_MIX,
+}

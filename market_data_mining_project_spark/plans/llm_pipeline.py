@@ -1,0 +1,222 @@
+"""Training-data-pipeline queries over documents/embeddings test tables.
+
+Covers the brief's dedup / similarity / text-analysis surface with DuckDB
+oracles where SQL can express the semantics; MinHash-LSH and SimHash are
+validated in pytest against the exact-Jaccard ground truth instead (their
+oracle entries are intentionally omitted → driver does rows-only checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.operators import dedup as D
+from market_data_mining_project_spark.operators import similarity as SIM
+from market_data_mining_project_spark.operators import text as TXT
+from market_data_mining_project_spark.sources.tables import load_table
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prof = TXT.text_profile(docs, "text")
+    return prof.select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio_en", "quality", "fingerprint"
+    )
+
+
+SQL_TEXT_PROFILE = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+), prof AS (
+  SELECT doc_id, text, ts,
+         len(ts) AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS praw,
+         CASE WHEN len(ts) > 0
+              THEN CAST(len(list_filter(ts, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS DOUBLE) / len(ts)
+              ELSE 0.0 END AS sraw,
+         CASE WHEN len(ts) > 0
+              THEN CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
+              ELSE 0.0 END AS diversity
+  FROM toks
+)
+SELECT doc_id,
+       n_tokens,
+       ROUND(praw, 6) AS punct_ratio,
+       ROUND(sraw, 6) AS stopword_ratio_en,
+       ROUND((CASE WHEN n_tokens >= 5 AND n_tokens <= 10000 THEN 1.0 ELSE 0.5 END)
+             * (1.0 - praw) * (0.5 + diversity / 2), 6) AS quality,
+       md5(array_to_string(list_sort(list_distinct(ts))[1:8], ' ')) AS fingerprint
+FROM prof
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = TXT.detect_language(docs, "text")
+    return tagged.groupBy("lang", "detected_lang").agg(F.count(F.lit(1)).alias("doc_count"))
+
+
+SQL_LANGUAGE_ID = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang,
+         len(list_filter(ts, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS h_en,
+         len(list_filter(ts, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS h_es,
+         len(list_filter(ts, x -> list_contains(['le','la','de','et','un','est','que','en','du','les'], x))) AS h_fr,
+         len(list_filter(ts, x -> list_contains(['der','die','das','und','ist','in','den','von','zu','mit'], x))) AS h_de
+  FROM toks
+), best AS (
+  SELECT doc_id, lang,
+         CASE
+           WHEN GREATEST(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+           WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+           WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+           WHEN h_en >= h_de THEN 'en'
+           ELSE 'de'
+         END AS detected_lang
+  FROM hits
+)
+SELECT lang, detected_lang, COUNT(*) AS doc_count
+FROM best
+GROUP BY lang, detected_lang
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = D.exact_dedup(docs, "text", "doc_id")
+    return kept.agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("doc_id").alias("kept_id_sum"),
+        F.countDistinct(F.md5("text")).alias("distinct_texts"),
+    )
+
+
+SQL_EXACT_DEDUP = """
+WITH ranked AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+  FROM documents
+)
+SELECT COUNT(*) AS kept_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+       COUNT(DISTINCT md5(text)) AS distinct_texts
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
+
+
+SQL_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(ts[i:i+2], ' ') AS shingle
+  FROM toks,
+       UNNEST(range(1, GREATEST(len(ts) - 2, 1) + 1)) AS r(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       sa.sz AS sz_a, sb.sz AS sz_b,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 6) >= 0.5
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.cosine_topk(emb, queries, "embedding", "vec_id", k=5)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= 5
+"""
+
+
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norms — an aggregation over vector columns
+    (element-wise mean via posexplode → groupBy (label, pos))."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    centroids = exploded.groupBy("label", "pos").agg(
+        F.avg("x").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    return centroids.groupBy("label").agg(
+        F.max("n").alias("vec_count"),
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"),
+    )
+
+
+SQL_EMBEDDING_LABEL_CENTROIDS = """
+WITH exploded AS (
+  SELECT label, r.i AS pos, CAST(embedding[r.i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+), centroids AS (
+  SELECT label, pos, AVG(x) AS m, COUNT(*) AS n
+  FROM exploded GROUP BY label, pos
+)
+SELECT label,
+       CAST(MAX(n) AS BIGINT) AS vec_count,
+       ROUND(sqrt(SUM(m * m)), 6) AS centroid_norm
+FROM centroids GROUP BY label
+"""
+
+
+QUERIES = {
+    "text_profile": q_text_profile,
+    "language_id": q_language_id,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "cosine_topk": q_cosine_topk,
+    "embedding_label_centroids": q_embedding_label_centroids,
+}
+
+ORACLE = {
+    "text_profile": SQL_TEXT_PROFILE,
+    "language_id": SQL_LANGUAGE_ID,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "embedding_label_centroids": SQL_EMBEDDING_LABEL_CENTROIDS,
+}

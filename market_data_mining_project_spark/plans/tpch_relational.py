@@ -1,0 +1,547 @@
+"""Relational-core queries (SURVEY.md §2.2–§2.8) on the TPC-H-ish test tables.
+
+Binding (FIXTURES.md §4): lineitem≈transactions fact (l_orderkey≈basket_id,
+l_partkey≈product_id, l_extendedprice≈sales_value), orders≈basket grain
+(o_custkey≈household_key), part≈product dim, customer≈household dim.
+
+Determinism rules for oracle parity (each query's DuckDB SQL must hash-match):
+- money summed as DECIMAL(18,2) → cast DOUBLE at the end (order-independent);
+- averages = double division + ROUND(…, 6) (identical IEEE on both engines);
+- every LIMIT is preceded by a total order (unique tiebreaker column);
+- window functions always carry a unique tiebreaker in ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.functions.expressions import money
+from market_data_mining_project_spark.operators import basket as B
+from market_data_mining_project_spark.operators import relational as R
+from market_data_mining_project_spark.sources.tables import load_table
+
+
+def _li(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders")
+
+
+def _part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part")
+
+
+# --- A1: one-pass global scalar aggregates -----------------------------------
+
+
+def q_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir)
+    return B.global_stats(
+        li, basket="l_orderkey", product="l_partkey", customer="l_suppkey", sales="l_extendedprice"
+    )
+
+
+SQL_GLOBAL_STATS = """
+SELECT COUNT(*) AS total_rows,
+       COUNT(DISTINCT l_orderkey) AS total_baskets,
+       COUNT(DISTINCT l_partkey) AS total_products,
+       COUNT(DISTINCT l_suppkey) AS total_customers,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_sales
+FROM lineitem
+"""
+
+
+# --- A3/O1 flagship: category rollup (dept-revenue analogue), top 15 ---------
+
+
+def q_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir).withColumnRenamed("l_partkey", "p_partkey")
+    rolled = B.category_rollup(
+        li,
+        _part(spark, sf_dir),
+        key="p_partkey",
+        category="p_type",
+        basket="l_orderkey",
+        quantity="l_quantity",
+        sales="l_extendedprice",
+        product="p_partkey",
+    ).withColumnRenamed("p_type", "category")
+    return R.top_n(rolled, 15, ["total_sales", "category"])
+
+
+SQL_CATEGORY_ROLLUP = """
+SELECT p_type AS category,
+       COUNT(*) AS transaction_count,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_sales,
+       SUM(l_quantity) AS total_quantity,
+       COUNT(DISTINCT p_partkey) AS unique_products,
+       COUNT(DISTINCT l_orderkey) AS unique_baskets
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type IS NOT NULL
+GROUP BY p_type
+ORDER BY total_sales DESC, category DESC
+LIMIT 15
+"""
+
+
+# --- A2/O1: per-basket rollup, top 25 by value --------------------------------
+
+
+def q_basket_rollup_top25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir)
+    rolled = B.basket_rollup(
+        li,
+        basket="l_orderkey",
+        customer="l_suppkey",
+        product="l_partkey",
+        quantity="l_quantity",
+        sales="l_extendedprice",
+    )
+    # The reference's TOP 25 baskets by total value (views.py:891-902);
+    # l_orderkey tiebreak keeps the limit deterministic.
+    return R.top_n(rolled, 25, ["total_value", "l_orderkey"])
+
+
+SQL_BASKET_ROLLUP_TOP25 = """
+SELECT l_orderkey, l_suppkey,
+       SUM(l_quantity) AS total_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT l_partkey) AS unique_products,
+       COUNT(*) AS line_count
+FROM lineitem
+GROUP BY l_orderkey, l_suppkey
+ORDER BY total_value DESC, l_orderkey DESC
+LIMIT 25
+"""
+
+
+# --- A4/A6: product rollup with HAVING ----------------------------------------
+
+
+def q_product_rollup_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir)
+    rolled = B.product_rollup(
+        li, product="l_partkey", basket="l_orderkey", quantity="l_quantity", sales="l_extendedprice"
+    )
+    return rolled.filter(F.col("basket_count") >= 5)
+
+
+SQL_PRODUCT_ROLLUP_HAVING = """
+SELECT l_partkey,
+       COUNT(*) AS purchase_count,
+       COUNT(DISTINCT l_orderkey) AS basket_count,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+       SUM(l_quantity) AS total_quantity
+FROM lineitem
+GROUP BY l_partkey
+HAVING COUNT(DISTINCT l_orderkey) >= 5
+"""
+
+
+# --- P1/P2/P3/P4: projected scan with pushed-down predicates ------------------
+
+
+def q_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir)
+    projected = R.project(
+        li, ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag"]
+    )
+    ranged = R.filter_ranges(
+        projected, {"l_quantity": (10, 30), "l_extendedprice": (1000.0, None)}
+    )
+    return R.filter_isin(ranged, "l_returnflag", ["A", "R"]).filter(
+        F.col("l_partkey").isNotNull()
+    )
+
+
+SQL_FILTERED_SCAN = """
+SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 30
+  AND l_extendedprice >= 1000.0
+  AND l_returnflag IN ('A', 'R')
+  AND l_partkey IS NOT NULL
+"""
+
+
+# --- P5: case-insensitive search over string columns ---------------------------
+
+
+def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _part(spark, sf_dir)
+    return R.search(part, "prom", ["p_name", "p_type", "p_brand"]).select(
+        "p_partkey", "p_name", "p_brand", "p_type"
+    )
+
+
+SQL_SEARCH = """
+SELECT p_partkey, p_name, p_brand, p_type
+FROM part
+WHERE lower(p_name) LIKE '%prom%'
+   OR lower(p_type) LIKE '%prom%'
+   OR lower(p_brand) LIKE '%prom%'
+"""
+
+
+# --- O3/O4: multi-column sort + offset pagination -------------------------------
+
+
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir)
+    return R.paginate(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        page=3,
+        page_size=50,
+    )
+
+
+SQL_PAGINATION = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 50 OFFSET 150
+"""
+
+
+# --- U2/A13: dedup keep-max then verify by aggregate ---------------------------
+
+
+def q_dedup_keep_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir)
+    deduped = R.dedup_keep_max(
+        li,
+        keys=["l_orderkey", "l_partkey"],
+        tiebreak=["l_linenumber", "l_extendedprice", "l_quantity"],
+    )
+    return deduped.agg(
+        F.count(F.lit(1)).alias("dedup_rows"),
+        F.sum("l_linenumber").alias("linenumber_sum"),
+        F.sum(money("l_extendedprice")).cast("double").alias("dedup_sales"),
+    )
+
+
+SQL_DEDUP_KEEP_MAX = """
+WITH ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY l_orderkey, l_partkey
+      ORDER BY l_linenumber DESC, l_extendedprice DESC, l_quantity DESC) AS rn
+  FROM lineitem
+)
+SELECT COUNT(*) AS dedup_rows,
+       CAST(SUM(l_linenumber) AS BIGINT) AS linenumber_sum,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS dedup_sales
+FROM ranked WHERE rn = 1
+"""
+
+
+# --- W2: per-customer order-gap stats (purchase-gap analogue) -------------------
+
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir).withColumn(
+        "order_day", F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("order_day", "o_orderkey")
+    gaps = orders.withColumn("gap", F.col("order_day") - F.lag("order_day").over(w))
+    return (
+        gaps.filter(F.col("gap").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("gap_count"),
+            F.round(F.avg("gap"), 6).alias("avg_gap_days"),
+            F.max("gap").alias("max_gap_days"),
+        )
+    )
+
+
+SQL_ORDER_GAPS = """
+WITH seq AS (
+  SELECT o_custkey,
+         datediff('day', DATE '1995-01-01', o_orderdate) AS order_day,
+         datediff('day', DATE '1995-01-01', o_orderdate)
+           - LAG(datediff('day', DATE '1995-01-01', o_orderdate)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY datediff('day', DATE '1995-01-01', o_orderdate), o_orderkey) AS gap
+  FROM orders
+)
+SELECT o_custkey,
+       COUNT(*) AS gap_count,
+       ROUND(AVG(CAST(gap AS DOUBLE)), 6) AS avg_gap_days,
+       MAX(gap) AS max_gap_days
+FROM seq WHERE gap IS NOT NULL
+GROUP BY o_custkey
+"""
+
+
+# --- A7: time-bucketed aggregation (month buckets) ------------------------------
+
+
+def q_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir)
+    return (
+        orders.withColumn(
+            "month_bucket", F.year("o_orderdate") * 100 + F.month("o_orderdate")
+        )
+        .groupBy("month_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.sum(money("o_totalprice")).cast("double").alias("total_sales"),
+            F.countDistinct("o_custkey").alias("active_customers"),
+        )
+    )
+
+
+SQL_MONTHLY_SALES = """
+SELECT YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS month_bucket,
+       COUNT(*) AS order_count,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+       COUNT(DISTINCT o_custkey) AS active_customers
+FROM orders
+GROUP BY 1
+"""
+
+
+# --- A8: multi-horizon conditional aggregation in one pass ----------------------
+
+
+def q_conditional_horizons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference computes 4 time-horizon stats in one scan with
+    SUM(CASE WHEN day >= threshold ...) (ml_models.py:793-826). Analogue:
+    per-brand sales in trailing windows anchored at 2001-01-01 / 2000-01-01 /
+    1998-01-01."""
+    li = _li(spark, sf_dir).withColumnRenamed("l_partkey", "p_partkey")
+    joined = li.join(F.broadcast(_part(spark, sf_dir).select("p_partkey", "p_brand")), "p_partkey")
+
+    def since(year: int):
+        return F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp")
+
+    return joined.groupBy("p_brand").agg(
+        F.sum(F.when(since(2001), money("l_extendedprice")).otherwise(F.lit(0).cast("decimal(18,2)")))
+        .cast("double")
+        .alias("sales_recent"),
+        F.sum(F.when(since(2000), money("l_extendedprice")).otherwise(F.lit(0).cast("decimal(18,2)")))
+        .cast("double")
+        .alias("sales_1y"),
+        F.sum(F.when(since(1998), money("l_extendedprice")).otherwise(F.lit(0).cast("decimal(18,2)")))
+        .cast("double")
+        .alias("sales_3y"),
+        F.countDistinct(F.when(since(2000), F.col("l_orderkey"))).alias("baskets_1y"),
+        F.count(F.lit(1)).alias("total_lines"),
+    )
+
+
+SQL_CONDITIONAL_HORIZONS = """
+SELECT p_brand,
+       CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '2001-01-01' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sales_recent,
+       CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sales_1y,
+       CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sales_3y,
+       COUNT(DISTINCT CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01' THEN l_orderkey END) AS baskets_1y,
+       COUNT(*) AS total_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# --- J6: EXISTS semi-join with band condition (repurchase label) -----------------
+
+
+def q_repurchase_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-horizon repurchase label via EXISTS band semi-join
+    (ml_models.py:262-293). Expressed in Spark SQL so Catalyst rewrites the
+    correlated EXISTS into a left semi join natively."""
+    _orders(spark, sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o1.o_orderkey,
+               o1.o_custkey,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM orders o2
+                   WHERE o2.o_custkey = o1.o_custkey
+                     AND o2.o_orderdate > o1.o_orderdate
+                     AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAYS
+               ) THEN 1 ELSE 0 END AS repurchase_30d
+        FROM orders o1
+        """
+    )
+
+
+SQL_REPURCHASE_LABEL = """
+SELECT o1.o_orderkey,
+       o1.o_custkey,
+       CASE WHEN EXISTS (
+           SELECT 1 FROM orders o2
+           WHERE o2.o_custkey = o1.o_custkey
+             AND o2.o_orderdate > o1.o_orderdate
+             AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
+       ) THEN 1 ELSE 0 END AS repurchase_30d
+FROM orders o1
+"""
+
+
+# --- J10/J11: anti-join + semi-join (active vs lapsed customers) ------------------
+
+
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    cutoff = F.lit("2001-01-01").cast("timestamp")
+    recent = orders.filter(F.col("o_orderdate") >= cutoff).select("o_custkey").distinct()
+    ever = orders.select("o_custkey").distinct()
+    active = customer.join(recent, customer.c_custkey == recent.o_custkey, "left_semi")
+    lapsed = (
+        customer.join(ever, customer.c_custkey == ever.o_custkey, "left_semi")
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return (
+        active.select("c_custkey").withColumn("status", F.lit("active"))
+        .unionByName(lapsed.select("c_custkey").withColumn("status", F.lit("lapsed")))
+    )
+
+
+SQL_SEMI_ANTI_CUSTOMERS = """
+SELECT c_custkey, 'active' AS status FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2001-01-01')
+UNION ALL
+SELECT c_custkey, 'lapsed' AS status FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2001-01-01')
+"""
+
+
+# --- F9: JSON extraction over events ---------------------------------------------
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("k_val", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum("k_val").alias("k_sum"),
+            F.round(F.avg(F.col("k_val").cast("double")), 6).alias("k_avg"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type,
+       COUNT(*) AS event_count,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS k_avg,
+       COUNT(DISTINCT user_id) AS unique_users
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- M15 shape: pivoted category × year sales matrix -------------------------------
+
+
+def q_pivot_category_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir).withColumnRenamed("l_partkey", "p_partkey")
+    joined = li.join(F.broadcast(_part(spark, sf_dir).select("p_partkey", "p_type")), "p_partkey")
+    years = list(range(1995, 2002))
+    return (
+        joined.withColumn("yr", F.year("l_shipdate"))
+        .groupBy("p_type")
+        .pivot("yr", years)
+        .agg(F.sum(money("l_extendedprice")).cast("double"))
+        .na.fill(0.0, [str(y) for y in years])
+        .select("p_type", *[F.col(str(y)).alias(f"y{y}") for y in years])
+    )
+
+
+SQL_PIVOT_CATEGORY_YEAR = """
+SELECT p_type,
+       {cols}
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+""".format(
+    cols=",\n       ".join(
+        "CAST(COALESCE(SUM(CASE WHEN YEAR(l_shipdate) = {y} THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS y{y}".format(y=y)
+        for y in range(1995, 2002)
+    )
+)
+
+
+# --- W1: deterministic stratified sample -------------------------------------------
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (ml_models.py:294-311) with a deterministic
+    hash order key standing in for NEWID() so the oracle can reproduce it
+    (crc32 on both engines would differ — use md5 hex, identical in both)."""
+    orders = _orders(spark, sf_dir)
+    sampled = R.stratified_sample(
+        orders.withColumn("yr", F.year("o_orderdate")),
+        bucket=F.col("yr"),
+        per_bucket=20,
+        order_key=F.md5(F.col("o_orderkey").cast("string")),
+    )
+    return sampled.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("sampled"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH ranked AS (
+  SELECT YEAR(o_orderdate) AS yr, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY YEAR(o_orderdate)
+                            ORDER BY md5(CAST(o_orderkey AS VARCHAR))) AS rn
+  FROM orders
+)
+SELECT yr, COUNT(*) AS sampled, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM ranked WHERE rn <= 20
+GROUP BY yr
+"""
+
+
+QUERIES = {
+    "global_stats": q_global_stats,
+    "category_rollup": q_category_rollup,
+    "basket_rollup_top25": q_basket_rollup_top25,
+    "product_rollup_having": q_product_rollup_having,
+    "filtered_scan": q_filtered_scan,
+    "search_icontains": q_search,
+    "pagination": q_pagination,
+    "dedup_keep_max": q_dedup_keep_max,
+    "order_gaps": q_order_gaps,
+    "monthly_sales": q_monthly_sales,
+    "conditional_horizons": q_conditional_horizons,
+    "repurchase_label": q_repurchase_label,
+    "semi_anti_customers": q_semi_anti_customers,
+    "events_json": q_events_json,
+    "pivot_category_year": q_pivot_category_year,
+    "stratified_sample": q_stratified_sample,
+}
+
+ORACLE = {
+    "global_stats": SQL_GLOBAL_STATS,
+    "category_rollup": SQL_CATEGORY_ROLLUP,
+    "basket_rollup_top25": SQL_BASKET_ROLLUP_TOP25,
+    "product_rollup_having": SQL_PRODUCT_ROLLUP_HAVING,
+    "filtered_scan": SQL_FILTERED_SCAN,
+    "search_icontains": SQL_SEARCH,
+    "pagination": SQL_PAGINATION,
+    "dedup_keep_max": SQL_DEDUP_KEEP_MAX,
+    "order_gaps": SQL_ORDER_GAPS,
+    "monthly_sales": SQL_MONTHLY_SALES,
+    "conditional_horizons": SQL_CONDITIONAL_HORIZONS,
+    "repurchase_label": SQL_REPURCHASE_LABEL,
+    "semi_anti_customers": SQL_SEMI_ANTI_CUSTOMERS,
+    "events_json": SQL_EVENTS_JSON,
+    "pivot_category_year": SQL_PIVOT_CATEGORY_YEAR,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+}

@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference app tunes SQL Server by hand (indexes, batched cursors,
+``UPDATE STATISTICS`` — reference ``Website/market/dunnhumby/admin.py:419-437``).
+On Spark the equivalents are AQE, broadcast thresholds and shuffle-partition
+sizing, set once here. Tests run on ``local[*]``; on a real cluster the same
+config scales out unchanged — everything below is about plan quality, not
+local-mode behavior.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the 100 TB design point, still sane locally:
+# - AQE on: runtime partition coalescing + skew-join splitting replaces any
+#   hand-tuning of shuffle partition counts per query.
+# - shuffle.partitions is only the pre-AQE upper bound; AQE coalesces down.
+# - Arrow on: every pandas_udf / toPandas crossing is vectorized.
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+}
+
+
+def get_spark(app_name: str = "market-data-mining-spark", **overrides: str) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``overrides`` take precedence; master comes from ``$SPARK_MASTER`` or
+    ``local[N]`` where N = ``$SPARK_GRAFT_CPUS`` (default ``local[*]``).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]" if cpus else "local[*]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = {**_DEFAULTS, **{k: str(v) for k, v in overrides.items()}}
+    for key, value in conf.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

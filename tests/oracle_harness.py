@@ -1,0 +1,136 @@
+"""Local replica of the driver's DuckDB-oracle correctness check.
+
+Runs each ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same parquet tables, then compares row count, column names and
+order-insensitive values (exact for ints/strings, tight tolerance for
+floats). Used by tests and by ``python -m tests.oracle_harness`` directly.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        return v
+    if isinstance(v, int):
+        return v
+    return str(v)
+
+
+def _sorted_rows(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    projected = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(columns), sorted(projected, key=lambda r: tuple(str(x) for x in r))
+
+
+def compare(name: str, spark_df, duck_rel) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    errors: list[str] = []
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    d_cols = duck_rel.columns
+    d_rows = duck_rel.fetchall()
+
+    if sorted(s_cols) != sorted(d_cols):
+        errors.append(f"{name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        return errors
+    if len(s_rows) != len(d_rows):
+        errors.append(f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}")
+        return errors
+
+    _, s_sorted = _sorted_rows(s_cols, s_rows)
+    _, d_sorted = _sorted_rows(d_cols, d_rows)
+    bad = 0
+    for i, (sr, dr) in enumerate(zip(s_sorted, d_sorted)):
+        for a, b in zip(sr, dr):
+            if a is None and b is None:
+                continue
+            if isinstance(a, float) or isinstance(b, float):
+                fa, fb = float(a), float(b)
+                if not math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9):
+                    errors.append(f"{name}: row {i} float {fa!r} != {fb!r} ({sr} vs {dr})")
+                    bad += 1
+                    break
+            elif a != b:
+                errors.append(f"{name}: row {i} value {a!r} != {b!r} ({sr} vs {dr})")
+                bad += 1
+                break
+        if bad >= 5:
+            errors.append(f"{name}: ... more mismatches suppressed")
+            break
+    return errors
+
+
+def run_all(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    con = duck_connection(sf_dir)
+    results: dict[str, list[str]] = {}
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            results[name] = [] if n >= 0 else [f"{name}: rows-only check failed"]
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            rel = con.sql(oracles[name])
+            results[name] = compare(name, df, rel)
+        except Exception as exc:  # noqa: BLE001
+            results[name] = [f"{name}: EXCEPTION {exc}"]
+    return results
+
+
+if __name__ == "__main__":
+    from market_data_mining_project_spark.session import get_spark
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    only = sys.argv[1:] or None
+    spark = get_spark("oracle-harness", **{"spark.sql.shuffle.partitions": "8", "spark.ui.enabled": "false"})
+    outcome = run_all(spark, sf, only)
+    failed = 0
+    for name, errs in sorted(outcome.items()):
+        status = "OK " if not errs else "FAIL"
+        print(f"[{status}] {name}")
+        for e in errs[:6]:
+            print(f"    {e}")
+        failed += bool(errs)
+    print(f"\n{len(outcome) - failed}/{len(outcome)} queries match")
+    sys.exit(1 if failed else 0)

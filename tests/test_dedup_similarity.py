@@ -1,0 +1,67 @@
+"""Ground-truth validation for the non-SQL-expressible ops (SURVEY.md §5):
+MinHash-LSH and SimHash are checked against exact n-gram Jaccard / exact
+cosine, mirroring the reference's independent-recount validation style
+(reference validate_results.py:78-139)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.operators import dedup as D
+from market_data_mining_project_spark.operators import similarity as SIM
+from market_data_mining_project_spark.sources.tables import load_table
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.8).collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_candidates(
+            docs, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3
+        ).collect()
+    }
+    assert truth, "test data should contain at least one >=0.8-Jaccard near-dup pair"
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} too low ({len(truth)} true pairs)"
+
+
+def test_simhash_flags_exact_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact_pairs = (
+        docs.alias("a")
+        .join(docs.alias("b"), F.expr("md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .collect()
+    )
+    near = {
+        (r.doc_a, r.doc_b)
+        for r in D.simhash_near_dups(docs, "text", "doc_id", max_hamming=3).collect()
+    }
+    for r in exact_pairs:
+        assert (r.doc_a, r.doc_b) in near, f"exact dup {(r.doc_a, r.doc_b)} missed by simhash"
+
+
+def test_lsh_topk_recall_vs_exact_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, queries, "embedding", "vec_id", k=5).collect()
+    # synthetic embeddings have weak top-k similarity (cos ~0.3) — LSH's
+    # hardest case; few bits + many tables is the right operating point
+    approx = SIM.lsh_topk(
+        emb, queries, "embedding", "vec_id", k=5, dim=64, bits=4, tables=16, seed=42
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"LSH ANN recall {recall:.2f} vs exact too low"
+
+
+def test_exact_dedup_removes_all_text_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    kept = D.exact_dedup(docs, "text", "doc_id")
+    assert kept.groupBy(F.md5("text")).count().filter(F.col("count") > 1).count() == 0
+    assert kept.count() == docs.select(F.md5("text")).distinct().count()
