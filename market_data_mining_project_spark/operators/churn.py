@@ -1,0 +1,97 @@
+"""Churn feature engineering + label generation (SURVEY.md §2.9 M7).
+
+The reference builds churn training data by splitting history at
+``max(day) − churn_days`` and labeling a customer churned iff they never
+re-appear in the future window (``Website/market/dunnhumby/analytics.py:
+438-512``). Feature engineering and labeling are a single declarative plan:
+
+- the split point is one scalar aggregate computed BEFORE any filter
+  (SURVEY §7.4.9 — the label asymmetry the reference depends on);
+- history features: RFM (A5) + purchase-gap stats (W2 lag window) + product
+  variety (countDistinct) — all map-side-combinable aggregates on one
+  shuffle keyed by customer;
+- label: left-semi/anti membership against future purchasers (J11) —
+  a broadcast-able distinct key set;
+- demographics join (J3) stays a broadcast hash join.
+
+Nothing here collects; the labeled feature frame feeds MLlib directly
+(``ml/churn_model.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.functions.expressions import safe_ratio
+
+
+def split_day(fact: DataFrame, day: str, churn_days: int) -> int:
+    """``max(day) − churn_days`` computed on the FULL table (analytics.py:456)."""
+    return fact.agg(F.max(day)).collect()[0][0] - churn_days
+
+
+def churn_features(
+    fact: DataFrame,
+    customer: str,
+    basket: str,
+    day: str,
+    sales: str,
+    item: str,
+    churn_days: int,
+    cutoff: int | None = None,
+) -> DataFrame:
+    """Labeled churn feature frame (M7; reference analytics.py:438-512).
+
+    Returns one row per customer active in history, with columns:
+    recency, frequency, monetary, avg_basket_value, avg_purchase_gap,
+    product_variety, active_days, churned (1 = absent from future window).
+    ``cutoff`` overrides the computed split day (for deterministic oracles).
+    """
+    split = cutoff if cutoff is not None else split_day(fact, day, churn_days)
+    history = fact.filter(F.col(day) <= split)
+    future = fact.filter(F.col(day) > split)
+
+    gaps_w = Window.partitionBy(customer).orderBy(F.col(day).asc())
+    # consecutive-purchase gaps over distinct active days (W2)
+    active_days = history.select(customer, day).distinct()
+    gaps = (
+        active_days.withColumn("gap", F.col(day) - F.lag(day).over(gaps_w))
+        .groupBy(customer)
+        .agg(F.avg("gap").alias("avg_purchase_gap"))
+    )
+
+    feats = history.groupBy(customer).agg(
+        (F.lit(split) - F.max(day)).alias("recency"),
+        F.countDistinct(basket).alias("frequency"),
+        F.sum(F.col(sales).cast("double")).alias("monetary"),
+        F.countDistinct(item).alias("product_variety"),
+        F.countDistinct(day).alias("active_days"),
+    )
+
+    future_customers = future.select(customer).distinct()
+    return (
+        feats.join(gaps, customer, "left")
+        .join(
+            future_customers.withColumn("__returned", F.lit(1)), customer, "left"
+        )
+        .withColumn("churned", F.when(F.col("__returned").isNotNull(), 0).otherwise(1))
+        .withColumn(
+            "avg_basket_value",
+            F.round(safe_ratio(F.col("monetary"), F.col("frequency").cast("double")), 6),
+        )
+        .withColumn("monetary", F.round("monetary", 2))
+        .withColumn("avg_purchase_gap", F.round(F.coalesce("avg_purchase_gap", F.lit(0.0)), 6))
+        .drop("__returned")
+        .select(
+            customer,
+            "recency",
+            "frequency",
+            "monetary",
+            "avg_basket_value",
+            "avg_purchase_gap",
+            "product_variety",
+            "active_days",
+            "churned",
+        )
+    )

@@ -76,9 +76,13 @@ def minhash_lsh_candidates(
     tiny for non-duplicate corpora, so the join is near-linear.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    # materialize the shingle array ONCE before fanning out to 32 hash
+    # functions — inlining shingles() into every transform duplicates a large
+    # expression tree 32×, which blows up Catalyst optimization time
+    sig = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+        .withColumn("__sh", shingles(F.col("__text"), shingle_n))
+        .select("doc", minhash_signature(F.col("__sh"), num_hashes).alias("sig"))
     )
     banded = sig.select(
         "doc",
@@ -152,14 +156,17 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(text: Column, shingle_n: int = 2) -> Column:
-    """64-bit SimHash over word shingles, built from native expressions.
+def simhash64(sh: Column) -> Column:
+    """64-bit SimHash from a *materialized* shingle-array column.
 
     For each bit position, sum +1/−1 votes of each shingle's xxhash64 bit;
     the signature bit is 1 iff the vote is positive. Near-dup docs differ in
     few bits (compare with :func:`hamming64`).
+
+    Pass an AttributeReference (a ``withColumn``-materialized array), never an
+    inline ``shingles(...)`` expression — it is referenced 64×, and inlining
+    would duplicate the tree 64-fold (minutes of Catalyst optimization).
     """
-    sh = shingles(text, shingle_n)
 
     def vote(b: int):
         # arity-2 (acc, element) lambda factory — extra params would break
@@ -168,12 +175,12 @@ def simhash64(text: Column, shingle_n: int = 2) -> Column:
             F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    bit_votes = [F.aggregate(sh, F.lit(0), vote(b)) for b in range(64)]
     out = F.lit(0).cast("long")
-    for b, vote in enumerate(bit_votes):
+    for b in range(64):
         # shiftleft instead of lit(2**b): 2**63 overflows a Java long literal
         out = out + F.when(
-            vote > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            F.aggregate(sh, F.lit(0), vote(b)) > 0,
+            F.shiftleft(F.lit(1).cast("long"), b),
         ).otherwise(F.lit(0).cast("long"))
     return out
 
@@ -188,7 +195,11 @@ def simhash_near_dups(
     """Near-dup pairs by SimHash: bucket on 16-bit signature chunks
     (pigeonhole: Hamming ≤ 3 over 4 chunks ⇒ ≥ 1 identical chunk), verify
     with exact Hamming distance within buckets."""
-    sig = df.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sig"))
+    sig = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+        .withColumn("__sh", shingles(F.col("__text"), 2))
+        .select("doc", simhash64(F.col("__sh")).alias("sig"))
+    )
     chunks = sig.select(
         "doc",
         "sig",

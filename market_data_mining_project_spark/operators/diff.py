@@ -1,0 +1,214 @@
+"""Differential analysis + statistical tests (SURVEY.md §2.9 M15, M16).
+
+The reference's differential module (``Website/market/dunnhumby/views.py:
+1531-2574``) pivots department×quarter / ×season / segment×dept / store×dept
+sales matrices, then runs scipy tests (chi² + Cramér's V, Welch t + Cohen's
+d, Mann-Whitney U + rank-biserial, KS) on the pivoted cells.
+
+Spark-first split of responsibilities:
+
+- The PIVOT and every *test statistic* are computed distributed — group-by
+  aggregates and window ranks, never a dense driver-side matrix. At 100 TB
+  the sample moments / rank sums reduce map-side; only O(groups) scalars
+  reach the driver.
+- The p-value (a scalar transform of the final statistic) uses
+  ``functions.stats`` — driver-side math on numbers, not data.
+
+Statistic identities (all SQL-expressible, so DuckDB can oracle-check them):
+    chi² = Σ (obs − exp)² / exp,  exp = row_tot × col_tot / N
+    Welch t = (m̄₁ − m̄₂) / √(s₁²/n₁ + s₂²/n₂)
+    U = R₁ − n₁(n₁+1)/2  (R₁ = rank sum of sample 1, average ranks for ties)
+    KS D = max |ECDF₁ − ECDF₂|
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.functions import stats as ST
+
+
+def pivot_matrix(
+    df: DataFrame, row: str, col: str, value: str, agg: str = "sum"
+) -> DataFrame:
+    """groupBy().pivot() sales/count matrix (reference views.py:1597-1645).
+
+    ``pivot`` needs the distinct col values; Spark collects them (small —
+    quarters/seasons/depts) then plans a single hash aggregate.
+    """
+    agg_expr = {"sum": F.sum(value), "count": F.count(value), "avg": F.avg(value)}[agg]
+    return df.groupBy(row).pivot(col).agg(agg_expr)
+
+
+def chi2_components(df: DataFrame, row: str, col: str, weight: str | None = None) -> DataFrame:
+    """Per-cell chi² contributions over a contingency of (row, col).
+
+    Fully distributed: cell/row/col/grand totals via one aggregate + window
+    sums — no driver-side matrix. Returns (row, col, observed, expected,
+    component).
+    """
+    w = F.count(F.lit(1)) if weight is None else F.sum(weight)
+    cells = df.groupBy(row, col).agg(w.cast("double").alias("observed"))
+    row_w = Window.partitionBy(row)
+    col_w = Window.partitionBy(col)
+    all_w = Window.partitionBy()
+    return (
+        cells.withColumn("row_total", F.sum("observed").over(row_w))
+        .withColumn("col_total", F.sum("observed").over(col_w))
+        .withColumn("grand_total", F.sum("observed").over(all_w))
+        .withColumn("expected", F.col("row_total") * F.col("col_total") / F.col("grand_total"))
+        .withColumn(
+            "component",
+            (F.col("observed") - F.col("expected")) ** 2 / F.col("expected"),
+        )
+        .select(row, col, "observed", "expected", "component")
+    )
+
+
+def chi2_test(df: DataFrame, row: str, col: str, weight: str | None = None) -> dict:
+    """Full chi² test with Cramér's V (reference compute_statistics,
+    views.py:1756-1847). Distributed statistic; scalar p-value on the driver.
+    """
+    comp = chi2_components(df, row, col, weight)
+    agg = comp.agg(
+        F.sum("component").alias("chi2"),
+        F.countDistinct(row).alias("r"),
+        F.countDistinct(col).alias("c"),
+        F.sum("observed").alias("n"),
+    ).collect()[0]
+    dof = (agg.r - 1) * (agg.c - 1)
+    p = ST.chi2_sf(agg.chi2, dof) if dof > 0 else 1.0
+    k = min(agg.r, agg.c)
+    cramers_v = (agg.chi2 / (agg.n * (k - 1))) ** 0.5 if k > 1 and agg.n > 0 else 0.0
+    return {
+        "statistic": float(agg.chi2),
+        "dof": int(dof),
+        "p_value": float(p),
+        "cramers_v": float(cramers_v),
+        "n": float(agg.n),
+    }
+
+
+def welch_moments(df: DataFrame, group: str, value: str) -> DataFrame:
+    """Per-group (n, mean, variance) — the sufficient statistics for Welch's
+    t. One map-side-combinable aggregate; works for any number of groups."""
+    return df.groupBy(group).agg(
+        F.count(value).cast("double").alias("n"),
+        F.avg(value).alias("mean"),
+        F.var_samp(value).alias("var"),
+    )
+
+
+def welch_t_test(df: DataFrame, group: str, value: str, g1, g2) -> dict:
+    """Welch unequal-variance t-test + Cohen's d (reference views.py:1849-1886)."""
+    rows = {r[group]: r for r in welch_moments(df.filter(F.col(group).isin([g1, g2])), group, value).collect()}
+    a, b = rows[g1], rows[g2]
+    se2 = a["var"] / a["n"] + b["var"] / b["n"]
+    t = (a["mean"] - b["mean"]) / se2**0.5
+    # Welch–Satterthwaite degrees of freedom
+    dof = se2**2 / (
+        (a["var"] / a["n"]) ** 2 / (a["n"] - 1) + (b["var"] / b["n"]) ** 2 / (b["n"] - 1)
+    )
+    p = 2.0 * ST.t_sf(abs(t), dof)
+    pooled = (((a["n"] - 1) * a["var"] + (b["n"] - 1) * b["var"]) / (a["n"] + b["n"] - 2)) ** 0.5
+    cohens_d = (a["mean"] - b["mean"]) / pooled if pooled > 0 else 0.0
+    return {
+        "statistic": float(t),
+        "dof": float(dof),
+        "p_value": float(p),
+        "cohens_d": float(cohens_d),
+        "mean_1": float(a["mean"]),
+        "mean_2": float(b["mean"]),
+    }
+
+
+def rank_sums(df: DataFrame, group: str, value: str) -> DataFrame:
+    """Average ranks over the pooled sample (tie-aware), reduced to per-group
+    rank sums. The global ordering is one ``Window.orderBy`` — at scale use a
+    range-partitioned sort; the downstream reduce is map-side."""
+    w_all = Window.orderBy(F.col(value).asc())
+    ranked = df.select(group, value).withColumn(
+        # average rank for ties: (first_rank + last_rank)/2 per tied value
+        "avg_rank",
+        F.avg(F.row_number().over(w_all)).over(Window.partitionBy(value)),
+    )
+    return ranked.groupBy(group).agg(
+        F.sum("avg_rank").alias("rank_sum"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+
+
+def mann_whitney_u(df: DataFrame, group: str, value: str, g1, g2) -> dict:
+    """Mann-Whitney U with normal approximation + rank-biserial effect size
+    (reference views.py:1888-1917)."""
+    sub = df.filter(F.col(group).isin([g1, g2]))
+    rows = {r[group]: r for r in rank_sums(sub, group, value).collect()}
+    a, b = rows[g1], rows[g2]
+    n1, n2 = a["n"], b["n"]
+    u1 = a["rank_sum"] - n1 * (n1 + 1) / 2.0
+    u = min(u1, n1 * n2 - u1)
+    mu = n1 * n2 / 2.0
+    sigma = (n1 * n2 * (n1 + n2 + 1) / 12.0) ** 0.5
+    z = (u - mu) / sigma if sigma > 0 else 0.0
+    p = 2.0 * ST.norm_sf(abs(z))
+    rank_biserial = 1.0 - 2.0 * u1 / (n1 * n2)
+    return {
+        "statistic": float(u),
+        "z": float(z),
+        "p_value": float(min(p, 1.0)),
+        "rank_biserial": float(rank_biserial),
+    }
+
+
+def ks_statistic(df: DataFrame, group: str, value: str, g1, g2) -> DataFrame:
+    """Distributed two-sample KS D: per-value ECDF step deltas via windows.
+
+    D = max over pooled values of |ECDF₁ − ECDF₂|. Single global sort window
+    (same scale caveat as rank_sums)."""
+    sub = df.filter(F.col(group).isin([g1, g2])).select(group, value)
+    counts = sub.groupBy(group).agg(F.count(F.lit(1)).cast("double").alias("n_g"))
+    w = Window.orderBy(F.col(value).asc()).rowsBetween(Window.unboundedPreceding, 0)
+    flagged = sub.withColumn("is1", F.when(F.col(group) == g1, 1.0).otherwise(0.0)).withColumn(
+        "is2", F.when(F.col(group) == g2, 1.0).otherwise(0.0)
+    )
+    n1 = counts.filter(F.col(group) == g1).select("n_g")
+    n2 = counts.filter(F.col(group) == g2).select("n_g")
+    cdf = (
+        flagged.withColumn("c1", F.sum("is1").over(w))
+        .withColumn("c2", F.sum("is2").over(w))
+        # at ties, the ECDF step completes only after the last tied row
+        .groupBy(value)
+        .agg(F.max("c1").alias("c1"), F.max("c2").alias("c2"))
+    )
+    return cdf.crossJoin(F.broadcast(n1.withColumnRenamed("n_g", "n1"))).crossJoin(
+        F.broadcast(n2.withColumnRenamed("n_g", "n2"))
+    ).select(F.max(F.abs(F.col("c1") / F.col("n1") - F.col("c2") / F.col("n2"))).alias("ks_d"))
+
+
+def ks_test(df: DataFrame, group: str, value: str, g1, g2) -> dict:
+    """Two-sample KS test (reference views.py:1919-1934); asymptotic p-value."""
+    sub = df.filter(F.col(group).isin([g1, g2]))
+    d = ks_statistic(df, group, value, g1, g2).collect()[0]["ks_d"]
+    ns = {r[group]: r["cnt"] for r in sub.groupBy(group).agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    p = ST.ks_sf(d, int(ns[g1]), int(ns[g2]))
+    return {"statistic": float(d), "p_value": float(p), "n1": int(ns[g1]), "n2": int(ns[g2])}
+
+
+def data_assessment(df: DataFrame, day: str, customer: str, basket: str) -> DataFrame:
+    """M16 data readiness summary (reference churn_data_assessment.py):
+    temporal range, volumes, per-customer lifetime span."""
+    per_cust = df.groupBy(customer).agg(
+        (F.max(day) - F.min(day)).cast("double").alias("lifetime_span")
+    )
+    span = per_cust.agg(
+        F.round(F.avg("lifetime_span"), 4).alias("avg_lifetime_span"),
+        F.max("lifetime_span").cast("double").alias("max_lifetime_span"),
+    )
+    totals = df.agg(
+        F.min(day).alias("min_day"),
+        F.max(day).alias("max_day"),
+        F.count(F.lit(1)).alias("row_count"),
+        F.countDistinct(customer).alias("customers"),
+        F.countDistinct(basket).alias("baskets"),
+    )
+    return totals.crossJoin(span)

@@ -1,0 +1,219 @@
+"""Recommenders (SURVEY.md §2.9 M13–M14).
+
+The reference implements user-user cosine CF with a dense pandas pivot +
+sklearn ``cosine_similarity`` (``Website/market/dunnhumby/collab_filter.py:
+21-114``) and a hybrid rules+CF blend (``Website/market/customers/views.py:
+49-255``). Spark-first:
+
+- :func:`cosine_cf_scores` — exact user-user cosine, expressed as joins over
+  the sparse (user, item, cnt) triples: no dense pivot ever materializes.
+  Similarities are computed only for the *query* users (the serving shape the
+  reference has — one user per request), so the join is |Q|×|users-sharing-
+  an-item|, not |users|². For all-pairs batch similarity at 100 TB use
+  :func:`als_recommendations` instead (SURVEY §7.4.10).
+- :func:`als_recommendations` — ``pyspark.ml.recommendation.ALS`` on implicit
+  purchase counts; the scalable idiom (factorization instead of O(U²) pairs).
+- :func:`hybrid_blend` — α·assoc + (1−α)·cf with per-source max-normalization
+  (reference customers/views.py:131-167), purchased items excluded by
+  anti-join (J10).
+
+Every step is a shuffle on either ``item`` or ``user`` — co-partitioned and
+AQE-coalesced; no collect, no Python loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.functions.expressions import safe_ratio
+
+try:
+    from pyspark.ml.recommendation import ALS
+
+    HAS_ALS = True
+except ImportError:  # pragma: no cover
+    HAS_ALS = False
+
+
+def user_item_counts(fact: DataFrame, user: str, item: str) -> DataFrame:
+    """Purchase-count matrix in sparse triple form (collab_filter.py:33-38).
+
+    Returns columns (user, item, cnt). One hash-agg shuffle on (user, item).
+    """
+    return (
+        fact.select(F.col(user).alias("user"), F.col(item).alias("item"))
+        .filter(F.col("item").isNotNull())
+        .groupBy("user", "item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def user_norms(ui: DataFrame) -> DataFrame:
+    return ui.groupBy("user").agg(
+        F.sqrt(F.sum(F.col("cnt").cast("double") * F.col("cnt"))).alias("norm")
+    )
+
+
+def user_similarities(ui: DataFrame, query_users: DataFrame) -> DataFrame:
+    """Cosine similarity of each query user against every co-purchasing user.
+
+    Inverted-index join on ``item`` — only user pairs that share ≥1 item are
+    ever scored (the zero entries of the dense pivot never exist here).
+    Returns (query_user, other_user, sim).
+    """
+    norms = user_norms(ui)
+    q = (
+        ui.join(F.broadcast(query_users.select("user")), "user")
+        .select(F.col("user").alias("query_user"), "item", F.col("cnt").alias("qcnt"))
+    )
+    dots = (
+        q.join(
+            ui.select(F.col("user").alias("other_user"), "item", F.col("cnt").alias("ocnt")),
+            "item",
+        )
+        .filter(F.col("query_user") != F.col("other_user"))
+        .groupBy("query_user", "other_user")
+        .agg(F.sum(F.col("qcnt").cast("double") * F.col("ocnt")).alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("user").alias("query_user"), F.col("norm").alias("qnorm")), "query_user")
+        .join(norms.select(F.col("user").alias("other_user"), F.col("norm").alias("onorm")), "other_user")
+        .select(
+            "query_user",
+            "other_user",
+            (F.col("dot") / (F.col("qnorm") * F.col("onorm"))).alias("sim"),
+        )
+    )
+
+
+def cosine_cf_scores(
+    fact: DataFrame,
+    user: str,
+    item: str,
+    query_users: DataFrame,
+    k: int = 5,
+    min_sim: float = 0.0,
+) -> DataFrame:
+    """User-user CF recommendations (M13; collab_filter.py:21-114).
+
+    score(u, i) = Σ over similar users v who bought i: sim(u,v) × cnt(v,i),
+    excluding items u already bought (anti-join, J10). Top-k per user with
+    deterministic item tie-break. Returns (user, item, score, rec_rank).
+    """
+    ui = user_item_counts(fact, user, item)
+    qu = query_users.select(F.col(query_users.columns[0]).alias("user")).distinct()
+    sims = user_similarities(ui, qu).filter(F.col("sim") > min_sim)
+    scored = (
+        sims.join(
+            ui.select(F.col("user").alias("other_user"), "item", "cnt"), "other_user"
+        )
+        .groupBy(F.col("query_user").alias("user"), "item")
+        .agg(F.sum(F.col("sim") * F.col("cnt")).alias("score"))
+    )
+    purchased = ui.select("user", "item")
+    candidates = scored.join(purchased, ["user", "item"], "left_anti")
+    w = Window.partitionBy("user").orderBy(F.col("score").desc(), F.col("item").asc())
+    return (
+        candidates.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= k)
+        .select("user", "item", F.round("score", 6).alias("score"), "rec_rank")
+    )
+
+
+def als_recommendations(
+    fact: DataFrame,
+    user: str,
+    item: str,
+    k: int = 5,
+    rank: int = 8,
+    reg: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """Implicit-feedback ALS — the 100 TB replacement for all-pairs cosine
+    (SURVEY §7.4.10: the reference's dense pivot is fine for 2.5K households,
+    not for 10⁸ users). Requires integer user/item ids.
+
+    Returns (user, item, score, rec_rank) like :func:`cosine_cf_scores`.
+    """
+    if not HAS_ALS:  # pragma: no cover
+        raise NotImplementedError("pyspark.ml.recommendation.ALS unavailable")
+    ui = user_item_counts(fact, user, item)
+    # ALS requires numeric item ids — index categorical items deterministically
+    # (dense_rank over the sorted distinct values; the map-back join is tiny).
+    numeric_items = dict(ui.dtypes)["item"] not in ("string",)
+    if not numeric_items:
+        item_ids = (
+            ui.select("item")
+            .distinct()
+            .withColumn("item_id", F.dense_rank().over(Window.orderBy("item")))
+        )
+        ui = ui.join(F.broadcast(item_ids), "item").select(
+            "user", F.col("item_id").alias("item"), "cnt", F.col("item").alias("item_label")
+        )
+    als = ALS(
+        userCol="user",
+        itemCol="item",
+        ratingCol="cnt",
+        implicitPrefs=True,
+        rank=rank,
+        regParam=reg,
+        seed=seed,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ui.withColumn("cnt", F.col("cnt").cast("float")))
+    recs = model.recommendForAllUsers(k)
+    out = recs.select(
+        "user", F.posexplode("recommendations").alias("pos", "rec")
+    ).select(
+        "user",
+        F.col("rec.item").alias("item"),
+        F.round(F.col("rec.rating").cast("double"), 6).alias("score"),
+        (F.col("pos") + 1).alias("rec_rank"),
+    )
+    if not numeric_items:
+        out = (
+            out.join(
+                F.broadcast(item_ids.withColumnRenamed("item", "item_label")),
+                out["item"] == item_ids["item_id"],
+            )
+            .drop("item", "item_id")
+            .withColumnRenamed("item_label", "item")
+            .select("user", "item", "score", "rec_rank")
+        )
+    return out
+
+
+def hybrid_blend(
+    assoc_scores: DataFrame,
+    cf_scores: DataFrame,
+    purchased: DataFrame,
+    alpha: float = 0.5,
+    k: int = 5,
+) -> DataFrame:
+    """Hybrid recommender (M14; customers/views.py:49-183).
+
+    Inputs carry (user, item, score). Each source is max-normalized per user
+    (reference normalizes by the max score of each source, views.py:131-139),
+    blended ``alpha·assoc + (1−alpha)·cf``, purchased (user, item) pairs
+    removed, top-k per user. All joins key on (user, item).
+    """
+    a_max = Window.partitionBy("user")
+    a = assoc_scores.withColumn(
+        "assoc_n", safe_ratio(F.col("score"), F.max("score").over(a_max))
+    ).select("user", "item", "assoc_n")
+    c = cf_scores.withColumn(
+        "cf_n", safe_ratio(F.col("score"), F.max("score").over(a_max))
+    ).select("user", "item", "cf_n")
+    blended = (
+        a.join(c, ["user", "item"], "full_outer")
+        .fillna({"assoc_n": 0.0, "cf_n": 0.0})
+        .withColumn("hybrid", F.lit(alpha) * F.col("assoc_n") + F.lit(1 - alpha) * F.col("cf_n"))
+    )
+    pruned = blended.join(purchased.select("user", "item"), ["user", "item"], "left_anti")
+    w = Window.partitionBy("user").orderBy(F.col("hybrid").desc(), F.col("item").asc())
+    return (
+        pruned.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= k)
+        .select("user", "item", F.round("hybrid", 6).alias("hybrid_score"), "rec_rank")
+    )

@@ -16,6 +16,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from market_data_mining_project_spark.plans import (
+        analytics_domain,
         dunnhumby_domain,
         llm_pipeline,
         tpch_relational,
@@ -23,7 +24,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}
-    for mod in (tpch_relational, dunnhumby_domain, llm_pipeline):
+    for mod in (tpch_relational, dunnhumby_domain, llm_pipeline, analytics_domain):
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE)
     return queries, oracle

@@ -1,0 +1,656 @@
+"""Recommender / churn / differential-stat queries (SURVEY.md §2.9 M7–M16)
+bound to the TPC-H-ish test tables.
+
+Role mapping (FIXTURES.md §4): customer≈household, o_custkey≈household_key,
+l_orderkey≈basket_id, p_brand≈department, day = days since 1995-01-01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.operators import churn as CHURN
+from market_data_mining_project_spark.operators import diff as DIFF
+from market_data_mining_project_spark.operators import recommend as REC
+from market_data_mining_project_spark.operators import rules as RULES
+from market_data_mining_project_spark.sources.tables import load_table
+
+_EPOCH = "1995-01-01"
+
+
+def _brand_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⨝ orders (customer) ⨝ broadcast(part) (brand): the
+    transaction-with-category fact the reference joins per query (J1/J2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit(_EPOCH).cast("date")).alias("day"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    return (
+        li.select("l_orderkey", "l_partkey", "l_extendedprice", "l_quantity")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    )
+
+
+_SQL_BRAND_FACT = f"""
+  SELECT l_orderkey, l_partkey, l_extendedprice, l_quantity,
+         o_custkey, datediff('day', DATE '{_EPOCH}', o_orderdate) AS day,
+         p_brand, p_type
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+"""
+
+
+# --- M13: user-user cosine CF -------------------------------------------------
+
+
+def q_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-user cosine CF over (customer × brand) purchase counts
+    (M13; reference collab_filter.py:21-114). Query users: custkey % 100 = 0."""
+    fact = _brand_fact(spark, sf_dir)
+    query_users = fact.select(F.col("o_custkey").alias("user")).filter(
+        F.col("user") % 100 == 0
+    ).distinct()
+    return REC.cosine_cf_scores(fact, "o_custkey", "p_brand", query_users, k=5).withColumnRenamed(
+        "user", "o_custkey"
+    )
+
+
+SQL_CF_RECOMMENDATIONS = f"""
+WITH fact AS ({_SQL_BRAND_FACT}),
+ui AS (
+  SELECT o_custkey AS usr, p_brand AS item, COUNT(*) AS cnt
+  FROM fact WHERE p_brand IS NOT NULL GROUP BY 1, 2
+), norms AS (
+  SELECT usr, sqrt(SUM(CAST(cnt AS DOUBLE) * cnt)) AS nrm FROM ui GROUP BY usr
+), qu AS (
+  SELECT DISTINCT usr FROM ui WHERE usr % 100 = 0
+), dots AS (
+  SELECT q.usr AS query_user, o.usr AS other_user,
+         SUM(CAST(q.cnt AS DOUBLE) * o.cnt) AS dot
+  FROM ui q JOIN qu ON q.usr = qu.usr
+  JOIN ui o ON q.item = o.item AND q.usr <> o.usr
+  GROUP BY 1, 2
+), sims AS (
+  SELECT d.query_user, d.other_user, d.dot / (nq.nrm * no.nrm) AS sim
+  FROM dots d
+  JOIN norms nq ON d.query_user = nq.usr
+  JOIN norms no ON d.other_user = no.usr
+  WHERE d.dot / (nq.nrm * no.nrm) > 0
+), scored AS (
+  SELECT s.query_user AS usr, u.item, SUM(s.sim * u.cnt) AS score
+  FROM sims s JOIN ui u ON s.other_user = u.usr
+  GROUP BY 1, 2
+), unseen AS (
+  SELECT sc.* FROM scored sc
+  LEFT JOIN ui p ON sc.usr = p.usr AND sc.item = p.item
+  WHERE p.usr IS NULL
+), ranked AS (
+  SELECT usr, item, score,
+         ROW_NUMBER() OVER (PARTITION BY usr ORDER BY score DESC, item ASC) AS rec_rank
+  FROM unseen
+)
+SELECT usr AS o_custkey, item, ROUND(score, 6) AS score, rec_rank
+FROM ranked WHERE rec_rank <= 5
+"""
+
+
+# --- M14: hybrid rules + CF blend ----------------------------------------------
+
+
+def q_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid recommender (M14; reference customers/views.py:49-183):
+    assoc score = max(confidence × lift) of brand rules whose antecedent the
+    user purchased; CF score from M13; each max-normalized per user,
+    blended α=0.6, purchased brands excluded, top-5."""
+    fact = _brand_fact(spark, sf_dir)
+    query_users = (
+        fact.select(F.col("o_custkey").alias("user"))
+        .filter(F.col("user") % 100 == 0)
+        .distinct()
+    )
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    part = load_table(spark, sf_dir, "part")
+    rules = RULES.category_rules(
+        li, part, key="p_partkey", category="p_brand", basket="l_orderkey",
+        min_support=0.02, min_confidence=0.05, item_cap=None,
+    )
+    ui = REC.user_item_counts(fact, "o_custkey", "p_brand")
+    purchased = ui.join(F.broadcast(query_users), "user").select("user", "item")
+    assoc = (
+        purchased.join(rules, purchased["item"] == rules["antecedent"])
+        .groupBy("user", F.col("consequent").alias("rec_item"))
+        .agg(F.max(F.col("confidence") * F.col("lift")).alias("score"))
+        .select("user", F.col("rec_item").alias("item"), "score")
+    )
+    cf = (
+        REC.cosine_cf_scores(fact, "o_custkey", "p_brand", query_users, k=25)
+        .select("user", "item", "score")
+    )
+    blended = REC.hybrid_blend(assoc, cf, purchased, alpha=0.6, k=5)
+    return blended.withColumnRenamed("user", "o_custkey")
+
+
+SQL_HYBRID_RECOMMENDATIONS = f"""
+WITH fact AS ({_SQL_BRAND_FACT}),
+ib AS (
+  SELECT DISTINCT l_orderkey AS b, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IS NOT NULL
+), tot AS (SELECT COUNT(DISTINCT b) AS total FROM ib),
+mc AS (SELECT GREATEST(1, total // 50) AS min_count, total FROM tot),
+freq AS (
+  SELECT item, COUNT(*) AS item_baskets FROM ib GROUP BY item
+  HAVING COUNT(*) >= (SELECT min_count FROM mc)
+), fib AS (SELECT ib.b, ib.item FROM ib JOIN freq ON ib.item = freq.item),
+pairs AS (
+  SELECT a.item AS item_a, b2.item AS item_b, COUNT(*) AS pair_baskets
+  FROM fib a JOIN fib b2 ON a.b = b2.b AND a.item < b2.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT min_count FROM mc)
+), directed AS (
+  SELECT item_a AS antecedent, item_b AS consequent, pair_baskets FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, pair_baskets FROM pairs
+), rules AS (
+  SELECT d.antecedent, d.consequent,
+         ROUND(CAST(d.pair_baskets AS DOUBLE) / fa.item_baskets, 6) AS confidence,
+         ROUND((CAST(d.pair_baskets AS DOUBLE) / fa.item_baskets)
+               / (CAST(fb.item_baskets AS DOUBLE) / (SELECT total FROM tot)), 6) AS lift
+  FROM directed d
+  JOIN freq fa ON d.antecedent = fa.item
+  JOIN freq fb ON d.consequent = fb.item
+  WHERE ROUND(CAST(d.pair_baskets AS DOUBLE) / fa.item_baskets, 6) >= 0.05
+), ui AS (
+  SELECT o_custkey AS usr, p_brand AS item, COUNT(*) AS cnt
+  FROM fact WHERE p_brand IS NOT NULL GROUP BY 1, 2
+), qu AS (SELECT DISTINCT usr FROM ui WHERE usr % 100 = 0),
+purchased AS (SELECT u.usr, u.item FROM ui u JOIN qu ON u.usr = qu.usr),
+assoc AS (
+  SELECT p.usr, r.consequent AS item, MAX(r.confidence * r.lift) AS score
+  FROM purchased p JOIN rules r ON p.item = r.antecedent
+  GROUP BY 1, 2
+), norms AS (
+  SELECT usr, sqrt(SUM(CAST(cnt AS DOUBLE) * cnt)) AS nrm FROM ui GROUP BY usr
+), dots AS (
+  SELECT q.usr AS query_user, o.usr AS other_user,
+         SUM(CAST(q.cnt AS DOUBLE) * o.cnt) AS dot
+  FROM ui q JOIN qu ON q.usr = qu.usr
+  JOIN ui o ON q.item = o.item AND q.usr <> o.usr
+  GROUP BY 1, 2
+), sims AS (
+  SELECT d.query_user, d.other_user, d.dot / (nq.nrm * no.nrm) AS sim
+  FROM dots d
+  JOIN norms nq ON d.query_user = nq.usr
+  JOIN norms no ON d.other_user = no.usr
+  WHERE d.dot / (nq.nrm * no.nrm) > 0
+), cf_scored AS (
+  SELECT s.query_user AS usr, u.item, SUM(s.sim * u.cnt) AS score
+  FROM sims s JOIN ui u ON s.other_user = u.usr
+  GROUP BY 1, 2
+), cf_unseen AS (
+  SELECT sc.* FROM cf_scored sc
+  LEFT JOIN ui p ON sc.usr = p.usr AND sc.item = p.item
+  WHERE p.usr IS NULL
+), cf AS (
+  SELECT usr, item, ROUND(score, 6) AS score FROM (
+    SELECT usr, item, score,
+           ROW_NUMBER() OVER (PARTITION BY usr ORDER BY score DESC, item ASC) AS rn
+    FROM cf_unseen
+  ) WHERE rn <= 25
+), a_norm AS (
+  SELECT usr, item,
+         CASE WHEN MAX(score) OVER (PARTITION BY usr) > 0
+              THEN score / MAX(score) OVER (PARTITION BY usr) ELSE 0 END AS assoc_n
+  FROM assoc
+), c_norm AS (
+  SELECT usr, item,
+         CASE WHEN MAX(score) OVER (PARTITION BY usr) > 0
+              THEN score / MAX(score) OVER (PARTITION BY usr) ELSE 0 END AS cf_n
+  FROM cf
+), blended AS (
+  SELECT COALESCE(a.usr, c.usr) AS usr, COALESCE(a.item, c.item) AS item,
+         0.6 * COALESCE(a.assoc_n, 0) + 0.4 * COALESCE(c.cf_n, 0) AS hybrid
+  FROM a_norm a FULL OUTER JOIN c_norm c ON a.usr = c.usr AND a.item = c.item
+), pruned AS (
+  SELECT b.* FROM blended b
+  LEFT JOIN purchased p ON b.usr = p.usr AND b.item = p.item
+  WHERE p.usr IS NULL
+), ranked AS (
+  SELECT usr, item, hybrid,
+         ROW_NUMBER() OVER (PARTITION BY usr ORDER BY hybrid DESC, item ASC) AS rec_rank
+  FROM pruned
+)
+SELECT usr AS o_custkey, item, ROUND(hybrid, 6) AS hybrid_score, rec_rank
+FROM ranked WHERE rec_rank <= 5
+"""
+
+
+# --- M7: churn features --------------------------------------------------------
+
+_CHURN_DAYS = 365
+
+
+def q_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled churn features (M7; reference analytics.py:438-512), split at
+    max(day) − 365 computed before filtering (SURVEY §7.4.9)."""
+    fact = _brand_fact(spark, sf_dir)
+    return CHURN.churn_features(
+        fact,
+        customer="o_custkey",
+        basket="l_orderkey",
+        day="day",
+        sales="l_extendedprice",
+        item="l_partkey",
+        churn_days=_CHURN_DAYS,
+    )
+
+
+SQL_CHURN_FEATURES = f"""
+WITH fact AS ({_SQL_BRAND_FACT}),
+split AS (SELECT MAX(day) - {_CHURN_DAYS} AS s FROM fact),
+history AS (SELECT * FROM fact WHERE day <= (SELECT s FROM split)),
+future AS (SELECT DISTINCT o_custkey FROM fact WHERE day > (SELECT s FROM split)),
+active AS (SELECT DISTINCT o_custkey, day FROM history),
+gaps AS (
+  SELECT o_custkey, AVG(CAST(gap AS DOUBLE)) AS avg_purchase_gap FROM (
+    SELECT o_custkey, day - LAG(day) OVER (PARTITION BY o_custkey ORDER BY day) AS gap
+    FROM active
+  ) WHERE gap IS NOT NULL GROUP BY o_custkey
+), feats AS (
+  SELECT o_custkey,
+         (SELECT s FROM split) - MAX(day) AS recency,
+         COUNT(DISTINCT l_orderkey) AS frequency,
+         SUM(CAST(l_extendedprice AS DOUBLE)) AS monetary,
+         COUNT(DISTINCT l_partkey) AS product_variety,
+         COUNT(DISTINCT day) AS active_days
+  FROM history GROUP BY o_custkey
+)
+SELECT f.o_custkey, f.recency, f.frequency,
+       ROUND(f.monetary, 2) AS monetary,
+       ROUND(CASE WHEN f.frequency > 0 THEN f.monetary / f.frequency ELSE 0 END, 6) AS avg_basket_value,
+       ROUND(COALESCE(g.avg_purchase_gap, 0.0), 6) AS avg_purchase_gap,
+       f.product_variety, f.active_days,
+       CASE WHEN fu.o_custkey IS NOT NULL THEN 0 ELSE 1 END AS churned
+FROM feats f
+LEFT JOIN gaps g ON f.o_custkey = g.o_custkey
+LEFT JOIN future fu ON f.o_custkey = fu.o_custkey
+"""
+
+
+# --- M15: differential statistics ----------------------------------------------
+
+
+def q_chi2_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² statistic + Cramér's V of order priority × order year, computed
+    fully distributed (M15; reference views.py:1756-1847)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    )
+    comp = DIFF.chi2_components(orders, "o_orderpriority", "yr")
+    return comp.agg(
+        F.round(F.sum("component"), 6).alias("chi2_stat"),
+        ((F.countDistinct("o_orderpriority") - 1) * (F.countDistinct("yr") - 1)).alias("dof"),
+        F.round(
+            F.sqrt(
+                F.sum("component")
+                / (F.sum("observed") * (F.least(F.countDistinct("o_orderpriority"), F.countDistinct("yr")) - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.sum("observed").cast("bigint").alias("n"),
+    )
+
+
+SQL_CHI2_PRIORITY_YEAR = """
+WITH cells AS (
+  SELECT o_orderpriority AS r, YEAR(o_orderdate) AS c, CAST(COUNT(*) AS DOUBLE) AS observed
+  FROM orders GROUP BY 1, 2
+), tot AS (
+  SELECT r, c, observed,
+         SUM(observed) OVER (PARTITION BY r) AS row_total,
+         SUM(observed) OVER (PARTITION BY c) AS col_total,
+         SUM(observed) OVER () AS grand_total
+  FROM cells
+), comp AS (
+  SELECT r, c, observed,
+         (observed - row_total * col_total / grand_total) ^ 2
+           / (row_total * col_total / grand_total) AS component
+  FROM tot
+)
+SELECT ROUND(SUM(component), 6) AS chi2_stat,
+       (COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS dof,
+       ROUND(sqrt(SUM(component) / (SUM(observed) * (LEAST(COUNT(DISTINCT r), COUNT(DISTINCT c)) - 1))), 6) AS cramers_v,
+       CAST(SUM(observed) AS BIGINT) AS n
+FROM comp
+"""
+
+
+def q_welch_urgent_vs_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t statistic + Cohen's d for order value, 1-URGENT vs 5-LOW
+    (M15; reference views.py:1849-1886). Statistic assembled as expressions
+    from per-group moments — p-value lives in operators.diff.welch_t_test."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("v")
+    )
+    m = DIFF.welch_moments(orders.filter(F.col("o_orderpriority").isin(["1-URGENT", "5-LOW"])), "o_orderpriority", "v")
+    a = m.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("n").alias("n1"), F.col("mean").alias("m1"), F.col("var").alias("v1")
+    )
+    b = m.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("n").alias("n2"), F.col("mean").alias("m2"), F.col("var").alias("v2")
+    )
+    j = a.crossJoin(b)
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    pooled = F.sqrt(
+        ((F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v2"))
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    return j.select(
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            se2 * se2
+            / (
+                (F.col("v1") / F.col("n1")) ** 2 / (F.col("n1") - 1)
+                + (F.col("v2") / F.col("n2")) ** 2 / (F.col("n2") - 1)
+            ),
+            4,
+        ).alias("dof"),
+        F.round("m1", 4).alias("mean_urgent"),
+        F.round("m2", 4).alias("mean_low"),
+        F.round((F.col("m1") - F.col("m2")) / pooled, 6).alias("cohens_d"),
+    )
+
+
+SQL_WELCH_URGENT_VS_LOW = """
+WITH m AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(CAST(o_totalprice AS DOUBLE)) AS mean,
+         VAR_SAMP(CAST(o_totalprice AS DOUBLE)) AS var
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY 1
+), a AS (SELECT n AS n1, mean AS m1, var AS v1 FROM m WHERE o_orderpriority = '1-URGENT'),
+b AS (SELECT n AS n2, mean AS m2, var AS v2 FROM m WHERE o_orderpriority = '5-LOW')
+SELECT ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+       ROUND((v1 / n1 + v2 / n2) ^ 2
+             / ((v1 / n1) ^ 2 / (n1 - 1) + (v2 / n2) ^ 2 / (n2 - 1)), 4) AS dof,
+       ROUND(m1, 4) AS mean_urgent,
+       ROUND(m2, 4) AS mean_low,
+       ROUND((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)), 6) AS cohens_d
+FROM a CROSS JOIN b
+"""
+
+
+def q_mannwhitney_urgent_vs_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (tie-aware average ranks) + rank-biserial, 1-URGENT vs
+    5-LOW order values (M15; reference views.py:1888-1917)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("v")
+    ).filter(F.col("o_orderpriority").isin(["1-URGENT", "5-LOW"]))
+    rs = DIFF.rank_sums(orders, "o_orderpriority", "v")
+    a = rs.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("rank_sum").alias("r1"), F.col("n").alias("n1")
+    )
+    b = rs.filter(F.col("o_orderpriority") == "5-LOW").select(F.col("n").alias("n2"))
+    j = a.crossJoin(b)
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    return j.select(
+        F.round(F.least(u1, F.col("n1") * F.col("n2") - u1), 2).alias("u_stat"),
+        F.round(1.0 - 2.0 * u1 / (F.col("n1") * F.col("n2")), 6).alias("rank_biserial"),
+        F.col("n1").cast("bigint").alias("n_urgent"),
+        F.col("n2").cast("bigint").alias("n_low"),
+    )
+
+
+SQL_MANNWHITNEY_URGENT_VS_LOW = """
+WITH sub AS (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), ranked AS (
+  SELECT g, v, AVG(rn) OVER (PARTITION BY v) AS avg_rank FROM (
+    SELECT g, v, CAST(ROW_NUMBER() OVER (ORDER BY v ASC) AS DOUBLE) AS rn FROM sub
+  )
+), rs AS (
+  SELECT g, SUM(avg_rank) AS rank_sum, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM ranked GROUP BY g
+), a AS (SELECT rank_sum AS r1, n AS n1 FROM rs WHERE g = '1-URGENT'),
+b AS (SELECT n AS n2 FROM rs WHERE g = '5-LOW')
+SELECT ROUND(LEAST(r1 - n1 * (n1 + 1) / 2.0, n1 * n2 - (r1 - n1 * (n1 + 1) / 2.0)), 2) AS u_stat,
+       ROUND(1.0 - 2.0 * (r1 - n1 * (n1 + 1) / 2.0) / (n1 * n2), 6) AS rank_biserial,
+       CAST(n1 AS BIGINT) AS n_urgent,
+       CAST(n2 AS BIGINT) AS n_low
+FROM a CROSS JOIN b
+"""
+
+
+def q_ks_urgent_vs_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS D statistic, 1-URGENT vs 5-LOW order values
+    (M15; reference views.py:1919-1934)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("v")
+    )
+    d = DIFF.ks_statistic(orders, "o_orderpriority", "v", "1-URGENT", "5-LOW")
+    return d.select(F.round("ks_d", 6).alias("ks_d"))
+
+
+SQL_KS_URGENT_VS_LOW = """
+WITH sub AS (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), counts AS (
+  SELECT SUM(CASE WHEN g = '1-URGENT' THEN 1.0 ELSE 0 END) AS n1,
+         SUM(CASE WHEN g = '5-LOW' THEN 1.0 ELSE 0 END) AS n2
+  FROM sub
+), steps AS (
+  SELECT v,
+         SUM(CASE WHEN g = '1-URGENT' THEN 1.0 ELSE 0 END)
+             OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+         SUM(CASE WHEN g = '5-LOW' THEN 1.0 ELSE 0 END)
+             OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2
+  FROM sub
+), cdf AS (
+  SELECT v, MAX(c1) AS c1, MAX(c2) AS c2 FROM steps GROUP BY v
+)
+SELECT ROUND(MAX(ABS(c1 / (SELECT n1 FROM counts) - c2 / (SELECT n2 FROM counts))), 6) AS ks_d
+FROM cdf
+"""
+
+
+# --- M16: data assessment --------------------------------------------------------
+
+
+def q_data_assessment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-readiness summary (M16; reference churn_data_assessment.py)."""
+    fact = _brand_fact(spark, sf_dir)
+    return DIFF.data_assessment(fact, day="day", customer="o_custkey", basket="l_orderkey")
+
+
+SQL_DATA_ASSESSMENT = f"""
+WITH fact AS ({_SQL_BRAND_FACT}),
+per_cust AS (
+  SELECT o_custkey, CAST(MAX(day) - MIN(day) AS DOUBLE) AS lifetime_span
+  FROM fact GROUP BY o_custkey
+)
+SELECT (SELECT MIN(day) FROM fact) AS min_day,
+       (SELECT MAX(day) FROM fact) AS max_day,
+       (SELECT COUNT(*) FROM fact) AS row_count,
+       (SELECT COUNT(DISTINCT o_custkey) FROM fact) AS customers,
+       (SELECT COUNT(DISTINCT l_orderkey) FROM fact) AS baskets,
+       ROUND(AVG(lifetime_span), 4) AS avg_lifetime_span,
+       MAX(lifetime_span) AS max_lifetime_span
+FROM per_cust
+"""
+
+
+# --- M11/M12: heuristic predictions (multi-window stats + scoring formulas) -------
+
+
+def q_brand_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand multi-window conditional stats + revenue-projection scoring
+    (M11/M12; reference ml_models.py:757-1123): one pass, A8 conditional
+    aggregation, F10 scoring math, top-10 by projected revenue."""
+    fact = _brand_fact(spark, sf_dir)
+    max_day = fact.agg(F.max("day").alias("mx"))
+    stats = (
+        fact.crossJoin(F.broadcast(max_day))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.when(F.col("day") >= F.col("mx") - 90, F.col("l_extendedprice").cast("double")).otherwise(0.0)
+            ).alias("recent_rev"),
+            F.sum(
+                F.when(
+                    (F.col("day") >= F.col("mx") - 180) & (F.col("day") < F.col("mx") - 90),
+                    F.col("l_extendedprice").cast("double"),
+                ).otherwise(0.0)
+            ).alias("prev_rev"),
+            F.countDistinct(F.when(F.col("day") >= F.col("mx") - 90, F.col("o_custkey"))).alias(
+                "recent_customers"
+            ),
+            F.sum(F.col("l_extendedprice").cast("double")).alias("total_rev"),
+        )
+    )
+    momentum = F.when(
+        F.col("prev_rev") > 0, F.col("recent_rev") / F.col("prev_rev")
+    ).otherwise(F.lit(1.0))
+    confidence = F.least(
+        F.lit(0.95), F.lit(0.5) + F.log1p(F.col("recent_customers")) / 20.0
+    )
+    projected = F.col("recent_rev") * F.least(momentum, F.lit(2.0)) * confidence
+    scored = stats.select(
+        "p_brand",
+        F.round("recent_rev", 2).alias("recent_rev"),
+        F.round("prev_rev", 2).alias("prev_rev"),
+        "recent_customers",
+        F.round(momentum, 6).alias("momentum"),
+        F.round(confidence, 6).alias("confidence"),
+        F.round(projected, 2).alias("projected_revenue"),
+    )
+    return scored.orderBy(F.col("projected_revenue").desc(), F.col("p_brand").asc()).limit(10)
+
+
+SQL_BRAND_PREDICTIONS = f"""
+WITH fact AS ({_SQL_BRAND_FACT}),
+mx AS (SELECT MAX(day) AS mx FROM fact),
+stats AS (
+  SELECT p_brand,
+         SUM(CASE WHEN day >= (SELECT mx FROM mx) - 90 THEN CAST(l_extendedprice AS DOUBLE) ELSE 0 END) AS recent_rev,
+         SUM(CASE WHEN day >= (SELECT mx FROM mx) - 180 AND day < (SELECT mx FROM mx) - 90 THEN CAST(l_extendedprice AS DOUBLE) ELSE 0 END) AS prev_rev,
+         COUNT(DISTINCT CASE WHEN day >= (SELECT mx FROM mx) - 90 THEN o_custkey END) AS recent_customers,
+         SUM(CAST(l_extendedprice AS DOUBLE)) AS total_rev
+  FROM fact GROUP BY p_brand
+), scored AS (
+  SELECT p_brand,
+         ROUND(recent_rev, 2) AS recent_rev,
+         ROUND(prev_rev, 2) AS prev_rev,
+         recent_customers,
+         ROUND(CASE WHEN prev_rev > 0 THEN recent_rev / prev_rev ELSE 1.0 END, 6) AS momentum,
+         ROUND(LEAST(0.95, 0.5 + ln(1 + recent_customers) / 20.0), 6) AS confidence,
+         ROUND(recent_rev
+               * LEAST(CASE WHEN prev_rev > 0 THEN recent_rev / prev_rev ELSE 1.0 END, 2.0)
+               * LEAST(0.95, 0.5 + ln(1 + recent_customers) / 20.0), 2) AS projected_revenue
+  FROM stats
+)
+SELECT * FROM scored ORDER BY projected_revenue DESC, p_brand ASC LIMIT 10
+"""
+
+
+# --- rows-only entries (non-SQL-expressible; pytest carries the ground truth) -----
+
+
+def q_fpgrowth_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-item FPGrowth rules (M1/M2) — cross-checked against the pairwise
+    SQL path in tests/test_rules.py; no SQL oracle (iterative algorithm)."""
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    part = load_table(spark, sf_dir, "part")
+    cat = li.join(F.broadcast(part.select("p_partkey", "p_brand")), "p_partkey")
+    return RULES.fpgrowth_rules(cat, basket="l_orderkey", item="p_brand", min_support=0.02, min_confidence=0.05)
+
+
+def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit ALS recs (M13 scale path) — rows-only; recall vs exact CF is
+    pytest-checked."""
+    fact = _brand_fact(spark, sf_dir)
+    return REC.als_recommendations(fact, "o_custkey", "p_brand", k=5, rank=8, seed=42)
+
+
+def q_churn_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 churn classifier end-to-end: features → GBT pipeline → per-customer
+    churn probability + risk band. Model quality is pytest-gated (AUC);
+    training is seeded but MLlib tree splits are not bit-stable across
+    engines, so no SQL oracle."""
+    from market_data_mining_project_spark.functions.expressions import churn_risk_label
+    from market_data_mining_project_spark.ml.pipelines import (
+        score_with_probability,
+        train_classifier,
+    )
+
+    feats = q_churn_features(spark, sf_dir)
+    feature_cols = [
+        "recency", "frequency", "monetary", "avg_basket_value",
+        "avg_purchase_gap", "product_variety", "active_days",
+    ]
+    trained = train_classifier(feats, feature_cols, "churned", kind="gradient_boost")
+    scored = score_with_probability(trained.model, feats)
+    return scored.select(
+        "o_custkey",
+        "churned",
+        F.round("churn_probability", 6).alias("churn_probability"),
+        churn_risk_label(F.col("churn_probability")).alias("risk_band"),
+    )
+
+
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates — recall vs exact Jaccard is
+    pytest-gated (tests/test_dedup_similarity.py); banding is hash-order
+    dependent so no SQL oracle."""
+    from market_data_mining_project_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=32, bands=8)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) — pytest-gated vs exact dups."""
+    from market_data_mining_project_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
+
+
+QUERIES = {
+    "cf_recommendations": q_cf_recommendations,
+    "hybrid_recommendations": q_hybrid_recommendations,
+    "churn_features": q_churn_features,
+    "chi2_priority_year": q_chi2_priority_year,
+    "welch_urgent_vs_low": q_welch_urgent_vs_low,
+    "mannwhitney_urgent_vs_low": q_mannwhitney_urgent_vs_low,
+    "ks_urgent_vs_low": q_ks_urgent_vs_low,
+    "data_assessment": q_data_assessment,
+    "brand_predictions": q_brand_predictions,
+    "fpgrowth_rules": q_fpgrowth_rules,
+    "als_recommendations": q_als_recommendations,
+    "churn_model_scores": q_churn_model_scores,
+    "minhash_candidates": q_minhash_candidates,
+    "simhash_near_dups": q_simhash_near_dups,
+}
+
+ORACLE = {
+    "cf_recommendations": SQL_CF_RECOMMENDATIONS,
+    "hybrid_recommendations": SQL_HYBRID_RECOMMENDATIONS,
+    "churn_features": SQL_CHURN_FEATURES,
+    "chi2_priority_year": SQL_CHI2_PRIORITY_YEAR,
+    "welch_urgent_vs_low": SQL_WELCH_URGENT_VS_LOW,
+    "mannwhitney_urgent_vs_low": SQL_MANNWHITNEY_URGENT_VS_LOW,
+    "ks_urgent_vs_low": SQL_KS_URGENT_VS_LOW,
+    "data_assessment": SQL_DATA_ASSESSMENT,
+    "brand_predictions": SQL_BRAND_PREDICTIONS,
+    # fpgrowth_rules / als_recommendations / churn_model_scores /
+    # minhash_candidates / simhash_near_dups: rows-only (pytest ground truth)
+}

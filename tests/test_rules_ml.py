@@ -1,0 +1,120 @@
+"""Cross-implementation agreement checks (SURVEY.md §5: the reference's three
+rule miners implicitly agree — our tests make that explicit) plus MLlib
+pipeline quality gates."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.operators import recommend as REC
+from market_data_mining_project_spark.operators import rules as RULES
+from market_data_mining_project_spark.sources.tables import load_table
+
+
+def _brand_fact(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    part = load_table(spark, sf_dir, "part")
+    return li.join(F.broadcast(part.select("p_partkey", "p_brand")), "p_partkey")
+
+
+def test_fpgrowth_agrees_with_pairwise(spark, sf_dir):
+    """FPGrowth 1⇒1 rules must carry identical support/confidence/lift to the
+    self-join pairwise miner at equal minSupport (SURVEY §7.4.6)."""
+    fact = _brand_fact(spark, sf_dir)
+    pairwise = {
+        (r.antecedent, r.consequent): r
+        for r in RULES.pairwise_rules(
+            fact, basket="l_orderkey", item="p_brand", min_support=0.02
+        ).collect()
+    }
+    fp = [
+        r
+        for r in RULES.fpgrowth_rules(
+            fact, basket="l_orderkey", item="p_brand", min_support=0.02, min_confidence=0.0
+        ).collect()
+        if len(r.antecedent) == 1 and len(r.consequent) == 1
+    ]
+    assert fp, "FPGrowth returned no 1=>1 rules"
+    checked = 0
+    for r in fp:
+        key = (r.antecedent[0], r.consequent[0])
+        if key not in pairwise:
+            continue  # pairwise also enforces min pair support; FP does not per-pair
+        p = pairwise[key]
+        assert math.isclose(r.support, p.support, abs_tol=1e-6), key
+        assert math.isclose(r.confidence, p.confidence, abs_tol=1e-6), key
+        assert math.isclose(r.lift, p.lift, abs_tol=1e-6), key
+        checked += 1
+    assert checked >= 5, f"only {checked} overlapping rules compared"
+
+
+def test_rule_metric_identities(spark, sf_dir):
+    """Recount one rule's support/confidence/lift independently, the way the
+    reference's validate_results.py:104-139 does."""
+    fact = _brand_fact(spark, sf_dir)
+    rules = RULES.pairwise_rules(fact, basket="l_orderkey", item="p_brand", min_support=0.02)
+    top = rules.orderBy(F.col("lift").desc(), "antecedent", "consequent").first()
+    ib = fact.select("l_orderkey", "p_brand").distinct()
+    total = ib.select("l_orderkey").distinct().count()
+    n_a = ib.filter(F.col("p_brand") == top.antecedent).count()
+    n_b = ib.filter(F.col("p_brand") == top.consequent).count()
+    n_ab = (
+        ib.filter(F.col("p_brand") == top.antecedent)
+        .select("l_orderkey")
+        .join(ib.filter(F.col("p_brand") == top.consequent).select("l_orderkey"), "l_orderkey")
+        .count()
+    )
+    assert top.pair_baskets == n_ab
+    assert math.isclose(top.support, round(n_ab / total, 6), abs_tol=1e-9)
+    assert math.isclose(top.confidence, round(n_ab / n_a, 6), abs_tol=1e-9)
+    assert math.isclose(top.lift, round((n_ab / n_a) / (n_b / total), 6), abs_tol=2e-6)
+
+
+def test_als_runs_and_ranks(spark, sf_dir):
+    fact = _brand_fact(spark, sf_dir).join(
+        load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+        ),
+        "l_orderkey",
+    )
+    recs = REC.als_recommendations(fact, "o_custkey", "p_brand", k=3, rank=4, seed=42)
+    rows = recs.collect()
+    assert rows
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r.user, []).append(r.rec_rank)
+    for user, ranks in per_user.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), user
+
+
+def test_churn_model_quality(spark, sf_dir):
+    """M8 gate: GBT churn classifier beats chance on held-out data
+    (the reference reports accuracy ~0.7-0.9; tiny sf gives noisier AUC)."""
+    from market_data_mining_project_spark.ml.pipelines import train_classifier
+    from market_data_mining_project_spark.plans.analytics_domain import q_churn_features
+
+    feats = q_churn_features(spark, sf_dir)
+    cols = [
+        "recency", "frequency", "monetary", "avg_basket_value",
+        "avg_purchase_gap", "product_variety", "active_days",
+    ]
+    trained = train_classifier(feats, cols, "churned", kind="gradient_boost")
+    assert trained.metrics["auc"] > 0.55, trained.metrics
+    assert trained.metrics["accuracy"] > 0.5, trained.metrics
+
+
+def test_cf_scores_exclude_purchased(spark, sf_dir):
+    fact = _brand_fact(spark, sf_dir).join(
+        load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+        ),
+        "l_orderkey",
+    )
+    qu = fact.select(F.col("o_custkey").alias("user")).filter(F.col("user") % 100 == 0).distinct()
+    recs = REC.cosine_cf_scores(fact, "o_custkey", "p_brand", qu, k=5)
+    purchased = REC.user_item_counts(fact, "o_custkey", "p_brand").select("user", "item")
+    overlap = recs.join(purchased, ["user", "item"]).count()
+    assert overlap == 0

@@ -1,0 +1,96 @@
+"""Tail-function accuracy against published table values, and the
+distributed test statistics against hand-computable micro-cases
+(mirrors the reference's independent-recount validation style)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from market_data_mining_project_spark.functions import stats as ST
+
+
+@pytest.mark.parametrize(
+    ("stat", "dof", "expected"),
+    [(3.841, 1, 0.05), (5.991, 2, 0.05), (9.488, 4, 0.05), (6.635, 1, 0.01)],
+)
+def test_chi2_sf_table_values(stat, dof, expected):
+    assert math.isclose(ST.chi2_sf(stat, dof), expected, rel_tol=5e-4)
+
+
+@pytest.mark.parametrize(
+    ("t", "dof", "expected"),
+    [(2.228, 10, 0.025), (1.812, 10, 0.05), (2.576, 1e9, 0.005)],
+)
+def test_t_sf_table_values(t, dof, expected):
+    assert math.isclose(ST.t_sf(t, dof), expected, rel_tol=1e-3)
+
+
+def test_norm_sf():
+    assert math.isclose(ST.norm_sf(1.959964), 0.025, rel_tol=1e-4)
+    assert math.isclose(ST.norm_sf(0.0), 0.5, rel_tol=1e-12)
+
+
+def test_ks_sf_bounds():
+    assert ST.ks_sf(0.0, 100, 100) == 1.0
+    assert ST.ks_sf(0.9, 100, 100) < 1e-6
+    assert 0 < ST.ks_sf(0.15, 200, 200) < 0.5
+
+
+def test_chi2_test_micro(spark):
+    # 2x2 with known chi2 = N(ad-bc)^2 / (r1 r2 c1 c2) = 4.0
+    rows = [("a", "x")] * 15 + [("a", "y")] * 5 + [("b", "x")] * 10 + [("b", "y")] * 10
+    df = spark.createDataFrame(rows, ["g", "h"])
+    from market_data_mining_project_spark.operators.diff import chi2_test
+
+    res = chi2_test(df, "g", "h")
+    expected = 40 * (15 * 10 - 5 * 10) ** 2 / (20 * 20 * 25 * 15)
+    assert math.isclose(res["statistic"], expected, rel_tol=1e-9)
+    assert res["dof"] == 1
+    assert math.isclose(res["cramers_v"], math.sqrt(expected / 40), rel_tol=1e-9)
+    assert 0 < res["p_value"] < 1
+
+
+def test_welch_t_micro(spark):
+    a = [1.0, 2.0, 3.0, 4.0, 5.0]
+    b = [2.0, 4.0, 6.0, 8.0, 10.0]
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b], ["g", "v"]
+    )
+    from market_data_mining_project_spark.operators.diff import welch_t_test
+
+    res = welch_t_test(df, "g", "v", "a", "b")
+    # hand computation: mean diff -3, se^2 = 2.5/5 + 10/5 = 2.5
+    assert math.isclose(res["statistic"], -3 / math.sqrt(2.5), rel_tol=1e-9)
+    assert 0 < res["p_value"] < 1
+
+
+def test_mann_whitney_micro(spark):
+    # disjoint samples → U = 0, |rank_biserial| = 1
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3)] + [("b", float(v)) for v in (10, 11, 12)],
+        ["g", "v"],
+    )
+    from market_data_mining_project_spark.operators.diff import mann_whitney_u
+
+    res = mann_whitney_u(df, "g", "v", "a", "b")
+    assert res["statistic"] == 0.0
+    assert abs(res["rank_biserial"]) == 1.0
+    assert res["p_value"] < 0.1
+
+
+def test_ks_micro(spark):
+    # identical samples → D = 0; disjoint → D = 1
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)] + [("b", float(v)) for v in range(10)],
+        ["g", "v"],
+    )
+    from market_data_mining_project_spark.operators.diff import ks_test
+
+    assert ks_test(same, "g", "v", "a", "b")["statistic"] == 0.0
+    disjoint = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)] + [("b", float(v + 100)) for v in range(10)],
+        ["g", "v"],
+    )
+    assert ks_test(disjoint, "g", "v", "a", "b")["statistic"] == 1.0
