@@ -19,12 +19,13 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         analytics_domain,
         dunnhumby_domain,
         llm_pipeline,
+        pipeline_io,
         tpch_relational,
     )
 
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}
-    for mod in (tpch_relational, dunnhumby_domain, llm_pipeline, analytics_domain):
+    for mod in (tpch_relational, dunnhumby_domain, llm_pipeline, analytics_domain, pipeline_io):
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE)
     return queries, oracle

@@ -1,0 +1,219 @@
+"""Streaming / multimodal / CSV-IO queries — the ingestion-pipeline surface.
+
+Streaming entries execute the *same plan* as a bounded backfill
+(``trigger(availableNow)``) so the driver's batch-shaped contract
+(fn(spark, sf_dir) → DataFrame) holds; in production the identical plan
+runs unbounded. The DuckDB oracles replicate watermark emission semantics:
+a window/session is emitted iff its end ≤ max event time − watermark delay.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.operators import multimodal as MM
+from market_data_mining_project_spark.sources.tables import load_table
+from market_data_mining_project_spark.streaming import events as EV
+
+_RUN_COUNTER = itertools.count()
+
+
+def _bounded(df: DataFrame, prefix: str, output_mode: str = "append") -> DataFrame:
+    """Run a streaming plan to completion into a uniquely-named memory sink."""
+    name = f"{prefix}_{next(_RUN_COUNTER)}"
+    EV.run_bounded(df, name, tempfile.mkdtemp(prefix=f"ck_{name}_"), output_mode)
+    return df.sparkSession.table(name)
+
+
+# --- Structured Streaming ------------------------------------------------------
+
+
+def q_streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window event stats, bounded replay (append mode:
+    only watermark-finalized windows are emitted)."""
+    stream = EV.read_event_stream(spark, sf_dir)
+    stats = EV.windowed_event_stats(stream, "1 day", "1 hour")
+    out = _bounded(stats, "win_stats")
+    # approx_count_distinct has no DuckDB twin — exactness is pytest-gated
+    return out.select("window_start", "event_type", "events", "total_value")
+
+
+SQL_STREAMING_WINDOW_STATS = """
+WITH e AS (SELECT ts, event_type, value FROM events),
+mx AS (SELECT MAX(ts) AS mx FROM e),
+w AS (
+  -- epoch_ms//1000: integer seconds (epoch() returns fractional double)
+  SELECT CAST(to_timestamp((epoch_ms(ts) // 1000 // 86400) * 86400) AS TIMESTAMP) AS window_start,
+         event_type, value
+  FROM e
+)
+SELECT window_start, event_type,
+       COUNT(*) AS events,
+       ROUND(SUM(value), 2) AS total_value
+FROM w
+WHERE window_start + INTERVAL 1 DAY <= (SELECT mx FROM mx) - INTERVAL 1 HOUR
+GROUP BY 1, 2
+"""
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based per-user sessionization (session_window, 30 min gap),
+    bounded replay with the same watermark-finalization rule."""
+    stream = EV.read_event_stream(spark, sf_dir)
+    sess = EV.sessionize_events(stream, "30 minutes", "1 hour")
+    return _bounded(sess, "sessions")
+
+
+SQL_STREAMING_SESSIONS = """
+WITH e AS (SELECT user_id, ts, value FROM events),
+mx AS (SELECT MAX(ts) AS mx FROM e),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM e
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), agg AS (
+  SELECT user_id,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         COUNT(*) AS events,
+         ROUND(SUM(value), 2) AS session_value
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, events, session_value
+FROM agg
+WHERE session_end <= (SELECT mx FROM mx) - INTERVAL 1 HOUR
+"""
+
+
+def q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState): running
+    per-user totals. Rows-only check — grouped state is not SQL; pytest
+    verifies totals equal the batch aggregate."""
+    stream = EV.read_event_stream(spark, sf_dir)
+    totals = EV.running_user_totals(stream)
+    return _bounded(totals, "user_totals", output_mode="update")
+
+
+# --- Multimodal columns ---------------------------------------------------------
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + Arrow-batched mapInPandas featurization over the
+    documents table (payload = utf-8 text bytes; decode stubbed — this
+    validates the schema/batching/UDF plumbing). mean_byte is pytest-gated
+    (DuckDB has no byte accessor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_media(docs, "doc_id", "text")
+    return MM.media_features(media, chunk_size=256).select(
+        "media_id", "n_bytes", "n_chunks", "format"
+    )
+
+
+SQL_MEDIA_FEATURES = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       (octet_length(encode(text)) + 255) // 256 AS n_chunks,
+       'fake/' || CAST(doc_id % 3 AS VARCHAR) AS format
+FROM documents
+"""
+
+
+def q_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (every 4th 256-byte chunk) rolled up per media row —
+    the one-row-to-many mapInPandas explode shape, aggregated so the oracle
+    is closed-form."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_media(docs, "doc_id", "text")
+    frames = MM.frame_sample(media, every_n_chunks=4, chunk_size=256)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("frames"),
+        F.sum(F.octet_length("chunk")).alias("sampled_bytes"),
+    )
+
+
+SQL_FRAME_SAMPLE_STATS = """
+WITH m AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+         (octet_length(encode(text)) + 255) // 256 AS n_chunks
+  FROM documents
+), f AS (
+  SELECT media_id, n_bytes, i * 4 AS chunk_index
+  FROM m, UNNEST(range(0, (n_chunks + 3) // 4)) t(i)
+)
+SELECT media_id, COUNT(*) AS frames,
+       SUM(LEAST(256, n_bytes - chunk_index * 256)) AS sampled_bytes
+FROM f GROUP BY media_id
+"""
+
+
+# --- CSV import/export round trip ------------------------------------------------
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S4 end-to-end: export a deterministic orders slice to CSV, re-import
+    it schema-validated with an FK check against customer, report counts +
+    value checksum. Exercises the full export → validate → land path."""
+    from market_data_mining_project_spark.sources import csv_io
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    customer = load_table(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="csv_rt_")
+    csv_path = f"{tmp}/orders_csv"
+    csv_io.export_csv(
+        orders.orderBy("o_orderkey"),
+        csv_path,
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+        limit=None,
+    )
+    schema = "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING"
+    from pyspark.sql.types import _parse_datatype_string
+
+    load = csv_io.read_csv_validated(
+        spark,
+        csv_path,
+        _parse_datatype_string(schema),
+        fk=("o_custkey", customer.select(F.col("c_custkey").alias("o_custkey"))),
+    )
+    return load.valid.agg(
+        F.count(F.lit(1)).alias("imported"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        F.countDistinct("o_custkey").alias("customers"),
+    )
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT COUNT(*) AS imported,
+       ROUND(SUM(CAST(o_totalprice AS DOUBLE)), 2) AS total_value,
+       COUNT(DISTINCT o_custkey) AS customers
+FROM orders
+WHERE o_orderkey < 3000
+  AND o_custkey IN (SELECT c_custkey FROM customer)
+"""
+
+
+QUERIES = {
+    "streaming_window_stats": q_streaming_window_stats,
+    "streaming_sessions": q_streaming_sessions,
+    "running_user_totals": q_running_user_totals,
+    "media_features": q_media_features,
+    "frame_sample_stats": q_frame_sample_stats,
+    "csv_roundtrip": q_csv_roundtrip,
+}
+
+ORACLE = {
+    "streaming_window_stats": SQL_STREAMING_WINDOW_STATS,
+    "streaming_sessions": SQL_STREAMING_SESSIONS,
+    "media_features": SQL_MEDIA_FEATURES,
+    "frame_sample_stats": SQL_FRAME_SAMPLE_STATS,
+    "csv_roundtrip": SQL_CSV_ROUNDTRIP,
+    # running_user_totals: rows-only (stateful op; pytest checks vs batch agg)
+}

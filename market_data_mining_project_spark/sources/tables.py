@@ -53,9 +53,15 @@ _EVENTS_RAW = T.StructType(
 )
 
 
+def nanos_to_micros_ts(col: str = "ts"):
+    """Integer `div` — a float `/1000` loses precision (2024 nanos ≈ 1.7e18,
+    beyond double's 2^53 exact-integer range → ±1µs drift)."""
+    return F.timestamp_micros(F.expr(f"{col} div 1000"))
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.read.schema(_EVENTS_RAW).parquet(table_path(sf_dir, "events"))
-    return raw.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return raw.withColumn("ts", nanos_to_micros_ts("ts"))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1,0 +1,136 @@
+"""Streaming pipelines over the ``events`` table.
+
+The reference has no streaming surface (SURVEY.md §2.10: batch-only,
+integer-day time), but a 100 TB ingestion pipeline needs one. These
+operators run identically as a bounded backfill (``trigger(availableNow)``
+over existing parquet) and as an unbounded live stream — the plan is the
+same; only the source/trigger differ. That replay/live symmetry is the
+Structured Streaming design point.
+
+- :func:`windowed_event_stats` — tumbling event-time windows + watermark:
+  late rows beyond the delay are dropped instead of growing state forever.
+- :func:`sessionize_events` — built-in ``session_window`` (gap-based).
+- :func:`running_user_totals` — custom stateful op via
+  ``applyInPandasWithState`` (the escape hatch for semantics window/agg
+  can't express; Arrow-batched, grouped state partitioned by user).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from market_data_mining_project_spark.sources.tables import _EVENTS_RAW, nanos_to_micros_ts
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the testdata events parquet (nanos-ts schema
+    workaround shared with the batch loader, sources/tables.py)."""
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", nanos_to_micros_ts("ts"))
+
+
+def windowed_event_stats(
+    stream: DataFrame, window: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation. In append mode a window is
+    emitted once the watermark (max event time − delay) passes its end —
+    deterministic for a bounded replay."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "events",
+            "total_value",
+            "approx_users",
+        )
+    )
+
+
+def sessionize_events(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based sessions per user via the built-in session window."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "events",
+            "session_value",
+        )
+    )
+
+
+_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("events_seen", T.LongType()),
+        T.StructField("value_total", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = "events_seen LONG, value_total DOUBLE"
+
+
+def _update_totals(key, pdfs, state: GroupState):
+    """Arrow-batched state update: accumulate per-user event count + value."""
+    events = 0
+    value = 0.0
+    for pdf in pdfs:
+        events += len(pdf)
+        value += float(pdf["value"].fillna(0.0).sum())
+    if state.exists:
+        prev_events, prev_value = state.get
+        events += prev_events
+        value += prev_value
+    state.update((events, value))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "events_seen": [events], "value_total": [round(value, 2)]}
+    )
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running per-user
+    totals emitted every micro-batch. The reference keeps comparable running
+    state in Python dicts inside a cursor loop (views.py:461-479) — here the
+    state is partitioned by user across executors and checkpointable."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_bounded(
+    query_df: DataFrame, sink_table: str, checkpoint_dir: str, output_mode: str = "append"
+) -> None:
+    """Execute a streaming plan as a bounded backfill: availableNow trigger,
+    in-memory sink, block until drained."""
+    q = (
+        query_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,119 @@
+"""Streaming / multimodal / CSV-IO ground-truth checks: bounded streaming
+replays must agree with the equivalent batch aggregation; mapInPandas
+features must agree with driver-side recomputation; CSV validation must
+quarantine bad rows and FK orphans."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from market_data_mining_project_spark.operators import multimodal as MM
+from market_data_mining_project_spark.sources import csv_io
+from market_data_mining_project_spark.sources.tables import load_table
+from market_data_mining_project_spark.streaming import events as EV
+
+
+def test_running_user_totals_match_batch(spark, sf_dir):
+    """The custom stateful op's final per-user totals must equal the batch
+    groupBy over the same data (single availableNow batch ⇒ one update each)."""
+    stream = EV.read_event_stream(spark, sf_dir)
+    totals = EV.running_user_totals(stream)
+    name = "t_user_totals"
+    EV.run_bounded(totals, name, tempfile.mkdtemp(), output_mode="update")
+    streamed = {r.user_id: (r.events_seen, r.value_total) for r in spark.table(name).collect()}
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("v"))
+        .collect()
+    )
+    assert streamed
+    for r in batch:
+        assert streamed[r.user_id][0] == r.n, r.user_id
+        assert abs(streamed[r.user_id][1] - r.v) < 0.02, r.user_id
+
+
+def test_streaming_approx_users_close_to_exact(spark, sf_dir):
+    """approx_count_distinct (the streaming-legal distinct) stays within HLL
+    tolerance of the exact batch count."""
+    stream = EV.read_event_stream(spark, sf_dir)
+    stats = EV.windowed_event_stats(stream, "1 day", "1 hour")
+    name = "t_win_stats"
+    EV.run_bounded(stats, name, tempfile.mkdtemp())
+    approx = spark.table(name).agg(F.sum("approx_users")).collect()[0][0]
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .agg(F.sum("u"))
+        .collect()[0][0]
+    )
+    assert approx == pytest.approx(exact, rel=0.15)
+
+
+def test_media_mean_byte_ground_truth(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = MM.attach_media(docs, "doc_id", "text")
+    feats = {r.media_id: r.mean_byte for r in MM.media_features(media).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        b = r.text.encode("utf-8")
+        expected = round(sum(b) / len(b), 6) if b else 0.0
+        assert feats[r.doc_id] == pytest.approx(expected, abs=1e-6), r.doc_id
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError, match="pillow"):
+        MM.decode_image(b"\x89PNG fake")
+
+
+def test_frame_sample_covers_every_nth_chunk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = MM.attach_media(docs, "doc_id", "text")
+    frames = MM.frame_sample(media, every_n_chunks=4, chunk_size=256).collect()
+    texts = {r.doc_id: r.text.encode("utf-8") for r in docs.collect()}
+    by_media: dict = {}
+    for f in frames:
+        by_media.setdefault(f.media_id, []).append(f)
+        blob = texts[f.media_id]
+        assert bytes(f.chunk) == blob[f.chunk_index * 256 : (f.chunk_index + 1) * 256]
+    for mid, fs in by_media.items():
+        n_chunks = (len(texts[mid]) + 255) // 256
+        assert sorted(f.chunk_index for f in fs) == list(range(0, n_chunks, 4))
+
+
+def test_csv_validated_quarantines_bad_rows_and_orphans(spark, tmp_path):
+    csv = tmp_path / "in.csv"
+    csv.write_text(
+        "id,custkey,amount\n"
+        "1,10,5.50\n"
+        "2,10,not_a_number\n"  # type error -> rejected
+        "3,99,7.25\n"  # FK orphan
+        "4,11,1.00\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("custkey", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    dim = spark.createDataFrame([(10,), (11,)], ["custkey"])
+    load = csv_io.read_csv_validated(spark, str(csv), schema, fk=("custkey", dim))
+    assert sorted(r.id for r in load.valid.collect()) == [1, 4]
+    assert load.rejected.count() == 1
+    assert [r.id for r in load.fk_orphans.collect()] == [3]
+
+
+def test_csv_export_caps_and_headers(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "export")
+    csv_io.export_csv(orders, out, columns=["o_orderkey", "o_totalprice"], limit=100)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 100
+    assert back.columns == ["o_orderkey", "o_totalprice"]
