@@ -25,6 +25,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the scan is under-split.
+
+    Small single-row-group files arrive as ONE partition, serializing the
+    CPU-heavy shingle/hash stages onto one core (AQE can't split a scan).
+    The extra shuffle of raw text is cheap relative to per-row hashing work;
+    at 100 TB inputs are many-file and this is a no-op.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the min-id representative per exact text hash (md5).
 
@@ -76,6 +90,7 @@ def minhash_lsh_candidates(
     tiny for non-duplicate corpora, so the join is near-linear.
     """
     rows_per_band = num_hashes // bands
+    df = ensure_parallelism(df)
     # materialize the shingle array ONCE before fanning out to 32 hash
     # functions — inlining shingles() into every transform duplicates a large
     # expression tree 32×, which blows up Catalyst optimization time
@@ -130,7 +145,7 @@ def ngram_jaccard_pairs(
     shingle (stopword run) fans out quadratically — at scale, drop the top
     0.1% most frequent shingles first (standard LSH practice).
     """
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
     ).distinct()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
@@ -156,33 +171,37 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(sh: Column) -> Column:
-    """64-bit SimHash from a *materialized* shingle-array column.
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2) -> DataFrame:
+    """Per-document 64-bit SimHash signatures, computed as ONE hash aggregate.
 
     For each bit position, sum +1/−1 votes of each shingle's xxhash64 bit;
-    the signature bit is 1 iff the vote is positive. Near-dup docs differ in
-    few bits (compare with :func:`hamming64`).
-
-    Pass an AttributeReference (a ``withColumn``-materialized array), never an
-    inline ``shingles(...)`` expression — it is referenced 64×, and inlining
-    would duplicate the tree 64-fold (minutes of Catalyst optimization).
+    the signature bit is 1 iff the vote is positive. Instead of 64
+    ``F.aggregate`` lambda passes per row (interpreted, slow), explode the
+    shingles once and run 64 conditional SUMs in a single whole-stage-codegen
+    hash aggregate — the same shuffle the dedup needs anyway. Returns
+    (doc, sig). Near-dup docs differ in few bits (:func:`hamming64`).
     """
-
-    def vote(b: int):
-        # arity-2 (acc, element) lambda factory — extra params would break
-        # F.aggregate's arity dispatch
-        return lambda acc, s: acc + F.when(
-            F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    out = F.lit(0).cast("long")
+    exploded = (
+        ensure_parallelism(df).select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+        .withColumn("__sh", shingles(F.col("__text"), shingle_n))
+        .select("doc", F.explode("__sh").alias("s"))
+        .withColumn("h", F.xxhash64("s"))
+    )
+    votes = exploded.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
     for b in range(64):
         # shiftleft instead of lit(2**b): 2**63 overflows a Java long literal
-        out = out + F.when(
-            F.aggregate(sh, F.lit(0), vote(b)) > 0,
-            F.shiftleft(F.lit(1).cast("long"), b),
+        sig = sig + F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
-    return out
+    return votes.select("doc", sig.alias("sig"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -195,11 +214,10 @@ def simhash_near_dups(
     """Near-dup pairs by SimHash: bucket on 16-bit signature chunks
     (pigeonhole: Hamming ≤ 3 over 4 chunks ⇒ ≥ 1 identical chunk), verify
     with exact Hamming distance within buckets."""
-    sig = (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
-        .withColumn("__sh", shingles(F.col("__text"), 2))
-        .select("doc", simhash64(F.col("__sh")).alias("sig"))
-    )
+    # cache: both sides of the bucket self-join reference the signature frame,
+    # and it's tiny (id + one long per doc) — without it the whole
+    # shingle/hash aggregation runs twice
+    sig = simhash_signatures(df, text_col, id_col).cache()
     chunks = sig.select(
         "doc",
         "sig",
