@@ -101,6 +101,194 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def cosine_near_dups(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs).
+
+    The brute-force O(N²) baseline — correct at any threshold, viable to
+    ~10⁵ vectors. At 100 TB prune candidates first with :func:`lsh_topk`
+    buckets or :func:`ivf_assign` cells and verify survivors with this exact
+    cosine (the same candidates-then-verify shape as MinHash dedup).
+    Returns (id_a, id_b, cos) with id_a < id_b.
+    """
+    # precompute each side's norm ONCE per row — computing cosine() inside
+    # the pair loop folds both arrays 3× per pair instead of 1×
+    base = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("n", norm(F.col("v")))
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def cosine_near_dups_blocked(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Blocked all-pairs cosine near-dups — the scale path for exact O(N²).
+
+    Vectors are hash-assigned to ``n_blocks`` blocks; each unordered block
+    pair becomes one ``applyInPandas`` group that computes a dense
+    numpy matmul (BLAS) over its two blocks. Each vector is replicated
+    ``n_blocks`` times instead of N times (the naive crossJoin), so Arrow
+    transfer is O(N·B) rows and the FLOPs run vectorized. Equivalent output
+    to :func:`cosine_near_dups`.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    base = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("b", F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_blocks)))
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], ["bi", "bj"]
+    )
+    left = base.join(F.broadcast(pairs), base["b"] == pairs["bi"]).select(
+        "bi", "bj", "id", "v", F.lit("L").alias("side")
+    )
+    right = base.join(F.broadcast(pairs), base["b"] == pairs["bj"]).select(
+        "bi", "bj", "id", "v", F.lit("R").alias("side")
+    )
+    both = left.unionByName(right)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        lhs = pdf[pdf["side"] == "L"]
+        rhs = pdf[pdf["side"] == "R"]
+        if lhs.empty or rhs.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        ml = np.stack(lhs["v"].values)
+        mr = np.stack(rhs["v"].values)
+        ml_n = ml / np.linalg.norm(ml, axis=1, keepdims=True)
+        mr_n = mr / np.linalg.norm(mr, axis=1, keepdims=True)
+        sims = ml_n @ mr_n.T
+        ia = lhs["id"].values[:, None].repeat(len(rhs), axis=1)
+        ib = rhs["id"].values[None, :].repeat(len(lhs), axis=0)
+        diagonal = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        if diagonal:
+            # same block on both sides: every ordered pair appears — keep a<b
+            mask = (ia < ib) & (np.round(sims, 6) >= threshold)
+        else:
+            # cross block: each unordered pair appears exactly once, with
+            # arbitrary id order — normalize to (min, max) instead of filtering
+            mask = np.round(sims, 6) >= threshold
+        id_a, id_b = ia[mask], ib[mask]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        return pd.DataFrame(
+            {
+                "id_a": lo.astype("int64"),
+                "id_b": hi.astype("int64"),
+                "cos": np.round(sims[mask], 6),
+            }
+        )
+
+    return both.groupBy("bi", "bj").applyInPandas(block_pairs, schema=out_schema)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, "object"]:
+    """IVF coarse quantizer: KMeans centroids; each vector assigned to its
+    nearest cell. Returns (assigned corpus with ``cell`` column, kmeans model).
+
+    The inverted-file structure: at query time only ``nprobe`` cells are
+    scanned instead of the whole corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    featurized = corpus.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("features", array_to_vector("__v"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(featurized)
+    assigned = model.transform(featurized).select(
+        F.col("__id").alias(id_col), F.col("__v").alias(vec_col), "cell"
+    )
+    return assigned, model
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest cells per query,
+    exact cosine within. Scans ~nprobe/n_cells of the corpus per query —
+    the standard ANN recall/throughput dial (FAISS-style IVF-Flat shape).
+    """
+    assigned, model = ivf_assign(corpus, vec_col, id_col, n_cells, seed)
+    centroids = [
+        (int(ci), [float(x) for x in c]) for ci, c in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(ci, vec) for ci, vec in centroids], ["cell", "centroid"]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    # rank cells per query by centroid distance, keep nprobe
+    qc = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("cdist", -cosine(F.col("qv"), F.col("centroid").cast("array<double>")))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("cdist").asc(), F.col("cell").asc())
+            ),
+        )
+        .filter(F.col("__rk") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = qc.join(
+        assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"),
+        "cell",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

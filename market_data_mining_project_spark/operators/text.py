@@ -95,6 +95,18 @@ def detect_language(df: DataFrame, text_col: str = "text", out: str = "detected_
     )
 
 
+#: BPE-ish pre-tokenization pattern (letter runs / digit runs / symbol runs),
+#: kept RE2-compatible (no lookarounds) so the DuckDB oracle can run the
+#: identical regex. Approximates a GPT-2-style pre-tokenizer's token count.
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under BPE-style pre-tokenization — the training-data
+    budget number (whitespace counts undercount punctuation-heavy text)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def fingerprint(text: Column, n: int = 8) -> Column:
     """Document fingerprint: md5 over the sorted distinct token set's first
     ``n``-token prefix — a cheap rolling-hash-style content signature that is

@@ -561,6 +561,69 @@ SELECT * FROM scored ORDER BY projected_revenue DESC, p_brand ASC LIMIT 10
 """
 
 
+# --- M9: multi-horizon repurchase labels -----------------------------------------
+
+
+def q_horizon_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-horizon purchase labels (M9; reference's 4 correlated-EXISTS
+    labels, ml_models.py:262-293): for each sampled (customer, brand, day)
+    purchase, will-they-repurchase within 30/90/180/365 days.
+
+    One range join against the distinct purchase set + conditional MAX per
+    horizon — not 4 separate EXISTS probes. Base rows restricted to
+    day ≤ max−365 so every horizon is well-defined (the reference's
+    per-horizon week cutoffs, ml_models.py:231-237)."""
+    fact = _brand_fact(spark, sf_dir)
+    purchases = fact.select("o_custkey", "p_brand", "day").distinct()
+    max_day = fact.agg(F.max("day").alias("mx"))
+    base = (
+        purchases.crossJoin(F.broadcast(max_day))
+        .filter((F.col("day") <= F.col("mx") - 365) & (F.col("o_custkey") % 10 == 0))
+        .select("o_custkey", "p_brand", "day")
+    )
+    fut = purchases.select(
+        F.col("o_custkey").alias("fc"), F.col("p_brand").alias("fb"), F.col("day").alias("fday")
+    )
+    joined = base.join(
+        fut,
+        (F.col("o_custkey") == F.col("fc"))
+        & (F.col("p_brand") == F.col("fb"))
+        & (F.col("fday") > F.col("day"))
+        & (F.col("fday") <= F.col("day") + 365),
+        "left",
+    )
+    agg = joined.groupBy("o_custkey", "p_brand", "day").agg(
+        *[
+            F.max(
+                F.when((F.col("fday") > F.col("day")) & (F.col("fday") <= F.col("day") + h), 1).otherwise(0)
+            ).alias(f"buy_{h}d")
+            for h in (30, 90, 180, 365)
+        ]
+    )
+    return agg.fillna({f"buy_{h}d": 0 for h in (30, 90, 180, 365)})
+
+
+SQL_HORIZON_LABELS = f"""
+WITH fact AS ({_SQL_BRAND_FACT}),
+purchases AS (SELECT DISTINCT o_custkey, p_brand, day FROM fact),
+mx AS (SELECT MAX(day) AS mx FROM fact),
+base AS (
+  SELECT o_custkey, p_brand, day FROM purchases
+  WHERE day <= (SELECT mx FROM mx) - 365 AND o_custkey % 10 = 0
+)
+SELECT b.o_custkey, b.p_brand, b.day,
+       COALESCE(MAX(CASE WHEN f.day > b.day AND f.day <= b.day + 30 THEN 1 ELSE 0 END), 0) AS buy_30d,
+       COALESCE(MAX(CASE WHEN f.day > b.day AND f.day <= b.day + 90 THEN 1 ELSE 0 END), 0) AS buy_90d,
+       COALESCE(MAX(CASE WHEN f.day > b.day AND f.day <= b.day + 180 THEN 1 ELSE 0 END), 0) AS buy_180d,
+       COALESCE(MAX(CASE WHEN f.day > b.day AND f.day <= b.day + 365 THEN 1 ELSE 0 END), 0) AS buy_365d
+FROM base b
+LEFT JOIN purchases f
+  ON b.o_custkey = f.o_custkey AND b.p_brand = f.p_brand
+ AND f.day > b.day AND f.day <= b.day + 365
+GROUP BY b.o_custkey, b.p_brand, b.day
+"""
+
+
 # --- rows-only entries (non-SQL-expressible; pytest carries the ground truth) -----
 
 
@@ -628,6 +691,7 @@ QUERIES = {
     "cf_recommendations": q_cf_recommendations,
     "hybrid_recommendations": q_hybrid_recommendations,
     "churn_features": q_churn_features,
+    "horizon_labels": q_horizon_labels,
     "chi2_priority_year": q_chi2_priority_year,
     "welch_urgent_vs_low": q_welch_urgent_vs_low,
     "mannwhitney_urgent_vs_low": q_mannwhitney_urgent_vs_low,
@@ -645,6 +709,7 @@ ORACLE = {
     "cf_recommendations": SQL_CF_RECOMMENDATIONS,
     "hybrid_recommendations": SQL_HYBRID_RECOMMENDATIONS,
     "churn_features": SQL_CHURN_FEATURES,
+    "horizon_labels": SQL_HORIZON_LABELS,
     "chi2_priority_year": SQL_CHI2_PRIORITY_YEAR,
     "welch_urgent_vs_low": SQL_WELCH_URGENT_VS_LOW,
     "mannwhitney_urgent_vs_low": SQL_MANNWHITNEY_URGENT_VS_LOW,

@@ -203,7 +203,72 @@ FROM centroids GROUP BY label
 """
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — exact all-pairs via blocked
+    numpy matmul (applyInPandas per block pair; each vector replicated
+    n_blocks times, not N). Threshold 0.4 is calibrated to the synthetic
+    embeddings (max pair cosine ≈0.51); real near-dup dedup runs at ≥0.9
+    with LSH/IVF candidate pruning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_near_dups_blocked(emb, "embedding", "vec_id", threshold=0.4)
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token accounting: whitespace tokens vs BPE-ish
+    pre-tokenizer counts (the training-data budget numbers)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "lang",
+        TXT.token_count(F.col("text")).alias("ws_tokens"),
+        TXT.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+    return counted.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.round(F.avg("bpe_tokens"), 4).alias("avg_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_STATS = """
+WITH t AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS ws_tokens,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS bpe_tokens
+  FROM documents
+)
+SELECT lang, COUNT(*) AS docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       ROUND(AVG(CAST(bpe_tokens AS DOUBLE)), 4) AS avg_bpe_tokens
+FROM t GROUP BY lang
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate nearest neighbors (KMeans cells + nprobe scan) —
+    rows-only: KMeans cell assignment is not SQL; recall vs exact cosine is
+    pytest-gated (tests/test_dedup_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(emb, queries, "embedding", "vec_id", k=5, n_cells=16, nprobe=4)
+
+
 QUERIES = {
+    "embedding_near_dups": q_embedding_near_dups,
+    "token_stats": q_token_stats,
+    "ivf_topk": q_ivf_topk,
     "text_profile": q_text_profile,
     "language_id": q_language_id,
     "exact_dedup": q_exact_dedup,
@@ -213,6 +278,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    "token_stats": SQL_TOKEN_STATS,
+    # ivf_topk: rows-only (KMeans cells; pytest recall gate)
     "text_profile": SQL_TEXT_PROFILE,
     "language_id": SQL_LANGUAGE_ID,
     "exact_dedup": SQL_EXACT_DEDUP,
