@@ -654,7 +654,12 @@ def q_churn_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_classifier,
     )
 
-    feats = q_churn_features(spark, sf_dir)
+    # coalesce + cache: boosting runs ~2 jobs per iteration over the feature
+    # frame — per-customer aggregates are tiny relative to the fact table,
+    # so right-size partitions for the iterative stage (32 near-empty
+    # partitions make every GBT iteration scheduling-bound) and keep the
+    # 3-table join + window plan from re-executing per iteration
+    feats = q_churn_features(spark, sf_dir).coalesce(4).cache()
     feature_cols = [
         "recency", "frequency", "monetary", "avg_basket_value",
         "avg_purchase_gap", "product_variety", "active_days",

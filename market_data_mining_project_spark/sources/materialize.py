@@ -1,0 +1,77 @@
+"""Materialized layouts: partitioned / bucketed tables (SURVEY.md §4).
+
+The reference tunes SQL Server with hand-built indexes on filter/sort keys
+(``Website/market/dunnhumby/models.py:153-157,183-189``). The Spark
+equivalents are *storage layout* decisions, and they are the single biggest
+lever at 100 TB:
+
+- **partitionBy(date/day-bucket)** → partition pruning: a ``day BETWEEN``
+  predicate skips whole directories before any IO.
+- **bucketBy(N, join-key) + sortBy** → co-located, pre-sorted joins and
+  aggregations: two tables bucketed on the same key by the same N join with
+  ZERO shuffle (no Exchange in the plan), and groupBy on the bucket key
+  skips the exchange too. This is what replaces the reference's
+  "index on (household_key, day)".
+
+The derived-table refresh pattern (reference BasketAnalysis /
+CustomerSegment caches, views.py:85-121) is ``overwrite_table`` below:
+recompute → atomic overwrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite") -> None:
+    """Directory-partitioned parquet: range/equality predicates on
+    ``partition_cols`` prune whole partitions at plan time."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) managed table.
+
+    Joins/aggregations keyed on ``bucket_col`` between tables bucketed with
+    the same ``n_buckets`` execute shuffle-free (SortMergeJoin with no
+    Exchange). Bucketing requires ``saveAsTable`` (the bucket metadata lives
+    in the catalog, not the parquet footer).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def overwrite_table(df: DataFrame, path: str) -> None:
+    """Derived-table refresh (reference's delete-all-then-recreate,
+    analytics.py:294-313) as one atomic parquet overwrite."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def plan_has_shuffle(df: DataFrame) -> bool:
+    """True if the physical plan contains a *shuffle* exchange (hash/range
+    repartitioning). BroadcastExchange is NOT a shuffle — broadcasting a dim
+    table is the desired plan, not a co-location failure."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" in plan or "Exchange rangepartitioning" in plan
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key — plans as
+    a zero-shuffle SortMergeJoin when bucket specs match. The merge hint
+    stops the planner from choosing broadcast (which would also disable the
+    bucketed scan); at real scale both sides are too big to broadcast and
+    the hint is unnecessary."""
+    left = spark.table(left_table).hint("merge")
+    right = spark.table(right_table).hint("merge")
+    return left.join(right, key)

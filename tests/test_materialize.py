@@ -1,0 +1,61 @@
+"""Storage-layout tests: bucketed joins must plan without a shuffle, and
+partitioned writes must prune at the scan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.sources import materialize as MAT
+from market_data_mining_project_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, sf_dir, tmp_path_factory):
+    # bucket lineitem + orders on the join key with the same bucket count
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    MAT.write_bucketed_table(li, "b_lineitem", "l_orderkey", n_buckets=8, sort_col="l_orderkey")
+    MAT.write_bucketed_table(orders, "b_orders", "l_orderkey", n_buckets=8, sort_col="l_orderkey")
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_bucketed_join_is_shuffle_free(spark, warehouse):
+    joined = MAT.colocated_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+    agg = joined.groupBy("l_orderkey").agg(F.sum("l_extendedprice").alias("s"))
+    # force a real execution so executedPlan is final
+    joined.count() and agg.count()
+    assert not MAT.plan_has_shuffle(joined), "bucketed equi-join must not shuffle"
+    assert not MAT.plan_has_shuffle(agg), "groupBy on the bucket key must not shuffle"
+
+
+def test_unbucketed_join_does_shuffle(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    # defeat the broadcast path so the comparison is shuffle-vs-bucketing
+    joined = li.hint("merge").join(orders.hint("merge"), "l_orderkey")
+    joined.count()
+    assert MAT.plan_has_shuffle(joined)
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    MAT.write_partitioned(orders, path, ["o_year"])
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1995)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    back.count()
+    # partition filter must reach the scan (pruned directories, not a post-filter)
+    assert "PartitionFilters: [isnotnull(o_year" in plan or "o_year#" in plan.split("PartitionFilters")[1][:120]
+    expected = orders.filter(F.col("o_year") == 1995).count()
+    assert back.count() == expected

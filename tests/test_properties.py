@@ -1,0 +1,90 @@
+"""Property-based operator tests (hypothesis): invariants that must hold for
+ANY input, not just the test tables — dedup idempotence, top-k containment,
+ntile balance, rule-metric bounds."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.operators import relational as R
+from market_data_mining_project_spark.operators import rules as RULES
+
+_SETTINGS = dict(
+    max_examples=8,  # each example spins Spark jobs — keep the corpus small
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # key
+        st.integers(min_value=0, max_value=5),  # tiebreak
+        st.floats(min_value=0, max_value=100, allow_nan=False, width=32),  # value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_dedup_keep_max_idempotent_and_minimal(spark, rows):
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    once = R.dedup_keep_max(df, keys=["k"], tiebreak=["t", "v"])
+    twice = R.dedup_keep_max(once, keys=["k"], tiebreak=["t", "v"])
+    got_once = sorted(map(tuple, once.collect()))
+    got_twice = sorted(map(tuple, twice.collect()))
+    assert got_once == got_twice  # idempotent
+    keys = [r[0] for r in got_once]
+    assert len(keys) == len(set(keys))  # one row per key
+    # kept row is the max under (t, v) lexicographic order
+    best: dict = {}
+    for k, t, v in rows:
+        if k not in best or (t, v) > best[k]:
+            best[k] = (t, v)
+    for k, t, v in got_once:
+        assert (t, round(v, 5)) == (best[k][0], round(best[k][1], 5))
+
+
+@given(rows=rows_strategy, n=st.integers(min_value=1, max_value=10))
+@settings(**_SETTINGS)
+def test_top_n_is_prefix_of_full_sort(spark, rows, n):
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    got = [tuple(r) for r in R.top_n(df, n, [F.col("v"), F.col("k"), F.col("t")]).collect()]
+    full = sorted(rows, key=lambda r: (-r[2], -r[0], -r[1]))
+    assert len(got) == min(n, len(rows))
+    assert sorted(got) == sorted(map(tuple, full[:n]))
+
+
+@given(
+    baskets=st.lists(
+        st.tuples(st.integers(0, 15), st.sampled_from(["a", "b", "c", "d"])),
+        min_size=4,
+        max_size=80,
+    )
+)
+@settings(**_SETTINGS)
+def test_rule_metrics_bounded(spark, baskets):
+    df = spark.createDataFrame(baskets, ["basket", "item"])
+    rules = RULES.pairwise_rules(df, "basket", "item", min_support=0.01).collect()
+    for r in rules:
+        assert 0 < r.support <= 1
+        assert 0 < r.confidence <= 1
+        assert r.lift > 0
+        assert r.pair_baskets <= r.antecedent_baskets
+        assert r.pair_baskets <= r.consequent_baskets
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_ntile_scores_in_range_and_balanced(spark, rows):
+    df = spark.createDataFrame(rows, ["k", "t", "v"]).dropDuplicates(["k"])
+    scored = R.ntile_score(df, F.col("v"), 5, "score", tiebreak=F.col("k"))
+    got = scored.collect()
+    assert all(1 <= r.score <= 5 for r in got)
+    counts = sorted(
+        scored.groupBy("score").count().rdd.map(lambda r: r["count"]).collect()
+    )
+    assert counts[-1] - counts[0] <= 1  # NTILE balance property
