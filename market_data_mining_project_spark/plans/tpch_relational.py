@@ -508,6 +508,84 @@ GROUP BY yr
 """
 
 
+
+
+# --- S8: schema introspection ---------------------------------------------------
+
+
+def q_schema_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema catalog scan (S8; reference check_schema.py:14-36 reads
+    INFORMATION_SCHEMA.COLUMNS). Spark's analogue is df.schema — exposed
+    relationally so it oracles against DuckDB's information_schema."""
+    orders = _orders(spark, sf_dir)
+    rows = [(i + 1, f.name) for i, f in enumerate(orders.schema.fields)]
+    return spark.createDataFrame(rows, ["ordinal", "column_name"])
+
+
+SQL_SCHEMA_INTROSPECT = """
+SELECT CAST(ordinal_position AS BIGINT) AS ordinal, column_name
+FROM information_schema.columns
+WHERE table_name = 'orders'
+"""
+
+
+# --- P8: dirty-data repair --------------------------------------------------------
+
+
+def q_sales_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-data repair (P8; reference ``UPDATE ... SET sales_value=0 WHERE
+    sales_value<0``, admin.py:372-380): clamp negative discounts to zero and
+    report the repair as an aggregate audit row."""
+    li = _li(spark, sf_dir)
+    repaired = li.withColumn(
+        "l_discount_repaired",
+        F.when(F.col("l_discount") < 0, F.lit(0.0)).otherwise(F.col("l_discount")),
+    )
+    return repaired.agg(
+        F.count(F.lit(1)).alias("rows_total"),
+        F.count(F.when(F.col("l_discount") < 0, 1)).alias("rows_repaired"),
+        F.round(F.sum("l_discount_repaired"), 4).alias("discount_after_repair"),
+    )
+
+
+SQL_SALES_REPAIR = """
+SELECT COUNT(*) AS rows_total,
+       COUNT(CASE WHEN l_discount < 0 THEN 1 END) AS rows_repaired,
+       ROUND(SUM(CASE WHEN l_discount < 0 THEN 0.0 ELSE l_discount END), 4) AS discount_after_repair
+FROM lineitem
+"""
+
+
+# --- O5: custom categorical ordering ----------------------------------------------
+
+_PRIORITY_ORDER = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_categorical_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed strategic-list ordering (O5; reference sorts segments by a
+    hardcoded list, views.py:3438-3455): rank categories by their position
+    in a business-defined array, not lexically."""
+    orders = _orders(spark, sf_dir)
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.round(F.sum(money("o_totalprice")).cast("double"), 2).alias("total_value"),
+    )
+    pos = F.array_position(
+        F.array(*[F.lit(x) for x in _PRIORITY_ORDER]), F.col("o_orderpriority")
+    )
+    return agg.withColumn("strategic_rank", pos.cast("bigint")).orderBy("strategic_rank")
+
+
+SQL_CATEGORICAL_ORDER = """
+SELECT o_orderpriority,
+       COUNT(*) AS order_count,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+       CAST(list_position(['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'], o_orderpriority) AS BIGINT) AS strategic_rank
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "global_stats": q_global_stats,
     "category_rollup": q_category_rollup,
@@ -525,6 +603,9 @@ QUERIES = {
     "events_json": q_events_json,
     "pivot_category_year": q_pivot_category_year,
     "stratified_sample": q_stratified_sample,
+    "schema_introspect": q_schema_introspect,
+    "sales_repair": q_sales_repair,
+    "categorical_order": q_categorical_order,
 }
 
 ORACLE = {
@@ -544,4 +625,7 @@ ORACLE = {
     "events_json": SQL_EVENTS_JSON,
     "pivot_category_year": SQL_PIVOT_CATEGORY_YEAR,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "schema_introspect": SQL_SCHEMA_INTROSPECT,
+    "sales_repair": SQL_SALES_REPAIR,
+    "categorical_order": SQL_CATEGORICAL_ORDER,
 }

@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from market_data_mining_project_spark.functions import stats as ST
 
@@ -94,3 +95,16 @@ def test_ks_micro(spark):
         ["g", "v"],
     )
     assert ks_test(disjoint, "g", "v", "a", "b")["statistic"] == 1.0
+
+
+def test_seeded_noise_deterministic(spark):
+    """F12: the reference uses salt-randomized Python hash() for noise
+    (ml_models.py:881-883) — ours must reproduce across sessions/executors."""
+    from market_data_mining_project_spark.functions.expressions import seeded_noise
+
+    df = spark.createDataFrame([(i, f"m{i % 3}") for i in range(100)], ["pid", "model"])
+    a = df.select("pid", seeded_noise(F.col("model"), F.col("pid")).alias("n")).collect()
+    b = df.select("pid", seeded_noise(F.col("model"), F.col("pid")).alias("n")).collect()
+    assert [r.n for r in a] == [r.n for r in b]
+    assert all(-0.03 <= r.n <= 0.03 for r in a)
+    assert len({round(r.n, 9) for r in a}) > 10  # actually varies
