@@ -67,17 +67,25 @@ def user_similarities(ui: DataFrame, query_users: DataFrame) -> DataFrame:
         ui.join(F.broadcast(query_users.select("user")), "user")
         .select(F.col("user").alias("query_user"), "item", F.col("cnt").alias("qcnt"))
     )
+    # the query side is |Q|×items — broadcast it so the big ui side never
+    # shuffles for this join (serving-shaped: Q ≪ users)
     dots = (
-        q.join(
-            ui.select(F.col("user").alias("other_user"), "item", F.col("cnt").alias("ocnt")),
-            "item",
-        )
+        ui.select(F.col("user").alias("other_user"), "item", F.col("cnt").alias("ocnt"))
+        .join(F.broadcast(q), "item")
         .filter(F.col("query_user") != F.col("other_user"))
         .groupBy("query_user", "other_user")
         .agg(F.sum(F.col("qcnt").cast("double") * F.col("ocnt")).alias("dot"))
     )
+    # query-side norms broadcast; the other_user norm join keys on the same
+    # hash partitioning the groupBy just produced
     return (
-        dots.join(norms.select(F.col("user").alias("query_user"), F.col("norm").alias("qnorm")), "query_user")
+        dots.join(
+            F.broadcast(
+                norms.select(F.col("user").alias("query_user"), F.col("norm").alias("qnorm"))
+                .join(F.broadcast(query_users.select(F.col("user").alias("query_user"))), "query_user")
+            ),
+            "query_user",
+        )
         .join(norms.select(F.col("user").alias("other_user"), F.col("norm").alias("onorm")), "other_user")
         .select(
             "query_user",
@@ -94,16 +102,32 @@ def cosine_cf_scores(
     query_users: DataFrame,
     k: int = 5,
     min_sim: float = 0.0,
+    max_neighbors: int | None = None,
 ) -> DataFrame:
     """User-user CF recommendations (M13; collab_filter.py:21-114).
 
     score(u, i) = Σ over similar users v who bought i: sim(u,v) × cnt(v,i),
     excluding items u already bought (anti-join, J10). Top-k per user with
     deterministic item tie-break. Returns (user, item, score, rec_rank).
+
+    ``max_neighbors`` caps each query user's neighborhood to its top-K most
+    similar users (k-NN CF) before scoring — the reference scores against ALL
+    users (fine for its 2.5K households, collab_filter.py:58-73), but the
+    scoring join is |sims|×|items per neighbor|, so at 10⁸ users an uncapped
+    neighborhood is the bottleneck. None = exact reference semantics.
     """
     ui = user_item_counts(fact, user, item)
     qu = query_users.select(F.col(query_users.columns[0]).alias("user")).distinct()
     sims = user_similarities(ui, qu).filter(F.col("sim") > min_sim)
+    if max_neighbors is not None:
+        nw = Window.partitionBy("query_user").orderBy(
+            F.col("sim").desc(), F.col("other_user").asc()
+        )
+        sims = (
+            sims.withColumn("__nr", F.row_number().over(nw))
+            .filter(F.col("__nr") <= max_neighbors)
+            .drop("__nr")
+        )
     scored = (
         sims.join(
             ui.select(F.col("user").alias("other_user"), "item", "cnt"), "other_user"

@@ -20,12 +20,20 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         dunnhumby_domain,
         llm_pipeline,
         pipeline_io,
+        sql_api,
         tpch_relational,
     )
 
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}
-    for mod in (tpch_relational, dunnhumby_domain, llm_pipeline, analytics_domain, pipeline_io):
+    for mod in (
+        tpch_relational,
+        dunnhumby_domain,
+        llm_pipeline,
+        analytics_domain,
+        pipeline_io,
+        sql_api,
+    ):
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE)
     return queries, oracle

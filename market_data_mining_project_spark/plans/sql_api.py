@@ -1,0 +1,89 @@
+"""Spark SQL API queries — the reference's interface IS raw SQL strings
+(``django.db.connection.cursor()``; SURVEY.md §3), so the engine must accept
+SQL, not only the DataFrame DSL. These queries register temp views and run
+``spark.sql`` text that is simultaneously valid DuckDB SQL — one string, two
+engines, hash-identical results (dialect-neutral ANSI only).
+
+Catalyst compiles these to the same plans as the DSL equivalents (SQL and
+DataFrame API are two frontends to one optimizer), so everything in §4
+(pushdown, pruning, broadcast, AQE) applies unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from market_data_mining_project_spark.sources.tables import register_views
+
+# TPC-H Q1-shaped pricing summary — conditional money math, multi-aggregate,
+# single wide scan; the classic whole-stage-codegen showcase.
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+       ROUND(AVG(CAST(l_quantity AS DOUBLE)), 6) AS avg_qty,
+       ROUND(AVG(CAST(l_discount AS DOUBLE)), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# TPC-H Q3-shaped shipping priority — 3-way join + filter + top-k, the
+# broadcast-join + TakeOrderedAndProject showcase.
+SQL_SEGMENT_REVENUE = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+# Nation-level rollup through two dims — join-reordering showcase.
+SQL_NATION_REVENUE = """
+SELECT n_name,
+       COUNT(DISTINCT c_custkey) AS customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_order_value
+FROM nation
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+GROUP BY n_name
+"""
+
+_VIEWS = ("lineitem", "orders", "customer", "nation")
+
+
+def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    register_views(spark, sf_dir, _VIEWS)
+    return spark.sql(sql)
+
+
+def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, SQL_PRICING_SUMMARY)
+
+
+def q_sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, SQL_SEGMENT_REVENUE)
+
+
+def q_sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, SQL_NATION_REVENUE)
+
+
+QUERIES = {
+    "sql_pricing_summary": q_sql_pricing_summary,
+    "sql_segment_revenue": q_sql_segment_revenue,
+    "sql_nation_revenue": q_sql_nation_revenue,
+}
+
+# the oracle is the SAME string Spark executes — by construction
+ORACLE = {
+    "sql_pricing_summary": SQL_PRICING_SUMMARY,
+    "sql_segment_revenue": SQL_SEGMENT_REVENUE,
+    "sql_nation_revenue": SQL_NATION_REVENUE,
+}
