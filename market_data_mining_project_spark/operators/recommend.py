@@ -162,7 +162,10 @@ def als_recommendations(
     """
     if not HAS_ALS:  # pragma: no cover
         raise NotImplementedError("pyspark.ml.recommendation.ALS unavailable")
-    ui = user_item_counts(fact, user, item)
+    # ALS iterates over the ratings many times; the aggregated matrix is tiny
+    # relative to the fact table — cache it and right-size partitions so the
+    # sequential iterations aren't scheduling-bound on near-empty tasks
+    ui = user_item_counts(fact, user, item).coalesce(8).cache()
     # ALS requires numeric item ids — index categorical items deterministically
     # (dense_rank over the sorted distinct values; the map-back join is tiny).
     numeric_items = dict(ui.dtypes)["item"] not in ("string",)

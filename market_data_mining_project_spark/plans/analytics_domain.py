@@ -120,7 +120,10 @@ def q_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, part, key="p_partkey", category="p_brand", basket="l_orderkey",
         min_support=0.02, min_confidence=0.05, item_cap=None,
     )
-    ui = REC.user_item_counts(fact, "o_custkey", "p_brand")
+    # cache the small aggregated matrix (users × brands), which the purchased
+    # set, the assoc path and the blend all reuse — NOT the wide fact (its
+    # cache write costs more than the rescans it saves)
+    ui = REC.user_item_counts(fact, "o_custkey", "p_brand").cache()
     purchased = ui.join(F.broadcast(query_users), "user").select("user", "item")
     assoc = (
         purchased.join(rules, purchased["item"] == rules["antecedent"])

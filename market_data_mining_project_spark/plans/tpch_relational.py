@@ -586,6 +586,34 @@ GROUP BY o_orderpriority
 """
 
 
+
+
+# --- O4b: keyset (seek) pagination — the scale path -------------------------------
+
+
+def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination (O4 scale variant; offset pagination re-sorts and
+    skips on every page — reference views.py:1337-1350 — while the seek
+    predicate pushes into the parquet scan, so page 10⁶ costs page 1)."""
+    orders = _orders(spark, sf_dir)
+    page = R.keyset_page(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        key="o_orderkey",
+        after=5000,
+        page_size=50,
+    )
+    return page
+
+
+SQL_KEYSET_PAGE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey > 5000
+ORDER BY o_orderkey ASC
+LIMIT 50
+"""
+
+
 QUERIES = {
     "global_stats": q_global_stats,
     "category_rollup": q_category_rollup,
@@ -606,6 +634,7 @@ QUERIES = {
     "schema_introspect": q_schema_introspect,
     "sales_repair": q_sales_repair,
     "categorical_order": q_categorical_order,
+    "keyset_page": q_keyset_page,
 }
 
 ORACLE = {
@@ -628,4 +657,5 @@ ORACLE = {
     "schema_introspect": SQL_SCHEMA_INTROSPECT,
     "sales_repair": SQL_SALES_REPAIR,
     "categorical_order": SQL_CATEGORICAL_ORDER,
+    "keyset_page": SQL_KEYSET_PAGE,
 }
