@@ -171,6 +171,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: connected components by
+    iterative min-label propagation.
+
+    ``pairs`` carries (doc_a, doc_b) edges (any near-dup detector's output).
+    Each doc's cluster id converges to the minimum doc id reachable through
+    the dup graph — the canonical representative a dedup pipeline keeps.
+
+    Per iteration: one join + one groupBy-min (both shuffle on ``doc``), and
+    a checkpoint-style localCheckpoint every few rounds to cut the lineage.
+    Near-dup graphs have tiny components (pairs, triples), so convergence is
+    fast — iterations needed = the longest path in any component (≈ log₂ for
+    star-shaped dup clusters). Returns (doc, cluster).
+    """
+    # checkpoint the edge set ONCE — it sits inside every iteration's
+    # lineage, and without this the (possibly expensive) pair-detection
+    # plan upstream re-executes on every convergence check
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("cluster", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # labels per component are tiny relative to edges — broadcast them so
+        # the in-loop joins never shuffle (near-dup graphs: |labels| ≪ |docs|)
+        neighbor_min = (
+            edges.join(F.broadcast(labels), edges["dst"] == labels["doc"])
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        # checkpoint each round: keeps lineage flat so iteration i+1 reads
+        # materialized labels instead of replaying i rounds of joins
+        updated = (
+            labels.join(F.broadcast(neighbor_min), labels["doc"] == neighbor_min["src"], "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc")
+            .filter(F.col("u.cluster") != F.col("l.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2) -> DataFrame:
     """Per-document 64-bit SimHash signatures, computed as ONE hash aggregate.
 

@@ -131,6 +131,33 @@ def dedup_keep_max(df: DataFrame, keys: Sequence[str], tiebreak: str | Sequence[
     )
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant aggregation: salt → partial agg → final agg.
+
+    ``aggs`` maps output name → (function, column) for decomposable
+    functions (sum/count/min/max). A hot key (one customer with 10⁹ rows)
+    overwhelms its single reducer in a plain groupBy; salting splits it
+    across ``salt_buckets`` partial aggregates first, so no reducer sees
+    more than 1/salt_buckets of the hot key. Results are identical to the
+    unsalted groupBy (the oracle checks exactly that). AQE's skew handling
+    covers joins; aggregation skew still needs this.
+    """
+    partial_fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    final_fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    salted = df.withColumn("__salt", F.pmod(F.crc32(F.monotonically_increasing_id().cast("string")), F.lit(salt_buckets)))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[partial_fns[fn](col).alias(out) for out, (fn, col) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[final_fns[fn](out).alias(out) for out, (fn, _col) in aggs.items()]
+    )
+
+
 # --- Windows (W1–W4) ----------------------------------------------------------
 
 

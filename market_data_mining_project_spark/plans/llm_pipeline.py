@@ -256,6 +256,56 @@ FROM t GROUP BY lang
 """
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: exact-Jaccard pairs (≥0.5) resolved to connected
+    components by iterative min-label propagation — the 'keep one doc per
+    dup cluster' primitive. Oracle: DuckDB recursive-CTE transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
+    clusters = D.dup_clusters(pairs.select("doc_a", "doc_b"))
+    return clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max("doc").alias("max_doc"),
+    )
+
+
+SQL_DUP_CLUSTERS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, GREATEST(len(ts) - 2, 1) + 1)) AS r(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pair AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 6) >= 0.5
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pair
+  UNION
+  SELECT doc_b, doc_a FROM pair
+), reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), labels AS (
+  SELECT src AS doc, LEAST(src, MIN(dst)) AS cluster
+  FROM reach GROUP BY src
+)
+SELECT cluster, COUNT(*) AS cluster_size, MAX(doc) AS max_doc
+FROM labels GROUP BY cluster
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate nearest neighbors (KMeans cells + nprobe scan) —
     rows-only: KMeans cell assignment is not SQL; recall vs exact cosine is
@@ -266,6 +316,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "dup_clusters": q_dup_clusters,
     "embedding_near_dups": q_embedding_near_dups,
     "token_stats": q_token_stats,
     "ivf_topk": q_ivf_topk,
@@ -278,6 +329,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dup_clusters": SQL_DUP_CLUSTERS,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "token_stats": SQL_TOKEN_STATS,
     # ivf_topk: rows-only (KMeans cells; pytest recall gate)

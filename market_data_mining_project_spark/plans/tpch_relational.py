@@ -614,6 +614,45 @@ LIMIT 50
 """
 
 
+
+
+# --- A-skew: salted aggregation (skew-resistant, result-identical) ----------------
+
+
+def q_salted_category_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (skew path): identical results to the
+    plain groupBy — the oracle IS the unsalted SQL. At 100 TB a hot key
+    (one mega-customer) overwhelms a single reducer; salting bounds every
+    reducer at 1/salt_buckets of the hot key."""
+    li = _li(spark, sf_dir)
+    part = _part(spark, sf_dir)
+    fact = li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                   li["l_partkey"] == part["p_partkey"])
+    agg = R.salted_agg(
+        fact.withColumn("price_d", money("l_extendedprice")),
+        keys=["p_type"],
+        aggs={
+            "row_count": ("count", "l_orderkey"),
+            "total_sales": ("sum", "price_d"),
+            "max_quantity": ("max", "l_quantity"),
+        },
+        salt_buckets=16,
+    )
+    return agg.select(
+        "p_type", "row_count", F.col("total_sales").cast("double").alias("total_sales"), "max_quantity"
+    )
+
+
+SQL_SALTED_CATEGORY_SALES = """
+SELECT p_type,
+       COUNT(l_orderkey) AS row_count,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+       MAX(l_quantity) AS max_quantity
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+"""
+
+
 QUERIES = {
     "global_stats": q_global_stats,
     "category_rollup": q_category_rollup,
@@ -635,6 +674,7 @@ QUERIES = {
     "sales_repair": q_sales_repair,
     "categorical_order": q_categorical_order,
     "keyset_page": q_keyset_page,
+    "salted_category_sales": q_salted_category_sales,
 }
 
 ORACLE = {
@@ -658,4 +698,5 @@ ORACLE = {
     "sales_repair": SQL_SALES_REPAIR,
     "categorical_order": SQL_CATEGORICAL_ORDER,
     "keyset_page": SQL_KEYSET_PAGE,
+    "salted_category_sales": SQL_SALTED_CATEGORY_SALES,
 }

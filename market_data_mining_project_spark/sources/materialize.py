@@ -50,6 +50,21 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Incremental ingestion: overwrite ONLY the partitions present in ``df``
+    (dynamic partition overwrite), leaving all others untouched — the
+    idempotent daily-backfill idiom. Static mode (the default) would wipe
+    the whole table first.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def overwrite_table(df: DataFrame, path: str) -> None:
     """Derived-table refresh (reference's delete-all-then-recreate,
     analytics.py:294-313) as one atomic parquet overwrite."""

@@ -65,3 +65,29 @@ def test_exact_dedup_removes_all_text_dups(spark, sf_dir):
     kept = D.exact_dedup(docs, "text", "doc_id")
     assert kept.groupBy(F.md5("text")).count().filter(F.col("count") > 1).count() == 0
     assert kept.count() == docs.select(F.md5("text")).distinct().count()
+
+
+def test_dup_clusters_match_networkx_free_ground_truth(spark, sf_dir):
+    """Connected components vs a driver-side union-find over the same edges."""
+    from market_data_mining_project_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
+    from market_data_mining_project_spark.sources.tables import load_table as lt
+
+    docs = lt(spark, sf_dir, "documents")
+    pairs = [(r.doc_a, r.doc_b) for r in
+             ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.5).collect()]
+    # union-find ground truth
+    parent: dict = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {x: find(x) for x in parent}
+    got = {r.doc: r.cluster for r in dup_clusters(
+        spark.createDataFrame(pairs, ["doc_a", "doc_b"])).collect()}
+    assert got == truth

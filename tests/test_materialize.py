@@ -59,3 +59,22 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(o_year" in plan or "o_year#" in plan.split("PartitionFilters")[1][:120]
     expected = orders.filter(F.col("o_year") == 1995).count()
     assert back.count() == expected
+
+
+def test_dynamic_partition_overwrite_touches_only_new_partitions(spark, sf_dir, tmp_path):
+    """Incremental backfill: rewriting one year must leave other years' data
+    byte-identical (dynamic partition overwrite, not table wipe)."""
+    orders = load_table(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+    path = str(tmp_path / "inc")
+    MAT.write_partitioned(orders, path, ["o_year"])
+    before_other = spark.read.parquet(path).filter(F.col("o_year") != 1996).count()
+    # backfill: re-ingest 1996 with a value tweak
+    patch = (
+        orders.filter(F.col("o_year") == 1996)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 0 + 1.0)
+    )
+    MAT.overwrite_partitions(patch, path, ["o_year"])
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("o_year") != 1996).count() == before_other
+    assert after.filter((F.col("o_year") == 1996) & (F.col("o_totalprice") != 1.0)).count() == 0
+    assert after.filter(F.col("o_year") == 1996).count() == patch.count()
