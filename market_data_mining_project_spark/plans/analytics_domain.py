@@ -631,12 +631,92 @@ GROUP BY b.o_custkey, b.p_brand, b.day
 
 
 def q_fpgrowth_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-item FPGrowth rules (M1/M2) — cross-checked against the pairwise
-    SQL path in tests/test_rules.py; no SQL oracle (iterative algorithm)."""
+    """Multi-item FPGrowth rules (M1/M2; reference analytics.py:123-160).
+
+    The operator keeps the library's array-typed antecedent/consequent; the
+    catalog projection flattens them ('|'-joined, sorted) plus explicit size
+    columns so results are canonicalizable, and oracles against an exact
+    frequent-itemset enumeration in SQL (FPGrowth at equal minSupport is
+    exact, SURVEY §7.4.6)."""
     li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
     part = load_table(spark, sf_dir, "part")
     cat = li.join(F.broadcast(part.select("p_partkey", "p_brand")), "p_partkey")
-    return RULES.fpgrowth_rules(cat, basket="l_orderkey", item="p_brand", min_support=0.02, min_confidence=0.05)
+    rules = RULES.fpgrowth_rules(
+        cat, basket="l_orderkey", item="p_brand", min_support=0.02, min_confidence=0.05
+    )
+    return rules.select(
+        F.array_join(F.array_sort("antecedent"), "|").alias("antecedent"),
+        F.array_join(F.array_sort("consequent"), "|").alias("consequent"),
+        F.size("antecedent").alias("n_antecedent"),
+        "support",
+        "confidence",
+        "lift",
+    )
+
+
+# Exact frequent-itemset enumeration up to size 3 (antecedent size ≤ 2) — at
+# minSupport 0.02 no larger itemsets are frequent on this data, and the
+# pair/triple branches mirror Spark's AssociationRules (single-item consequent,
+# antecedent = itemset minus that item). minCount uses the same double-ceil as
+# MLlib (math.ceil(minSupport * baskets)): CEIL must run on DOUBLE, not a
+# decimal literal, or 0.02*15000 rounds differently across engines.
+SQL_FPGROWTH_RULES = """
+WITH ib AS (
+  SELECT DISTINCT l_orderkey AS b, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+t AS (SELECT COUNT(DISTINCT b) AS t FROM ib),
+mc AS (SELECT CAST(CEIL(CAST(0.02 AS DOUBLE) * t) AS BIGINT) AS mc, t FROM t),
+i1 AS (SELECT item, COUNT(*) AS c1 FROM ib GROUP BY item),
+p2 AS (
+  SELECT a.item AS ia, b.item AS ibb, COUNT(*) AS c2
+  FROM ib a JOIN ib b ON a.b = b.b AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= (SELECT mc FROM mc)
+),
+p3 AS (
+  SELECT a.item AS ia, b.item AS ibb, c.item AS ic, COUNT(*) AS c3
+  FROM ib a
+  JOIN ib b ON a.b = b.b AND a.item < b.item
+  JOIN ib c ON b.b = c.b AND b.item < c.item
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= (SELECT mc FROM mc)
+),
+r1 AS (
+  SELECT ia AS antecedent, ibb AS consequent, 1 AS n_antecedent, c2 AS cu,
+         (SELECT c1 FROM i1 WHERE item = ia) AS ca,
+         (SELECT c1 FROM i1 WHERE item = ibb) AS cc
+  FROM p2
+  UNION ALL
+  SELECT ibb, ia, 1, c2,
+         (SELECT c1 FROM i1 WHERE item = ibb),
+         (SELECT c1 FROM i1 WHERE item = ia)
+  FROM p2
+),
+r2 AS (
+  SELECT ia || '|' || ibb AS antecedent, ic AS consequent, 2 AS n_antecedent, c3 AS cu,
+         (SELECT c2 FROM p2 WHERE p2.ia = p3.ia AND p2.ibb = p3.ibb) AS ca,
+         (SELECT c1 FROM i1 WHERE item = ic) AS cc
+  FROM p3
+  UNION ALL
+  SELECT ia || '|' || ic, ibb, 2, c3,
+         (SELECT c2 FROM p2 WHERE p2.ia = p3.ia AND p2.ibb = p3.ic) AS ca,
+         (SELECT c1 FROM i1 WHERE item = ibb)
+  FROM p3
+  UNION ALL
+  SELECT ibb || '|' || ic, ia, 2, c3,
+         (SELECT c2 FROM p2 WHERE p2.ia = p3.ibb AND p2.ibb = p3.ic) AS ca,
+         (SELECT c1 FROM i1 WHERE item = ia)
+  FROM p3
+),
+r AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+SELECT antecedent, consequent, n_antecedent,
+       ROUND(CAST(cu AS DOUBLE) / (SELECT t FROM t), 6) AS support,
+       ROUND(CAST(cu AS DOUBLE) / ca, 6) AS confidence,
+       ROUND((CAST(cu AS DOUBLE) / ca) / (CAST(cc AS DOUBLE) / (SELECT t FROM t)), 6) AS lift
+FROM r
+WHERE CAST(cu AS DOUBLE) / ca >= 0.05
+"""
 
 
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,6 +804,7 @@ ORACLE = {
     "ks_urgent_vs_low": SQL_KS_URGENT_VS_LOW,
     "data_assessment": SQL_DATA_ASSESSMENT,
     "brand_predictions": SQL_BRAND_PREDICTIONS,
-    # fpgrowth_rules / als_recommendations / churn_model_scores /
-    # minhash_candidates / simhash_near_dups: rows-only (pytest ground truth)
+    "fpgrowth_rules": SQL_FPGROWTH_RULES,
+    # als_recommendations / churn_model_scores / minhash_candidates /
+    # simhash_near_dups: rows-only (pytest ground truth)
 }
