@@ -136,20 +136,38 @@ def salted_agg(
     keys: Sequence[str],
     aggs: Mapping[str, tuple[str, str]],
     salt_buckets: int = 16,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Skew-resistant aggregation: salt → partial agg → final agg.
 
     ``aggs`` maps output name → (function, column) for decomposable
-    functions (sum/count/min/max). A hot key (one customer with 10⁹ rows)
-    overwhelms its single reducer in a plain groupBy; salting splits it
-    across ``salt_buckets`` partial aggregates first, so no reducer sees
-    more than 1/salt_buckets of the hot key. Results are identical to the
-    unsalted groupBy (the oracle checks exactly that). AQE's skew handling
-    covers joins; aggregation skew still needs this.
+    functions (sum/count/min/max/count_distinct). A hot key (one customer
+    with 10⁹ rows) overwhelms its single reducer in a plain groupBy; salting
+    splits it across ``salt_buckets`` partial aggregates first, so no
+    reducer sees more than 1/salt_buckets of the hot key. Results are
+    identical to the unsalted groupBy (the oracle checks exactly that).
+    AQE's skew handling covers joins; aggregation skew still needs this.
+
+    ``count_distinct`` requires ``salt_col`` to be the counted column: each
+    distinct value then lands in exactly one salt bucket, so per-bucket
+    distinct counts sum to the true distinct count.
     """
-    partial_fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
-    final_fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-    salted = df.withColumn("__salt", F.pmod(F.crc32(F.monotonically_increasing_id().cast("string")), F.lit(salt_buckets)))
+    partial_fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max,
+                   "count_distinct": F.countDistinct}
+    final_fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max,
+                 "count_distinct": F.sum}
+    for out, (fn, col) in aggs.items():
+        if fn == "count_distinct" and col != salt_col:
+            raise ValueError(
+                f"count_distinct({col!r}) needs salt_col={col!r} so each "
+                "distinct value maps to one bucket"
+            )
+    salt_src = (
+        F.col(salt_col).cast("string")
+        if salt_col is not None
+        else F.monotonically_increasing_id().cast("string")
+    )
+    salted = df.withColumn("__salt", F.pmod(F.crc32(salt_src), F.lit(salt_buckets)))
     partial = salted.groupBy(*keys, "__salt").agg(
         *[partial_fns[fn](col).alias(out) for out, (fn, col) in aggs.items()]
     )

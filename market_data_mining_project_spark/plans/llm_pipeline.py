@@ -18,20 +18,25 @@ from market_data_mining_project_spark.sources.tables import load_table
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis in one scan-and-map pass: token counts,
+    punctuation/stopword ratios, quality score, fingerprint, AND stopword-
+    voting language ID (``detected_lang``, verified per-doc against the
+    ground-truth ``lang`` column via the oracle)."""
     docs = load_table(spark, sf_dir, "documents")
-    prof = TXT.text_profile(docs, "text")
+    prof = TXT.text_profile(TXT.detect_language(docs, "text"), "text")
     return prof.select(
-        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio_en", "quality", "fingerprint"
+        "doc_id", "lang", "detected_lang", "n_tokens", "punct_ratio",
+        "stopword_ratio_en", "quality", "fingerprint",
     )
 
 
 SQL_TEXT_PROFILE = """
 WITH toks AS (
-  SELECT doc_id, text,
+  SELECT doc_id, lang, text,
          list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ts
   FROM documents
 ), prof AS (
-  SELECT doc_id, text, ts,
+  SELECT doc_id, lang, text, ts,
          len(ts) AS n_tokens,
          CASE WHEN length(text) > 0
               THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
@@ -41,10 +46,22 @@ WITH toks AS (
               ELSE 0.0 END AS sraw,
          CASE WHEN len(ts) > 0
               THEN CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
-              ELSE 0.0 END AS diversity
+              ELSE 0.0 END AS diversity,
+         len(list_filter(ts, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS h_en,
+         len(list_filter(ts, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS h_es,
+         len(list_filter(ts, x -> list_contains(['le','la','de','et','un','est','que','en','du','les'], x))) AS h_fr,
+         len(list_filter(ts, x -> list_contains(['der','die','das','und','ist','in','den','von','zu','mit'], x))) AS h_de
   FROM toks
 )
 SELECT doc_id,
+       lang,
+       CASE
+         WHEN GREATEST(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+         WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+         WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+         WHEN h_en >= h_de THEN 'en'
+         ELSE 'de'
+       END AS detected_lang,
        n_tokens,
        ROUND(praw, 6) AS punct_ratio,
        ROUND(sraw, 6) AS stopword_ratio_en,
@@ -52,41 +69,6 @@ SELECT doc_id,
              * (1.0 - praw) * (0.5 + diversity / 2), 6) AS quality,
        md5(array_to_string(list_sort(list_distinct(ts))[1:8], ' ')) AS fingerprint
 FROM prof
-"""
-
-
-def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    tagged = TXT.detect_language(docs, "text")
-    return tagged.groupBy("lang", "detected_lang").agg(F.count(F.lit(1)).alias("doc_count"))
-
-
-SQL_LANGUAGE_ID = """
-WITH toks AS (
-  SELECT doc_id, lang,
-         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ts
-  FROM documents
-), hits AS (
-  SELECT doc_id, lang,
-         len(list_filter(ts, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS h_en,
-         len(list_filter(ts, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS h_es,
-         len(list_filter(ts, x -> list_contains(['le','la','de','et','un','est','que','en','du','les'], x))) AS h_fr,
-         len(list_filter(ts, x -> list_contains(['der','die','das','und','ist','in','den','von','zu','mit'], x))) AS h_de
-  FROM toks
-), best AS (
-  SELECT doc_id, lang,
-         CASE
-           WHEN GREATEST(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
-           WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
-           WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
-           WHEN h_en >= h_de THEN 'en'
-           ELSE 'de'
-         END AS detected_lang
-  FROM hits
-)
-SELECT lang, detected_lang, COUNT(*) AS doc_count
-FROM best
-GROUP BY lang, detected_lang
 """
 
 
@@ -321,7 +303,6 @@ QUERIES = {
     "token_stats": q_token_stats,
     "ivf_topk": q_ivf_topk,
     "text_profile": q_text_profile,
-    "language_id": q_language_id,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
@@ -334,7 +315,6 @@ ORACLE = {
     "token_stats": SQL_TOKEN_STATS,
     # ivf_topk: rows-only (KMeans cells; pytest recall gate)
     "text_profile": SQL_TEXT_PROFILE,
-    "language_id": SQL_LANGUAGE_ID,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "cosine_topk": SQL_COSINE_TOPK,

@@ -106,52 +106,49 @@ def q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Multimodal columns ---------------------------------------------------------
 
 
-def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column + Arrow-batched mapInPandas featurization over the
-    documents table (payload = utf-8 text bytes; decode stubbed — this
-    validates the schema/batching/UDF plumbing). mean_byte is pytest-gated
-    (DuckDB has no byte accessor)."""
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column end-to-end: Arrow-batched mapInPandas
+    featurization (payload = utf-8 text bytes; codec decode stubbed — this
+    validates the schema/batching/UDF plumbing) joined with the frame-sample
+    rollup (every 4th 256-byte chunk — the one-row-to-many mapInPandas
+    explode shape). mean_byte is pytest-gated (DuckDB has no byte
+    accessor)."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_media(docs, "doc_id", "text")
-    return MM.media_features(media, chunk_size=256).select(
+    feats = MM.media_features(media, chunk_size=256).select(
         "media_id", "n_bytes", "n_chunks", "format"
     )
-
-
-SQL_MEDIA_FEATURES = """
-SELECT doc_id AS media_id,
-       octet_length(encode(text)) AS n_bytes,
-       (octet_length(encode(text)) + 255) // 256 AS n_chunks,
-       'fake/' || CAST(doc_id % 3 AS VARCHAR) AS format
-FROM documents
-"""
-
-
-def q_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling (every 4th 256-byte chunk) rolled up per media row —
-    the one-row-to-many mapInPandas explode shape, aggregated so the oracle
-    is closed-form."""
-    docs = load_table(spark, sf_dir, "documents")
-    media = MM.attach_media(docs, "doc_id", "text")
-    frames = MM.frame_sample(media, every_n_chunks=4, chunk_size=256)
-    return frames.groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("frames"),
-        F.sum(F.octet_length("chunk")).alias("sampled_bytes"),
+    frames = (
+        MM.frame_sample(media, every_n_chunks=4, chunk_size=256)
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("frames"),
+            F.sum(F.octet_length("chunk")).alias("sampled_bytes"),
+        )
+    )
+    return feats.join(frames, "media_id", "left").fillna(
+        {"frames": 0, "sampled_bytes": 0}
     )
 
 
-SQL_FRAME_SAMPLE_STATS = """
+SQL_MEDIA_PIPELINE = """
 WITH m AS (
   SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
-         (octet_length(encode(text)) + 255) // 256 AS n_chunks
+         (octet_length(encode(text)) + 255) // 256 AS n_chunks,
+         'fake/' || CAST(doc_id % 3 AS VARCHAR) AS format
   FROM documents
 ), f AS (
   SELECT media_id, n_bytes, i * 4 AS chunk_index
   FROM m, UNNEST(range(0, (n_chunks + 3) // 4)) t(i)
+), fr AS (
+  SELECT media_id, COUNT(*) AS frames,
+         SUM(LEAST(256, n_bytes - chunk_index * 256)) AS sampled_bytes
+  FROM f GROUP BY media_id
 )
-SELECT media_id, COUNT(*) AS frames,
-       SUM(LEAST(256, n_bytes - chunk_index * 256)) AS sampled_bytes
-FROM f GROUP BY media_id
+SELECT m.media_id, m.n_bytes, m.n_chunks, m.format,
+       COALESCE(fr.frames, 0) AS frames,
+       COALESCE(fr.sampled_bytes, 0) AS sampled_bytes
+FROM m LEFT JOIN fr ON m.media_id = fr.media_id
 """
 
 
@@ -204,16 +201,14 @@ QUERIES = {
     "streaming_window_stats": q_streaming_window_stats,
     "streaming_sessions": q_streaming_sessions,
     "running_user_totals": q_running_user_totals,
-    "media_features": q_media_features,
-    "frame_sample_stats": q_frame_sample_stats,
+    "media_pipeline": q_media_pipeline,
     "csv_roundtrip": q_csv_roundtrip,
 }
 
 ORACLE = {
     "streaming_window_stats": SQL_STREAMING_WINDOW_STATS,
     "streaming_sessions": SQL_STREAMING_SESSIONS,
-    "media_features": SQL_MEDIA_FEATURES,
-    "frame_sample_stats": SQL_FRAME_SAMPLE_STATS,
+    "media_pipeline": SQL_MEDIA_PIPELINE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
     # running_user_totals: rows-only (stateful op; pytest checks vs batch agg)
 }

@@ -188,24 +188,42 @@ WHERE lower(p_name) LIKE '%prom%'
 """
 
 
-# --- O3/O4: multi-column sort + offset pagination -------------------------------
+# --- O3/O4: multi-column sort + offset pagination + keyset (seek) page ----------
 
 
 def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _orders(spark, sf_dir)
-    return R.paginate(
-        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+    """Both pagination idioms in one result, tagged by ``page_method``:
+    offset page 3 (O3/O4, reference views.py:1337-1350) and the keyset/seek
+    page after key 5000 (O4 scale variant — the seek predicate pushes into
+    the parquet scan, so page 10⁶ costs page 1)."""
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    offset_page = R.paginate(
+        orders,
         order=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
         page=3,
         page_size=50,
     )
+    seek_page = R.keyset_page(orders, key="o_orderkey", after=5000, page_size=50)
+    return offset_page.withColumn("page_method", F.lit("offset")).unionByName(
+        seek_page.withColumn("page_method", F.lit("keyset"))
+    )
 
 
 SQL_PAGINATION = """
-SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
-FROM orders
-ORDER BY o_totalprice DESC, o_orderkey ASC
-LIMIT 50 OFFSET 150
+SELECT *, 'offset' AS page_method FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 50 OFFSET 150
+)
+UNION ALL
+SELECT *, 'keyset' AS page_method FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders
+  WHERE o_orderkey > 5000
+  ORDER BY o_orderkey ASC
+  LIMIT 50
+)
 """
 
 
@@ -279,21 +297,36 @@ GROUP BY o_custkey
 """
 
 
-# --- A7: time-bucketed aggregation (month buckets) ------------------------------
+# --- A7 + skew path: time-bucketed aggregation via salted two-phase agg ---------
 
 
 def q_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _orders(spark, sf_dir)
-    return (
-        orders.withColumn(
-            "month_bucket", F.year("o_orderdate") * 100 + F.month("o_orderdate")
-        )
-        .groupBy("month_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("order_count"),
-            F.sum(money("o_totalprice")).cast("double").alias("total_sales"),
-            F.countDistinct("o_custkey").alias("active_customers"),
-        )
+    """Month-bucket rollup (A7) computed through the skew-resistant salted
+    two-phase aggregation — result-identical to the plain groupBy, which is
+    exactly what the oracle checks. At 100 TB a hot month (holiday spike)
+    overwhelms a single reducer; salting bounds every reducer at
+    1/salt_buckets of the hot key. countDistinct salts on the counted column
+    (o_custkey) so each customer lands in exactly one bucket and the
+    per-bucket distinct counts sum exactly."""
+    orders = _orders(spark, sf_dir).withColumn(
+        "month_bucket", F.year("o_orderdate") * 100 + F.month("o_orderdate")
+    ).withColumn("price_d", money("o_totalprice"))
+    agg = R.salted_agg(
+        orders,
+        keys=["month_bucket"],
+        aggs={
+            "order_count": ("count", "o_orderkey"),
+            "total_sales": ("sum", "price_d"),
+            "active_customers": ("count_distinct", "o_custkey"),
+        },
+        salt_buckets=16,
+        salt_col="o_custkey",
+    )
+    return agg.select(
+        "month_bucket",
+        "order_count",
+        F.col("total_sales").cast("double").alias("total_sales"),
+        "active_customers",
     )
 
 
@@ -345,42 +378,6 @@ SELECT p_brand,
        COUNT(*) AS total_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
-"""
-
-
-# --- J6: EXISTS semi-join with band condition (repurchase label) -----------------
-
-
-def q_repurchase_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-horizon repurchase label via EXISTS band semi-join
-    (ml_models.py:262-293). Expressed in Spark SQL so Catalyst rewrites the
-    correlated EXISTS into a left semi join natively."""
-    _orders(spark, sf_dir).createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT o1.o_orderkey,
-               o1.o_custkey,
-               CASE WHEN EXISTS (
-                   SELECT 1 FROM orders o2
-                   WHERE o2.o_custkey = o1.o_custkey
-                     AND o2.o_orderdate > o1.o_orderdate
-                     AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAYS
-               ) THEN 1 ELSE 0 END AS repurchase_30d
-        FROM orders o1
-        """
-    )
-
-
-SQL_REPURCHASE_LABEL = """
-SELECT o1.o_orderkey,
-       o1.o_custkey,
-       CASE WHEN EXISTS (
-           SELECT 1 FROM orders o2
-           WHERE o2.o_custkey = o1.o_custkey
-             AND o2.o_orderdate > o1.o_orderdate
-             AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
-       ) THEN 1 ELSE 0 END AS repurchase_30d
-FROM orders o1
 """
 
 
@@ -588,71 +585,6 @@ GROUP BY o_orderpriority
 
 
 
-# --- O4b: keyset (seek) pagination — the scale path -------------------------------
-
-
-def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyset pagination (O4 scale variant; offset pagination re-sorts and
-    skips on every page — reference views.py:1337-1350 — while the seek
-    predicate pushes into the parquet scan, so page 10⁶ costs page 1)."""
-    orders = _orders(spark, sf_dir)
-    page = R.keyset_page(
-        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
-        key="o_orderkey",
-        after=5000,
-        page_size=50,
-    )
-    return page
-
-
-SQL_KEYSET_PAGE = """
-SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders
-WHERE o_orderkey > 5000
-ORDER BY o_orderkey ASC
-LIMIT 50
-"""
-
-
-
-
-# --- A-skew: salted aggregation (skew-resistant, result-identical) ----------------
-
-
-def q_salted_category_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted two-phase aggregation (skew path): identical results to the
-    plain groupBy — the oracle IS the unsalted SQL. At 100 TB a hot key
-    (one mega-customer) overwhelms a single reducer; salting bounds every
-    reducer at 1/salt_buckets of the hot key."""
-    li = _li(spark, sf_dir)
-    part = _part(spark, sf_dir)
-    fact = li.join(F.broadcast(part.select("p_partkey", "p_type")),
-                   li["l_partkey"] == part["p_partkey"])
-    agg = R.salted_agg(
-        fact.withColumn("price_d", money("l_extendedprice")),
-        keys=["p_type"],
-        aggs={
-            "row_count": ("count", "l_orderkey"),
-            "total_sales": ("sum", "price_d"),
-            "max_quantity": ("max", "l_quantity"),
-        },
-        salt_buckets=16,
-    )
-    return agg.select(
-        "p_type", "row_count", F.col("total_sales").cast("double").alias("total_sales"), "max_quantity"
-    )
-
-
-SQL_SALTED_CATEGORY_SALES = """
-SELECT p_type,
-       COUNT(l_orderkey) AS row_count,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
-       MAX(l_quantity) AS max_quantity
-FROM lineitem JOIN part ON l_partkey = p_partkey
-GROUP BY p_type
-"""
-
-
 QUERIES = {
     "global_stats": q_global_stats,
     "category_rollup": q_category_rollup,
@@ -665,7 +597,6 @@ QUERIES = {
     "order_gaps": q_order_gaps,
     "monthly_sales": q_monthly_sales,
     "conditional_horizons": q_conditional_horizons,
-    "repurchase_label": q_repurchase_label,
     "semi_anti_customers": q_semi_anti_customers,
     "events_json": q_events_json,
     "pivot_category_year": q_pivot_category_year,
@@ -673,8 +604,6 @@ QUERIES = {
     "schema_introspect": q_schema_introspect,
     "sales_repair": q_sales_repair,
     "categorical_order": q_categorical_order,
-    "keyset_page": q_keyset_page,
-    "salted_category_sales": q_salted_category_sales,
 }
 
 ORACLE = {
@@ -689,7 +618,6 @@ ORACLE = {
     "order_gaps": SQL_ORDER_GAPS,
     "monthly_sales": SQL_MONTHLY_SALES,
     "conditional_horizons": SQL_CONDITIONAL_HORIZONS,
-    "repurchase_label": SQL_REPURCHASE_LABEL,
     "semi_anti_customers": SQL_SEMI_ANTI_CUSTOMERS,
     "events_json": SQL_EVENTS_JSON,
     "pivot_category_year": SQL_PIVOT_CATEGORY_YEAR,
@@ -697,6 +625,4 @@ ORACLE = {
     "schema_introspect": SQL_SCHEMA_INTROSPECT,
     "sales_repair": SQL_SALES_REPAIR,
     "categorical_order": SQL_CATEGORICAL_ORDER,
-    "keyset_page": SQL_KEYSET_PAGE,
-    "salted_category_sales": SQL_SALTED_CATEGORY_SALES,
 }

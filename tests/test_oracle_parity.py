@@ -33,3 +33,17 @@ def test_queries_oracle_keys_align():
     # every oracle key must have a query; queries without oracle are the
     # documented weaker rows-only checks
     assert set(o) <= set(q)
+
+
+def test_oracled_queries_lead_catalog():
+    """Correctness harnesses sweep a bounded (50-entry) prefix of the
+    catalog: every hash-verifiable query must sit inside that prefix, with
+    rows-only entries trailing."""
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    names = list(q)
+    assert len(o) <= 50, f"{len(o)} oracled queries exceed the 50-entry window"
+    assert all(n in o for n in names[: len(o)])
+    assert all(n not in o for n in names[len(o):])

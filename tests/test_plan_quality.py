@@ -9,51 +9,49 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF = "/root/testdata/sf0.001"
 
-
-def _plan(spark, name: str) -> str:
-    df = entry_mod.queries()[name](spark, SF)
+def _plan(spark, sf_dir, name: str) -> str:
+    df = entry_mod.queries()[name](spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_keyset_page_pushes_seek_predicate(spark):
-    plan = _plan(spark, "keyset_page")
+def test_keyset_branch_pushes_seek_predicate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pagination")
     assert "PushedFilters" in plan
     assert "GreaterThan(o_orderkey,5000)" in plan.replace(" ", "").replace("\n", "")
 
 
-def test_filtered_scan_pushes_filters(spark):
-    plan = _plan(spark, "filtered_scan")
+def test_filtered_scan_pushes_filters(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filtered_scan")
     assert "PushedFilters: [" in plan
     # at least one real pushed predicate, not an empty list
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert pushed.strip(), "no predicates reached the scan"
 
 
-def test_category_rollup_broadcasts_dim_and_takeordered(spark):
-    plan = _plan(spark, "category_rollup")
+def test_category_rollup_broadcasts_dim_and_takeordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "category_rollup")
     assert "BroadcastHashJoin" in plan  # part dim broadcast, no shuffle join
     assert "TakeOrderedAndProject" in plan  # top-n without global sort
 
 
-def test_category_rollup_prunes_columns(spark):
-    plan = _plan(spark, "category_rollup")
+def test_category_rollup_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "category_rollup")
     # lineitem has 11 columns; the rollup needs 4 — ReadSchema must be pruned
     read = [seg for seg in plan.split("ReadSchema: ")[1:] if "l_orderkey" in seg][0]
     schema = read.split("\n")[0]
     assert "l_shipdate" not in schema and "l_tax" not in schema, schema
 
 
-def test_semi_anti_plans_as_semi_join(spark):
-    plan = _plan(spark, "semi_anti_customers")
+def test_semi_anti_plans_as_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "semi_anti_customers")
     assert "LeftSemi" in plan or "LeftAnti" in plan
 
 
-def test_pairwise_rules_prunes_before_self_join(spark):
+def test_pairwise_rules_prunes_before_self_join(spark, sf_dir):
     """Apriori monotonicity: the frequent-item filter must sit below the
     pair self-join (filter-then-join, not join-then-filter)."""
-    plan = _plan(spark, "pairwise_rules_brand")
+    plan = _plan(spark, sf_dir, "pairwise_rules_brand")
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     # the semi-join against frequent items feeds the pair join
     assert "LeftSemi" in plan
