@@ -55,20 +55,21 @@ def _assembler(feature_cols: list[str]) -> list:
     ]
 
 
-def _classifier(kind: str, n_features: int, label: str = "label"):
+def _classifier(kind: str, n_features: int, label: str = "label", overrides: dict | None = None):
     common = dict(featuresCol="features", labelCol=label)
+    common.update(overrides or {})
     if kind == "random_forest":
         # reference: RF(150 trees, depth 15) — ml_models.py:538-540
-        return RandomForestClassifier(numTrees=150, maxDepth=15, seed=SEED, **common)
+        return RandomForestClassifier(**{"numTrees": 150, "maxDepth": 15, "seed": SEED, **common})
     if kind == "gradient_boost":
-        return GBTClassifier(maxIter=60, maxDepth=5, seed=SEED, **common)
+        return GBTClassifier(**{"maxIter": 60, "maxDepth": 5, "seed": SEED, **common})
     if kind == "neural_network":
         # reference MLP hidden layers (128, 64, 32) — ml_models.py:64-69
         return MultilayerPerceptronClassifier(
-            layers=[n_features, 128, 64, 32, 2], maxIter=100, seed=SEED, **common
+            **{"layers": [n_features, 128, 64, 32, 2], "maxIter": 100, "seed": SEED, **common}
         )
     if kind == "svm":
-        return LinearSVC(maxIter=50, **common)
+        return LinearSVC(**{"maxIter": 50, **common})
     raise ValueError(f"unknown model kind: {kind}")
 
 
@@ -93,15 +94,17 @@ def train_classifier(
     label_col: str,
     kind: str = "gradient_boost",
     train_fraction: float = 0.8,
+    overrides: dict | None = None,
 ) -> TrainedModel:
     """Assemble → scale → fit one classifier; metrics on the held-out split.
 
     The 80/20 split uses a seeded randomSplit (the reference's stratified
     train_test_split, ml_models.py:535-536 — MLlib randomSplit is the
-    distributed analogue)."""
+    distributed analogue). ``overrides`` patches estimator params (e.g.
+    smaller maxIter/numTrees for test fixtures)."""
     df = labeled.withColumn("label", F.col(label_col).cast("double"))
     train, test = df.randomSplit([train_fraction, 1 - train_fraction], seed=SEED)
-    stages = _assembler(feature_cols) + [_classifier(kind, len(feature_cols))]
+    stages = _assembler(feature_cols) + [_classifier(kind, len(feature_cols), overrides=overrides)]
     model = Pipeline(stages=stages).fit(train)
     metrics = binary_metrics(model.transform(test))
     return TrainedModel(model=model, metrics=metrics)
@@ -112,10 +115,16 @@ def train_model_grid(
     feature_cols: list[str],
     label_col: str,
     kinds: tuple[str, ...] = ("random_forest", "gradient_boost", "neural_network", "svm"),
+    overrides: dict[str, dict] | None = None,
 ) -> dict[str, TrainedModel]:
-    """The reference's model grid for one horizon (ml_models.py:538-567)."""
+    """The reference's model grid for one horizon (ml_models.py:538-567).
+    ``overrides`` maps kind → estimator-param patches."""
     return {
-        kind: train_classifier(labeled, feature_cols, label_col, kind) for kind in kinds
+        kind: train_classifier(
+            labeled, feature_cols, label_col, kind,
+            overrides=(overrides or {}).get(kind),
+        )
+        for kind in kinds
     }
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from market_data_mining_project_spark.functions.expressions import money
 from market_data_mining_project_spark.operators import churn as CHURN
 from market_data_mining_project_spark.operators import diff as DIFF
 from market_data_mining_project_spark.operators import recommend as REC
@@ -687,6 +688,190 @@ GROUP BY b.o_custkey, b.p_brand, b.day
 """
 
 
+# --- M9: A10-shaped engineered feature frame + full grid serving ------------------
+
+#: Numeric feature columns fed to the M9 grid (reference ml_models.py:409-414
+#: numerical_features, minus columns that have no analogue in the fixture).
+HORIZON_FEATURE_COLS = [
+    "day", "is_weekend", "season", "avg_spend", "spend_volatility",
+    "total_spend", "avg_quantity", "total_quantity", "shopping_days",
+    "brand_repurchase_rate", "brand_popularity", "dept_frequency",
+]
+
+
+def _horizon_feature_parts(spark: SparkSession, sf_dir: str):
+    """Shared stat frames for M9 feature engineering (ml_models.py:332-394):
+    per-customer behavior stats, per-brand popularity/repurchase stats, and
+    per-(customer, brand) frequency.
+
+    Variance is computed from exact DECIMAL power sums (Σx, Σx²) so the
+    result is partition-order independent — a double-summed stddev would be
+    nondeterministic at scale."""
+    fact = _brand_fact(spark, sf_dir)
+    labels = q_horizon_labels(spark, sf_dir)
+    p = money("l_extendedprice")
+    n = F.count(F.lit(1))
+    s1 = F.sum(p).cast("double")
+    s2 = F.sum(p * p).cast("double")
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1))
+    cust_stats = fact.groupBy("o_custkey").agg(
+        F.round(s1 / n, 6).alias("avg_spend"),
+        F.when(n > 1, F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6))
+        .otherwise(0.0)
+        .alias("spend_volatility"),
+        F.sum(p).cast("double").alias("total_spend"),
+        F.round(F.sum("l_quantity") / n, 6).alias("avg_quantity"),
+        F.sum("l_quantity").alias("total_quantity"),
+        F.countDistinct("day").alias("shopping_days"),
+    )
+    brand_stats = labels.groupBy("p_brand").agg(
+        F.round(F.avg(F.col("buy_30d").cast("double")), 6).alias("brand_repurchase_rate"),
+        F.countDistinct("o_custkey").alias("brand_popularity"),
+    )
+    dept_freq = fact.groupBy("o_custkey", "p_brand").agg(
+        F.count(F.lit(1)).alias("dept_frequency")
+    )
+    return fact, labels, cust_stats, brand_stats, dept_freq
+
+
+def _day_features(df: DataFrame) -> DataFrame:
+    """Time features off the purchase day (ml_models.py:385-387):
+    is_weekend = day%7 ≥ 5, season = (week // 13) % 4."""
+    return df.withColumn(
+        "is_weekend", (F.col("day") % 7 >= 5).cast("int")
+    ).withColumn("season", F.expr("CAST(((day div 7) div 13) % 4 AS INT)"))
+
+
+def q_horizon_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 engineered training frame (reference ml_models.py:332-394): each
+    sampled (customer, brand, day) purchase with behavior stats, brand
+    popularity, dept frequency, time features and the 4 horizon targets."""
+    _fact, labels, cust_stats, brand_stats, dept_freq = _horizon_feature_parts(spark, sf_dir)
+    feats = (
+        _day_features(labels)
+        .join(cust_stats, "o_custkey")
+        .join(F.broadcast(brand_stats), "p_brand")
+        .join(dept_freq, ["o_custkey", "p_brand"])
+    )
+    return feats.select(
+        "o_custkey", "p_brand", "day", "is_weekend", "season",
+        "avg_spend", "spend_volatility", "total_spend", "avg_quantity",
+        "total_quantity", "shopping_days", "brand_repurchase_rate",
+        "brand_popularity", "dept_frequency",
+        "buy_30d", "buy_90d", "buy_180d", "buy_365d",
+    )
+
+
+SQL_HORIZON_FEATURES = f"""
+WITH fact AS ({_SQL_BRAND_FACT}),
+labels AS ({SQL_HORIZON_LABELS}),
+cust AS (
+  SELECT o_custkey,
+         COUNT(*) AS n,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s1,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS s2,
+         SUM(l_quantity) AS total_quantity,
+         COUNT(DISTINCT day) AS shopping_days
+  FROM fact GROUP BY o_custkey
+),
+brand AS (
+  SELECT p_brand,
+         ROUND(AVG(CAST(buy_30d AS DOUBLE)), 6) AS brand_repurchase_rate,
+         COUNT(DISTINCT o_custkey) AS brand_popularity
+  FROM labels GROUP BY p_brand
+),
+dept AS (
+  SELECT o_custkey, p_brand, COUNT(*) AS dept_frequency
+  FROM fact GROUP BY o_custkey, p_brand
+)
+SELECT l.o_custkey, l.p_brand, l.day,
+       CAST(CASE WHEN l.day % 7 >= 5 THEN 1 ELSE 0 END AS INT) AS is_weekend,
+       CAST(((l.day // 7) // 13) % 4 AS INT) AS season,
+       ROUND(CAST(c.s1 AS DOUBLE) / c.n, 6) AS avg_spend,
+       CASE WHEN c.n > 1
+            THEN ROUND(SQRT(GREATEST(
+                   (CAST(c.s2 AS DOUBLE) - CAST(c.s1 AS DOUBLE) * CAST(c.s1 AS DOUBLE) / c.n)
+                   / (c.n - 1), 0.0)), 6)
+            ELSE 0.0 END AS spend_volatility,
+       CAST(c.s1 AS DOUBLE) AS total_spend,
+       ROUND(c.total_quantity / c.n, 6) AS avg_quantity,
+       c.total_quantity,
+       c.shopping_days,
+       b.brand_repurchase_rate,
+       b.brand_popularity,
+       d.dept_frequency,
+       l.buy_30d, l.buy_90d, l.buy_180d, l.buy_365d
+FROM labels l
+JOIN cust c ON l.o_custkey = c.o_custkey
+JOIN brand b ON l.p_brand = b.p_brand
+JOIN dept d ON l.o_custkey = d.o_custkey AND l.p_brand = d.p_brand
+"""
+
+
+def q_horizon_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 serving end-to-end (reference predict_future_purchases,
+    ml_models.py:603-755): train the horizon grid's neural net on the
+    engineered frame, score the last-90-day (customer, brand) current
+    state, keep prob > 0.5, roll up per brand and project revenue over the
+    horizon. Rows-only (MLP weights are not SQL); ranges and shape are
+    pytest-gated (tests/test_ann_horizon.py)."""
+    from market_data_mining_project_spark.ml.pipelines import (
+        score_with_probability,
+        train_classifier,
+    )
+
+    fact, _labels, cust_stats, brand_stats, dept_freq = _horizon_feature_parts(spark, sf_dir)
+    feats = q_horizon_features(spark, sf_dir).coalesce(4).cache()
+    trained = train_classifier(feats, HORIZON_FEATURE_COLS, "buy_30d", kind="neural_network")
+
+    max_day = fact.agg(F.max("day").alias("mx"))
+    recent = (
+        fact.crossJoin(F.broadcast(max_day))
+        .filter(F.col("day") >= F.col("mx") - 90)
+        .groupBy("o_custkey", "p_brand")
+        .agg(
+            F.max("day").alias("day"),
+            F.sum(money("l_extendedprice")).cast("double").alias("recent_revenue"),
+            F.count(F.lit(1)).alias("purchase_count"),
+        )
+    )
+    state = (
+        _day_features(recent)
+        .join(cust_stats, "o_custkey")
+        .join(F.broadcast(brand_stats), "p_brand")
+        .join(dept_freq, ["o_custkey", "p_brand"])
+    )
+    scored = score_with_probability(trained.model, state, out="p_buy")
+    accuracy = float(trained.metrics.get("accuracy", 0.75))
+    horizon_days, window_days = 30.0, 90.0
+    dept = (
+        scored.filter(F.col("p_buy") > 0.5)
+        .groupBy("p_brand")
+        .agg(
+            F.avg("p_buy").alias("avg_confidence"),
+            F.countDistinct("o_custkey").alias("predicted_customers"),
+            F.sum("recent_revenue").alias("historical_revenue"),
+            F.sum("purchase_count").alias("historical_purchases"),
+        )
+        .withColumn("confidence", F.round(F.col("avg_confidence") * accuracy, 3))
+        .withColumn(
+            "projected_revenue",
+            F.round(
+                F.col("historical_revenue") * (horizon_days / window_days) * F.col("confidence"),
+                2,
+            ),
+        )
+        .select(
+            "p_brand",
+            F.round("avg_confidence", 3).alias("ml_prediction_score"),
+            "confidence", "predicted_customers",
+            F.round("historical_revenue", 2).alias("historical_revenue"),
+            "historical_purchases", "projected_revenue",
+        )
+    )
+    return dept.orderBy(F.col("projected_revenue").desc(), F.col("p_brand").asc()).limit(10)
+
+
 # --- rows-only entries (non-SQL-expressible; pytest carries the ground truth) -----
 
 
@@ -840,10 +1025,12 @@ QUERIES = {
     "hybrid_recommendations": q_hybrid_recommendations,
     "churn_features": q_churn_features,
     "horizon_labels": q_horizon_labels,
+    "horizon_features": q_horizon_features,
     "stat_tests": q_stat_tests,
     "data_assessment": q_data_assessment,
     "brand_predictions": q_brand_predictions,
     "fpgrowth_rules": q_fpgrowth_rules,
+    "horizon_predictions": q_horizon_predictions,
     "als_recommendations": q_als_recommendations,
     "churn_model_scores": q_churn_model_scores,
     "minhash_candidates": q_minhash_candidates,
@@ -855,6 +1042,7 @@ ORACLE = {
     "hybrid_recommendations": SQL_HYBRID_RECOMMENDATIONS,
     "churn_features": SQL_CHURN_FEATURES,
     "horizon_labels": SQL_HORIZON_LABELS,
+    "horizon_features": SQL_HORIZON_FEATURES,
     "stat_tests": SQL_STAT_TESTS,
     "data_assessment": SQL_DATA_ASSESSMENT,
     "brand_predictions": SQL_BRAND_PREDICTIONS,

@@ -39,24 +39,51 @@ def test_ivf_probes_scan_fraction(spark, sf_dir):
     assert biggest4 < n  # probing 4 cells cannot touch the whole corpus
 
 
-def test_horizon_grid_trains(spark, sf_dir):
-    """M9: the 4-horizon labels train a real classifier grid (2 fast kinds
-    here; the full 4-kind grid is the same call with all kinds)."""
+def test_horizon_grid_trains_all_kinds(spark, sf_dir):
+    """M9: the engineered A10-shaped feature frame trains the FULL 4-kind
+    grid (RF, GBT, MLP, linear SVM — reference ml_models.py:538-567) on the
+    90-day horizon. Estimator sizes are trimmed for fixture speed; the
+    architecture (layers, depth semantics) is the production one."""
     from market_data_mining_project_spark.ml.pipelines import train_model_grid
-    from market_data_mining_project_spark.plans.analytics_domain import q_horizon_labels
+    from market_data_mining_project_spark.plans.analytics_domain import (
+        HORIZON_FEATURE_COLS,
+        q_horizon_features,
+    )
 
-    labels = q_horizon_labels(spark, sf_dir)
-    # features available at prediction time: the purchase-day coordinates
-    feats = labels.withColumn("day_of_year", F.col("day") % 365)
+    feats = q_horizon_features(spark, sf_dir).coalesce(4).cache()
     grid = train_model_grid(
         feats,
-        feature_cols=["day", "day_of_year"],
+        feature_cols=HORIZON_FEATURE_COLS,
         label_col="buy_90d",
-        kinds=("random_forest", "gradient_boost"),
+        overrides={
+            "random_forest": {"numTrees": 20, "maxDepth": 6},
+            "gradient_boost": {"maxIter": 10},
+            "neural_network": {"maxIter": 30},
+            "svm": {"maxIter": 20},
+        },
     )
+    assert set(grid) == {"random_forest", "gradient_boost", "neural_network", "svm"}
     for kind, trained in grid.items():
         assert 0.0 <= trained.metrics["accuracy"] <= 1.0, kind
         assert trained.metrics["f1"] > 0.3, (kind, trained.metrics)
+
+
+def test_horizon_predictions_serving_shape(spark, sf_dir):
+    """M9 serving: brand rollup of >0.5-probability predictions with revenue
+    projection (reference ml_models.py:703-745). Gates ranges + shape."""
+    from market_data_mining_project_spark.plans.analytics_domain import q_horizon_predictions
+
+    rows = q_horizon_predictions(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert 0.5 < r.ml_prediction_score <= 1.0
+        assert 0.0 <= r.confidence <= 1.0
+        assert r.confidence <= r.ml_prediction_score + 1e-9
+        assert r.predicted_customers >= 1
+        assert r.projected_revenue >= 0.0
+        # projection = historical_revenue × (30/90) × confidence, rounded
+        expected = round(r.historical_revenue * (30.0 / 90.0) * r.confidence, 2)
+        assert abs(r.projected_revenue - expected) <= 0.05 * max(expected, 1.0)
 
 
 def test_horizon_labels_monotone(spark, sf_dir):
