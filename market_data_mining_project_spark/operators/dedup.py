@@ -137,17 +137,31 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via inverted index.
 
     explode(shingles) → self-join on shingle → per-pair intersection count →
     |A∪B| = |A|+|B|−|A∩B|. The shuffle keys on the shingle value; a hot
-    shingle (stopword run) fans out quadratically — at scale, drop the top
-    0.1% most frequent shingles first (standard LSH practice).
+    shingle (stopword run) shared by m docs fans out m² candidate pairs —
+    the classic skew scale-killer. ``max_shingle_df`` caps that: shingles
+    appearing in more than ``max_shingle_df`` docs are dropped from the
+    index BEFORE the self-join (standard practice — a shingle in 10⁶ docs
+    carries no near-dup signal but would emit 10¹² pairs). Sizes are
+    computed over the filtered shingle space so Jaccard stays internally
+    consistent; None (the oracled default) keeps the metric exact.
     """
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
     ).distinct()
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(hot, "sh", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc").alias("doc_a"), "sh")
     b = sh.select(F.col("doc").alias("doc_b"), "sh")
@@ -201,17 +215,20 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
-        # labels per component are tiny relative to edges — broadcast them so
-        # the in-loop joins never shuffle (near-dup graphs: |labels| ≪ |docs|)
+        # no broadcast hints here: labels covers every doc touched by a dup
+        # edge, which at web-crawl dup rates (30-50%) is multi-GB — a forced
+        # broadcast would OOM the driver. Both joins key on doc ids, so the
+        # shuffle join is co-partitioned across iterations, and AQE still
+        # converts to broadcast at runtime when labels measures small.
         neighbor_min = (
-            edges.join(F.broadcast(labels), edges["dst"] == labels["doc"])
+            edges.join(labels, edges["dst"] == labels["doc"])
             .groupBy("src")
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
         # checkpoint each round: keeps lineage flat so iteration i+1 reads
         # materialized labels instead of replaying i rounds of joins
         updated = (
-            labels.join(F.broadcast(neighbor_min), labels["doc"] == neighbor_min["src"], "left")
+            labels.join(neighbor_min, labels["doc"] == neighbor_min["src"], "left")
             .select(
                 "doc",
                 F.least(

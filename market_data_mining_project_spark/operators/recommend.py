@@ -162,10 +162,13 @@ def als_recommendations(
     """
     if not HAS_ALS:  # pragma: no cover
         raise NotImplementedError("pyspark.ml.recommendation.ALS unavailable")
-    # ALS iterates over the ratings many times; the aggregated matrix is tiny
-    # relative to the fact table — cache it and right-size partitions so the
-    # sequential iterations aren't scheduling-bound on near-empty tasks
-    ui = user_item_counts(fact, user, item).coalesce(8).cache()
+    # ALS iterates over the ratings many times; cache the aggregated matrix
+    # and right-size partitions so the sequential iterations aren't
+    # scheduling-bound on near-empty tasks. Derived from defaultParallelism
+    # (not a literal): a fixed coalesce(8) would cap every ALS iteration at
+    # 8-way parallelism on a billion-row user-item matrix.
+    target = max(8, fact.sparkSession.sparkContext.defaultParallelism // 4)
+    ui = user_item_counts(fact, user, item).coalesce(target).cache()
     # ALS requires numeric item ids — index categorical items deterministically
     # (dense_rank over the sorted distinct values; the map-back join is tiny).
     numeric_items = dict(ui.dtypes)["item"] not in ("string",)

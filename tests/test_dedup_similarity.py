@@ -29,6 +29,29 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
     assert recall >= 0.9, f"LSH recall {recall:.2f} too low ({len(truth)} true pairs)"
 
 
+def test_ngram_jaccard_df_cap_keeps_recall(spark, sf_dir):
+    """The hot-shingle document-frequency cap (the quadratic-fan-out guard)
+    must not lose true near-dup pairs at a sane setting: shingles shared by
+    more than max_df docs carry no near-dup signal on this fixture."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.5).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", 3, 0.5, max_shingle_df=20
+        ).collect()
+    }
+    assert truth, "fixture should contain near-dup pairs"
+    assert truth <= capped or truth == capped, (
+        f"df cap lost pairs: {truth - capped}"
+    )
+    recall = len(truth & capped) / len(truth)
+    assert recall == 1.0, f"df-cap recall {recall:.2f}"
+
+
 def test_simhash_flags_exact_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     exact_pairs = (
