@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from market_data_mining_project_spark.functions.expressions import safe_ratio
+from market_data_mining_project_spark.functions.expressions import money, safe_ratio
 
 
 def split_day(fact: DataFrame, day: str, churn_days: int) -> int:
@@ -61,10 +61,12 @@ def churn_features(
         .agg(F.avg("gap").alias("avg_purchase_gap"))
     )
 
+    # money summed as DECIMAL(18,2) then cast to double: double summation is
+    # partition-order dependent, which would make the hash gate flaky at scale
     feats = history.groupBy(customer).agg(
         (F.lit(split) - F.max(day)).alias("recency"),
         F.countDistinct(basket).alias("frequency"),
-        F.sum(F.col(sales).cast("double")).alias("monetary"),
+        F.sum(money(sales)).cast("double").alias("monetary"),
         F.countDistinct(item).alias("product_variety"),
         F.countDistinct(day).alias("active_days"),
     )

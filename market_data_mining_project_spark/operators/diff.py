@@ -101,8 +101,17 @@ def welch_moments(df: DataFrame, group: str, value: str) -> DataFrame:
 
 
 def welch_t_test(df: DataFrame, group: str, value: str, g1, g2) -> dict:
-    """Welch unequal-variance t-test + Cohen's d (reference views.py:1849-1886)."""
+    """Welch unequal-variance t-test + Cohen's d (reference views.py:1849-1886).
+
+    Raises ValueError when a group is absent or has fewer than 2 samples —
+    var_samp is NULL for singletons and the Welch dof is undefined."""
     rows = {r[group]: r for r in welch_moments(df.filter(F.col(group).isin([g1, g2])), group, value).collect()}
+    missing = [g for g in (g1, g2) if g not in rows]
+    if missing:
+        raise ValueError(f"welch_t_test: group(s) {missing!r} absent from {group!r}")
+    small = [g for g in (g1, g2) if rows[g]["n"] < 2]
+    if small:
+        raise ValueError(f"welch_t_test: group(s) {small!r} need n >= 2 samples")
     a, b = rows[g1], rows[g2]
     se2 = a["var"] / a["n"] + b["var"] / b["n"]
     t = (a["mean"] - b["mean"]) / se2**0.5
@@ -139,16 +148,30 @@ def rank_sums(df: DataFrame, group: str, value: str) -> DataFrame:
 
 
 def mann_whitney_u(df: DataFrame, group: str, value: str, g1, g2) -> dict:
-    """Mann-Whitney U with normal approximation + rank-biserial effect size
-    (reference views.py:1888-1917)."""
+    """Mann-Whitney U with tie-corrected normal approximation + rank-biserial
+    effect size (reference views.py:1888-1917; tie correction matches
+    scipy.stats.mannwhitneyu's sigma so p-values agree on tied data)."""
     sub = df.filter(F.col(group).isin([g1, g2]))
     rows = {r[group]: r for r in rank_sums(sub, group, value).collect()}
+    missing = [g for g in (g1, g2) if g not in rows]
+    if missing:
+        raise ValueError(f"mann_whitney_u: group(s) {missing!r} absent from {group!r}")
     a, b = rows[g1], rows[g2]
     n1, n2 = a["n"], b["n"]
+    n = n1 + n2
+    # Σ(t³ − t) over tied-value groups — one tiny aggregate of per-value counts
+    tie_term = (
+        sub.groupBy(value)
+        .agg(F.count(F.lit(1)).cast("double").alias("t"))
+        .agg(F.sum(F.col("t") ** 3 - F.col("t")).alias("tt"))
+        .collect()[0]["tt"]
+        or 0.0
+    )
     u1 = a["rank_sum"] - n1 * (n1 + 1) / 2.0
     u = min(u1, n1 * n2 - u1)
     mu = n1 * n2 / 2.0
-    sigma = (n1 * n2 * (n1 + n2 + 1) / 12.0) ** 0.5
+    variance = n1 * n2 * (n + 1) / 12.0 - n1 * n2 * tie_term / (12.0 * n * (n - 1))
+    sigma = variance**0.5 if variance > 0 else 0.0
     z = (u - mu) / sigma if sigma > 0 else 0.0
     p = 2.0 * ST.norm_sf(abs(z))
     rank_biserial = 1.0 - 2.0 * u1 / (n1 * n2)

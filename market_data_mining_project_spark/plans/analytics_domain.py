@@ -269,7 +269,7 @@ gaps AS (
   SELECT o_custkey,
          (SELECT s FROM split) - MAX(day) AS recency,
          COUNT(DISTINCT l_orderkey) AS frequency,
-         SUM(CAST(l_extendedprice AS DOUBLE)) AS monetary,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary,
          COUNT(DISTINCT l_partkey) AS product_variety,
          COUNT(DISTINCT day) AS active_days
   FROM history GROUP BY o_custkey

@@ -81,6 +81,40 @@ def test_mann_whitney_micro(spark):
     assert res["p_value"] < 0.1
 
 
+def test_mann_whitney_tie_correction(spark):
+    """Tied data: sigma must carry the scipy tie correction
+    n1·n2/12 · Σ(t³−t)/(n(n−1)) subtracted from the variance."""
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 2, 3)] + [("b", float(v)) for v in (2, 3, 3, 4)],
+        ["g", "v"],
+    )
+    from market_data_mining_project_spark.operators.diff import mann_whitney_u
+
+    res = mann_whitney_u(df, "g", "v", "a", "b")
+    # hand computation: ranks a = 1+3+3+6 → U1 = 3, U = 3, mu = 8,
+    # tie_term = (3³−3)+(3³−3) = 48, var = 12 − 16·48/(12·8·7) = 10.857142857...
+    assert res["statistic"] == 3.0
+    expected_sigma = math.sqrt(12.0 - 16.0 * 48.0 / (12.0 * 8.0 * 7.0))
+    expected_p = 2.0 * ST.norm_sf(5.0 / expected_sigma)
+    assert math.isclose(res["p_value"], expected_p, rel_tol=1e-9)
+
+
+def test_stat_test_group_guards(spark):
+    """Absent or singleton groups raise clear errors instead of
+    TypeError/KeyError/ZeroDivision."""
+    from market_data_mining_project_spark.operators.diff import mann_whitney_u, welch_t_test
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)], ["g", "v"]
+    )
+    with pytest.raises(ValueError, match="absent"):
+        welch_t_test(df, "g", "v", "a", "zzz")
+    with pytest.raises(ValueError, match="n >= 2"):
+        welch_t_test(df, "g", "v", "a", "b")  # b is a singleton
+    with pytest.raises(ValueError, match="absent"):
+        mann_whitney_u(df, "g", "v", "zzz", "b")
+
+
 def test_ks_micro(spark):
     # identical samples → D = 0; disjoint → D = 1
     same = spark.createDataFrame(
