@@ -30,15 +30,19 @@ from market_data_mining_project_spark.functions import stats as ST
 
 
 def pivot_matrix(
-    df: DataFrame, row: str, col: str, value: str, agg: str = "sum"
+    df: DataFrame, row: str, col: str, value: str, agg: str = "sum",
+    values: list | None = None,
 ) -> DataFrame:
     """groupBy().pivot() sales/count matrix (reference views.py:1597-1645).
 
-    ``pivot`` needs the distinct col values; Spark collects them (small —
-    quarters/seasons/depts) then plans a single hash aggregate.
+    Without ``values``, ``pivot`` collects the distinct col values (small —
+    quarters/seasons/depts) then plans a single hash aggregate. Pass the
+    known ``values`` explicitly to skip that extra distinct job AND pin the
+    output schema (the scale-friendly form).
     """
     agg_expr = {"sum": F.sum(value), "count": F.count(value), "avg": F.avg(value)}[agg]
-    return df.groupBy(row).pivot(col).agg(agg_expr)
+    pivoted = df.groupBy(row).pivot(col, values) if values else df.groupBy(row).pivot(col)
+    return pivoted.agg(agg_expr)
 
 
 def chi2_components(df: DataFrame, row: str, col: str, weight: str | None = None) -> DataFrame:

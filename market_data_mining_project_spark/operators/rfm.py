@@ -91,19 +91,33 @@ def ntile_scores(rfm: DataFrame, customer: str, quantiles: int = 5) -> DataFrame
 
 
 def quantile_edge_scores(
-    rfm: DataFrame, quantiles: int = 5, relative_error: float = 1e-4
+    rfm: DataFrame, quantiles: int = 5, relative_error: float = 1e-4,
+    exact: bool = False, out_suffix: str = "",
 ) -> DataFrame:
-    """Scale path: score by comparison against approxQuantile edges.
+    """Scale path: score by comparison against quantile edges — no global
+    sort, no single-partition window; fully parallel scoring. This is how
+    the operator survives 10^9 customers.
 
-    One pass computes all 3×(q−1) edges (Greenwald–Khanna sketch, merged
-    across partitions); scoring is then an embarrassingly parallel
-    when-chain. This is how the operator survives 10^9 customers.
-    """
+    ``exact=False`` (default): approxQuantile (Greenwald–Khanna sketch,
+    merged across partitions) — one pass for all 3×(q−1) edges.
+    ``exact=True``: linearly interpolated percentiles (``F.percentile``,
+    numpy/pd.qcut 'linear' semantics = SQL quantile_cont), the oracle-able
+    variant. Edges are rounded to 4dp before comparison so the bucket
+    boundaries are stable across engines' interpolation arithmetic.
+    ``out_suffix`` renames the three score columns (e.g. '_q' to coexist
+    with the NTILE scores)."""
     probs = [i / quantiles for i in range(1, quantiles)]
-    edges = {
-        col: rfm.approxQuantile(col, probs, relative_error)
-        for col in ("recency", "frequency", "monetary")
-    }
+    cols = ("recency", "frequency", "monetary")
+    if exact:
+        row = rfm.agg(
+            *[
+                F.percentile(F.col(c).cast("double"), probs).alias(c)  # type: ignore[arg-type]
+                for c in cols
+            ]
+        ).collect()[0]
+        edges = {c: [round(float(v), 4) for v in row[c]] for c in cols}
+    else:
+        edges = {col: rfm.approxQuantile(col, probs, relative_error) for col in cols}
 
     def score(col: str, invert: bool) -> Column:
         expr = None
@@ -114,10 +128,11 @@ def quantile_edge_scores(
         out = expr.otherwise(quantiles)
         return ((quantiles + 1) - out).cast("int") if invert else out.cast("int")
 
+    s = out_suffix
     return (
-        rfm.withColumn("recency_score", score("recency", invert=True))
-        .withColumn("frequency_score", score("frequency", invert=False))
-        .withColumn("monetary_score", score("monetary", invert=False))
+        rfm.withColumn(f"recency_score{s}", score("recency", invert=True))
+        .withColumn(f"frequency_score{s}", score("frequency", invert=False))
+        .withColumn(f"monetary_score{s}", score("monetary", invert=False))
     )
 
 

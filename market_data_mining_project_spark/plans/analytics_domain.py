@@ -526,6 +526,92 @@ FROM ({SQL_KS_URGENT_VS_LOW})
 """
 
 
+# --- M15 pivot bindings: brand × quarter, brand × segment -------------------------
+
+_QUARTERS = ["Q1", "Q2", "Q3", "Q4"]
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+_QUARTER_CASE = (
+    "CASE WHEN dayofyear(l_shipdate) BETWEEN 1 AND 91 THEN 'Q1' "
+    "WHEN dayofyear(l_shipdate) BETWEEN 92 AND 182 THEN 'Q2' "
+    "WHEN dayofyear(l_shipdate) BETWEEN 183 AND 273 THEN 'Q3' "
+    "ELSE 'Q4' END"
+)
+
+
+def q_pivot_brand_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15 dept×quarter sales matrix analogue (reference views.py:1943-1964:
+    day-band quarters × department, SUM(sales)): brand rows × quarter
+    columns through the generic pivot operator, explicit quarter values so
+    no distinct-collect job runs."""
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    part = load_table(spark, sf_dir, "part")
+    fact = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")), "p_partkey")
+        .withColumn("quarter", F.expr(_QUARTER_CASE))
+        .withColumn("price_d", money("l_extendedprice"))
+    )
+    piv = DIFF.pivot_matrix(fact, "p_brand", "quarter", "price_d", "sum", values=_QUARTERS)
+    return piv.select(
+        "p_brand",
+        *[
+            F.coalesce(F.col(q).cast("double"), F.lit(0.0)).alias(f"{q.lower()}_sales")
+            for q in _QUARTERS
+        ],
+    )
+
+
+SQL_PIVOT_BRAND_QUARTER = f"""
+SELECT p_brand,
+       {", ".join(
+           f"CAST(COALESCE(SUM(CASE WHEN {_QUARTER_CASE} = '{q}' "
+           f"THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS {q.lower()}_sales"
+           for q in _QUARTERS
+       )}
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_pivot_segment_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15 segment×dept transaction-count matrix analogue (reference
+    views.py:2277-2438 pivots store/segment × department counts): brand rows
+    × customer market-segment columns."""
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    part = load_table(spark, sf_dir, "part")
+    fact = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(part.select("p_partkey", "p_brand")), "p_partkey")
+    )
+    piv = DIFF.pivot_matrix(
+        fact, "p_brand", "c_mktsegment", "l_orderkey", "count", values=_SEGMENTS
+    )
+    return piv.select(
+        "p_brand",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}")
+            for s in _SEGMENTS
+        ],
+    )
+
+
+SQL_PIVOT_SEGMENT_BRAND = f"""
+SELECT p_brand,
+       {", ".join(
+           f"COALESCE(COUNT(CASE WHEN c_mktsegment = '{s}' THEN 1 END), 0) AS n_{s.lower()}"
+           for s in _SEGMENTS
+       )}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 # --- M16: data assessment --------------------------------------------------------
 
 
@@ -1027,6 +1113,8 @@ QUERIES = {
     "horizon_labels": q_horizon_labels,
     "horizon_features": q_horizon_features,
     "stat_tests": q_stat_tests,
+    "pivot_brand_quarter": q_pivot_brand_quarter,
+    "pivot_segment_brand": q_pivot_segment_brand,
     "data_assessment": q_data_assessment,
     "brand_predictions": q_brand_predictions,
     "fpgrowth_rules": q_fpgrowth_rules,
@@ -1044,6 +1132,8 @@ ORACLE = {
     "horizon_labels": SQL_HORIZON_LABELS,
     "horizon_features": SQL_HORIZON_FEATURES,
     "stat_tests": SQL_STAT_TESTS,
+    "pivot_brand_quarter": SQL_PIVOT_BRAND_QUARTER,
+    "pivot_segment_brand": SQL_PIVOT_SEGMENT_BRAND,
     "data_assessment": SQL_DATA_ASSESSMENT,
     "brand_predictions": SQL_BRAND_PREDICTIONS,
     "fpgrowth_rules": SQL_FPGROWTH_RULES,

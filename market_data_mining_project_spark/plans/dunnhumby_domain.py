@@ -21,13 +21,17 @@ _RFM_EPOCH = "1995-01-01"
 
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 end-to-end: per-customer RFM metrics → NTILE(5) scores →
-    11-way segment cascade (reference analytics.py:187-328)."""
+    11-way segment cascade (reference analytics.py:187-328), PLUS the
+    scale-path quantile-edge scores (``*_score_q``: value-edge buckets à la
+    pd.qcut, exact interpolated percentiles = DuckDB quantile_cont) so both
+    scoring implementations carry an oracle."""
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "order_day", F.datediff("o_orderdate", F.lit(_RFM_EPOCH).cast("date"))
     )
     segments = RFM.rfm_pipeline(
         orders, customer="o_custkey", basket="o_orderkey", day="order_day", sales="o_totalprice"
     )
+    segments = RFM.quantile_edge_scores(segments, exact=True, out_suffix="_q")
     return segments.select(
         F.col("o_custkey").alias("customer"),
         "last_transaction_day",
@@ -37,6 +41,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recency_score",
         "frequency_score",
         "monetary_score",
+        "recency_score_q",
+        "frequency_score_q",
+        "monetary_score_q",
         "rfm_segment",
         "avg_basket_value",
     )
@@ -58,10 +65,21 @@ WITH base AS (
          CAST(NTILE(5) OVER (ORDER BY frequency ASC, customer ASC) AS INT) AS frequency_score,
          CAST(NTILE(5) OVER (ORDER BY monetary ASC, customer ASC) AS INT) AS monetary_score
   FROM rec
+), edges AS (
+  SELECT [ROUND(e, 4) FOR e IN quantile_cont(CAST(recency AS DOUBLE), [0.2, 0.4, 0.6, 0.8])] AS re,
+         [ROUND(e, 4) FOR e IN quantile_cont(CAST(frequency AS DOUBLE), [0.2, 0.4, 0.6, 0.8])] AS fe,
+         [ROUND(e, 4) FOR e IN quantile_cont(CAST(monetary AS DOUBLE), [0.2, 0.4, 0.6, 0.8])] AS me
+  FROM rec
 )
 SELECT customer, last_transaction_day, recency, frequency,
        ROUND(monetary, 2) AS monetary,
        recency_score, frequency_score, monetary_score,
+       CAST(6 - (1 + CAST(recency > re[1] AS INT) + CAST(recency > re[2] AS INT)
+                   + CAST(recency > re[3] AS INT) + CAST(recency > re[4] AS INT)) AS INT) AS recency_score_q,
+       CAST(1 + CAST(frequency > fe[1] AS INT) + CAST(frequency > fe[2] AS INT)
+              + CAST(frequency > fe[3] AS INT) + CAST(frequency > fe[4] AS INT) AS INT) AS frequency_score_q,
+       CAST(1 + CAST(monetary > me[1] AS INT) + CAST(monetary > me[2] AS INT)
+              + CAST(monetary > me[3] AS INT) + CAST(monetary > me[4] AS INT) AS INT) AS monetary_score_q,
        CASE
          WHEN recency_score >= 4 AND frequency_score >= 4 AND monetary_score >= 4 THEN 'Champions'
          WHEN frequency_score >= 4 AND monetary_score >= 3 THEN 'Loyal Customers'
@@ -76,7 +94,7 @@ SELECT customer, last_transaction_day, recency, frequency,
          ELSE 'Lost'
        END AS rfm_segment,
        ROUND(CASE WHEN frequency > 0 THEN monetary / frequency ELSE 0 END, 6) AS avg_basket_value
-FROM scored
+FROM scored CROSS JOIN edges
 """
 
 

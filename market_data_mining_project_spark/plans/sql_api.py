@@ -55,6 +55,21 @@ JOIN orders ON o_custkey = c_custkey
 GROUP BY n_name
 """
 
+# Banded correlated EXISTS (J6; reference repurchase label ml_models.py:262-293)
+# — Catalyst rewrites the correlated subquery into a left semi join natively;
+# the same text runs on DuckDB, per-row label parity.
+SQL_REPURCHASE_EXISTS = """
+SELECT o1.o_orderkey,
+       o1.o_custkey,
+       CASE WHEN EXISTS (
+           SELECT 1 FROM orders o2
+           WHERE o2.o_custkey = o1.o_custkey
+             AND o2.o_orderdate > o1.o_orderdate
+             AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
+       ) THEN 1 ELSE 0 END AS repurchase_30d
+FROM orders o1
+"""
+
 _VIEWS = ("lineitem", "orders", "customer", "nation")
 
 
@@ -75,10 +90,15 @@ def q_sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, SQL_NATION_REVENUE)
 
 
+def q_sql_repurchase_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, SQL_REPURCHASE_EXISTS)
+
+
 QUERIES = {
     "sql_pricing_summary": q_sql_pricing_summary,
     "sql_segment_revenue": q_sql_segment_revenue,
     "sql_nation_revenue": q_sql_nation_revenue,
+    "sql_repurchase_exists": q_sql_repurchase_exists,
 }
 
 # the oracle is the SAME string Spark executes — by construction
@@ -86,4 +106,5 @@ ORACLE = {
     "sql_pricing_summary": SQL_PRICING_SUMMARY,
     "sql_segment_revenue": SQL_SEGMENT_REVENUE,
     "sql_nation_revenue": SQL_NATION_REVENUE,
+    "sql_repurchase_exists": SQL_REPURCHASE_EXISTS,
 }

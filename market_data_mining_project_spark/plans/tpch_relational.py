@@ -553,6 +553,70 @@ FROM lineitem
 """
 
 
+# --- S9: mutation → recompute-downstream (the immutable-storage idiom) ------------
+
+
+def q_basket_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-mutation path, Spark-first (S9; reference deletes one transaction
+    then UPDATEs the basket's analysis row, views.py:2773-2796). On immutable
+    columnar storage the idiom is delete-as-filter + recompute-downstream
+    (Delta's MERGE/DELETE compiles to the same rewrite): drop the first line
+    of the first multi-line basket, re-aggregate that basket, emit the
+    before/after audit row."""
+    li = _li(spark, sf_dir)
+    basket = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .agg(F.min("l_orderkey").alias("b"))
+    )
+    t = li.join(F.broadcast(basket), li["l_orderkey"] == F.col("b")).drop("b")
+    victim = t.agg(F.min("l_linenumber").alias("vln"))
+    before = t.agg(
+        F.count(F.lit(1)).alias("lines_before"),
+        F.sum("l_quantity").alias("items_before"),
+        F.sum(money("l_extendedprice")).cast("double").alias("value_before"),
+    )
+    after = (
+        t.crossJoin(F.broadcast(victim))
+        .filter(F.col("l_linenumber") != F.col("vln"))
+        .agg(
+            F.count(F.lit(1)).alias("lines_after"),
+            F.sum("l_quantity").alias("items_after"),
+            F.sum(money("l_extendedprice")).cast("double").alias("value_after"),
+        )
+    )
+    return (
+        basket.withColumnRenamed("b", "basket")
+        .crossJoin(F.broadcast(before))
+        .crossJoin(F.broadcast(after))
+    )
+
+
+SQL_BASKET_RECOMPUTE = """
+WITH b AS (
+  SELECT MIN(l_orderkey) AS basket
+  FROM (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) >= 2)
+), t AS (
+  SELECT * FROM lineitem WHERE l_orderkey = (SELECT basket FROM b)
+), v AS (
+  SELECT MIN(l_linenumber) AS vln FROM t
+), before AS (
+  SELECT COUNT(*) AS lines_before,
+         SUM(l_quantity) AS items_before,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value_before
+  FROM t
+), after AS (
+  SELECT COUNT(*) AS lines_after,
+         SUM(l_quantity) AS items_after,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value_after
+  FROM t WHERE l_linenumber <> (SELECT vln FROM v)
+)
+SELECT b.basket, before.*, after.*
+FROM b CROSS JOIN before CROSS JOIN after
+"""
+
+
 # --- O5: custom categorical ordering ----------------------------------------------
 
 _PRIORITY_ORDER = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
@@ -603,6 +667,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "schema_introspect": q_schema_introspect,
     "sales_repair": q_sales_repair,
+    "basket_recompute": q_basket_recompute,
     "categorical_order": q_categorical_order,
 }
 
@@ -624,5 +689,6 @@ ORACLE = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "schema_introspect": SQL_SCHEMA_INTROSPECT,
     "sales_repair": SQL_SALES_REPAIR,
+    "basket_recompute": SQL_BASKET_RECOMPUTE,
     "categorical_order": SQL_CATEGORICAL_ORDER,
 }
