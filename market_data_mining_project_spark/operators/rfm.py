@@ -108,16 +108,35 @@ def quantile_edge_scores(
     with the NTILE scores)."""
     probs = [i / quantiles for i in range(1, quantiles)]
     cols = ("recency", "frequency", "monetary")
+    s = out_suffix
+
     if exact:
-        row = rfm.agg(
+        # fully lazy: one-row edge frame broadcast-cross-joined in, so the
+        # base plan executes ONCE (a driver-side collect here would eagerly
+        # run the upstream plan a second time at query-construction time)
+        edge_row = rfm.agg(
             *[
-                F.percentile(F.col(c).cast("double"), probs).alias(c)  # type: ignore[arg-type]
+                F.round(F.percentile(F.col(c).cast("double"), p), 4).alias(f"__e_{c}_{i}")
                 for c in cols
+                for i, p in enumerate(probs)
             ]
-        ).collect()[0]
-        edges = {c: [round(float(v), 4) for v in row[c]] for c in cols}
-    else:
-        edges = {col: rfm.approxQuantile(col, probs, relative_error) for col in cols}
+        )
+        df = rfm.crossJoin(F.broadcast(edge_row))
+
+        def score_exact(col: str, invert: bool) -> Column:
+            raw: Column = F.lit(1)
+            for i in range(len(probs)):
+                raw = raw + (F.col(col) > F.col(f"__e_{col}_{i}")).cast("int")
+            return (F.lit(quantiles + 1) - raw).cast("int") if invert else raw.cast("int")
+
+        return (
+            df.withColumn(f"recency_score{s}", score_exact("recency", invert=True))
+            .withColumn(f"frequency_score{s}", score_exact("frequency", invert=False))
+            .withColumn(f"monetary_score{s}", score_exact("monetary", invert=False))
+            .drop(*[f"__e_{c}_{i}" for c in cols for i in range(len(probs))])
+        )
+
+    edges = {col: rfm.approxQuantile(col, probs, relative_error) for col in cols}
 
     def score(col: str, invert: bool) -> Column:
         expr = None
@@ -128,7 +147,6 @@ def quantile_edge_scores(
         out = expr.otherwise(quantiles)
         return ((quantiles + 1) - out).cast("int") if invert else out.cast("int")
 
-    s = out_suffix
     return (
         rfm.withColumn(f"recency_score{s}", score("recency", invert=True))
         .withColumn(f"frequency_score{s}", score("frequency", invert=False))

@@ -76,13 +76,13 @@ def test_horizon_predictions_serving_shape(spark, sf_dir):
     rows = q_horizon_predictions(spark, sf_dir).collect()
     assert 0 < len(rows) <= 10
     for r in rows:
-        assert 0.5 < r.ml_prediction_score <= 1.0
+        assert 0.1 < r.ml_prediction_score <= 1.0
         assert 0.0 <= r.confidence <= 1.0
         assert r.confidence <= r.ml_prediction_score + 1e-9
         assert r.predicted_customers >= 1
         assert r.projected_revenue >= 0.0
-        # projection = historical_revenue × (30/90) × confidence, rounded
-        expected = round(r.historical_revenue * (30.0 / 90.0) * r.confidence, 2)
+        # projection = historical_revenue × (90/90) × confidence, rounded
+        expected = round(r.historical_revenue * r.confidence, 2)
         assert abs(r.projected_revenue - expected) <= 0.05 * max(expected, 1.0)
 
 
