@@ -41,6 +41,9 @@ def main() -> None:
         t0 = time.perf_counter()
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop caches a query pinned for its own iterative stages so later
+        # queries aren't measured under another query's memory footprint
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
