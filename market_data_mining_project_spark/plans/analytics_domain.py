@@ -470,58 +470,48 @@ def q_stat_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All four M15 differential tests in one result, tagged by ``test``:
     χ²+Cramér's V (priority × year), Welch t + Cohen's d, Mann-Whitney U +
     rank-biserial, and two-sample KS D (1-URGENT vs 5-LOW order values;
-    reference views.py:1756-1934). Columns not defined for a given test are
-    NULL."""
-    d_null = F.lit(None).cast("double")
-    b_null = F.lit(None).cast("bigint")
+    reference views.py:1756-1934). KS's D is its own effect size; ``dof`` is
+    0.0 where the test has none. All columns non-null so any downstream
+    canonicalizer handles the frame uniformly."""
     chi = q_chi2_priority_year(spark, sf_dir).select(
         F.lit("chi2_priority_year").alias("test"),
         F.col("chi2_stat").alias("statistic"),
         F.col("cramers_v").alias("effect_size"),
         F.col("dof").cast("double").alias("dof"),
-        F.col("n").alias("n_a"),
-        b_null.alias("n_b"),
     )
     welch = q_welch_urgent_vs_low(spark, sf_dir).select(
         F.lit("welch_urgent_vs_low").alias("test"),
         F.col("t_stat").alias("statistic"),
         F.col("cohens_d").alias("effect_size"),
         F.col("dof"),
-        b_null.alias("n_a"),
-        b_null.alias("n_b"),
     )
     mwu = q_mannwhitney_urgent_vs_low(spark, sf_dir).select(
         F.lit("mannwhitney_urgent_vs_low").alias("test"),
         F.col("u_stat").alias("statistic"),
         F.col("rank_biserial").alias("effect_size"),
-        d_null.alias("dof"),
-        F.col("n_urgent").alias("n_a"),
-        F.col("n_low").alias("n_b"),
+        F.lit(0.0).alias("dof"),
     )
     ks = q_ks_urgent_vs_low(spark, sf_dir).select(
         F.lit("ks_urgent_vs_low").alias("test"),
         F.col("ks_d").alias("statistic"),
-        d_null.alias("effect_size"),
-        d_null.alias("dof"),
-        b_null.alias("n_a"),
-        b_null.alias("n_b"),
+        F.col("ks_d").alias("effect_size"),
+        F.lit(0.0).alias("dof"),
     )
     return chi.unionByName(welch).unionByName(mwu).unionByName(ks)
 
 
 SQL_STAT_TESTS = f"""
 SELECT 'chi2_priority_year' AS test, chi2_stat AS statistic, cramers_v AS effect_size,
-       CAST(dof AS DOUBLE) AS dof, n AS n_a, CAST(NULL AS BIGINT) AS n_b
+       CAST(dof AS DOUBLE) AS dof
 FROM ({SQL_CHI2_PRIORITY_YEAR})
 UNION ALL
-SELECT 'welch_urgent_vs_low', t_stat, cohens_d, dof, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+SELECT 'welch_urgent_vs_low', t_stat, cohens_d, dof
 FROM ({SQL_WELCH_URGENT_VS_LOW})
 UNION ALL
-SELECT 'mannwhitney_urgent_vs_low', u_stat, rank_biserial, CAST(NULL AS DOUBLE), n_urgent, n_low
+SELECT 'mannwhitney_urgent_vs_low', u_stat, rank_biserial, 0.0
 FROM ({SQL_MANNWHITNEY_URGENT_VS_LOW})
 UNION ALL
-SELECT 'ks_urgent_vs_low', ks_d, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+SELECT 'ks_urgent_vs_low', ks_d, ks_d, 0.0
 FROM ({SQL_KS_URGENT_VS_LOW})
 """
 
