@@ -55,3 +55,33 @@ def test_pairwise_rules_prunes_before_self_join(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     # the semi-join against frequent items feeds the pair join
     assert "LeftSemi" in plan
+
+
+def test_monthly_sales_salts_the_aggregation(spark, sf_dir):
+    """The A7 rollup must run as the two-phase salted aggregate — the salt
+    column appears in the partial grouping keys and never in the output."""
+    plan = _plan(spark, sf_dir, "monthly_sales")
+    assert "__salt" in plan
+    df = entry_mod.queries()["monthly_sales"](spark, sf_dir)
+    assert "__salt" not in df.columns
+
+
+def test_sql_exists_rewrites_to_semi_join(spark, sf_dir):
+    """The banded correlated EXISTS through the SQL text API must compile to
+    a semi join, not a per-row subquery."""
+    plan = _plan(spark, sf_dir, "sql_repurchase_exists")
+    assert "LeftSemi" in plan or "ExistenceJoin" in plan.replace(" ", "")
+
+
+def test_horizon_features_broadcasts_brand_stats(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "horizon_features")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pivot_queries_single_aggregate_with_broadcast_dim(spark, sf_dir):
+    for name in ("pivot_brand_quarter", "pivot_segment_brand"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name  # part dim broadcast
+        # explicit pivot values: no separate distinct-collect aggregate for
+        # the column domain — the pivot is one hash aggregate over the fact
+        assert plan.count("CollectLimit") == 0, name
