@@ -214,21 +214,24 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .withColumn("cluster", F.col("doc"))
         .localCheckpoint(eager=True)
     )
+    # Size-gate the in-loop broadcasts: labels covers every doc touched by a
+    # dup edge — at web-crawl dup rates (30-50%) that is multi-GB, and an
+    # unconditional broadcast hint would OOM the driver. The count is cheap
+    # (labels is already checkpoint-materialized) and constant across
+    # iterations; above the gate both joins stay co-partitioned shuffle
+    # joins on doc ids, with AQE free to re-plan per round.
+    small_graph = labels.count() <= 2_000_000
+    hint = F.broadcast if small_graph else (lambda df: df)
     for _ in range(max_iterations):
-        # no broadcast hints here: labels covers every doc touched by a dup
-        # edge, which at web-crawl dup rates (30-50%) is multi-GB — a forced
-        # broadcast would OOM the driver. Both joins key on doc ids, so the
-        # shuffle join is co-partitioned across iterations, and AQE still
-        # converts to broadcast at runtime when labels measures small.
         neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["doc"])
+            edges.join(hint(labels), edges["dst"] == labels["doc"])
             .groupBy("src")
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
         # checkpoint each round: keeps lineage flat so iteration i+1 reads
         # materialized labels instead of replaying i rounds of joins
         updated = (
-            labels.join(neighbor_min, labels["doc"] == neighbor_min["src"], "left")
+            labels.join(hint(neighbor_min), labels["doc"] == neighbor_min["src"], "left")
             .select(
                 "doc",
                 F.least(
