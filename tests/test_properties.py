@@ -79,6 +79,42 @@ def test_rule_metrics_bounded(spark, baskets):
 
 @given(rows=rows_strategy)
 @settings(**_SETTINGS)
+def test_salted_agg_equals_plain_groupby(spark, rows):
+    """The skew-salted two-phase aggregate must be result-identical to the
+    plain groupBy for every decomposable function, including the
+    salt-on-counted-column count_distinct."""
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    salted = R.salted_agg(
+        df,
+        keys=["k"],
+        aggs={
+            "n": ("count", "v"),
+            "mx": ("max", "v"),
+            "mn": ("min", "v"),
+            "n_t": ("count_distinct", "t"),
+        },
+        salt_buckets=4,
+        salt_col="t",
+    ).collect()
+    plain = {
+        r["k"]: r
+        for r in df.groupBy("k")
+        .agg(
+            F.count("v").alias("n"),
+            F.max("v").alias("mx"),
+            F.min("v").alias("mn"),
+            F.countDistinct("t").alias("n_t"),
+        )
+        .collect()
+    }
+    assert len(salted) == len(plain)
+    for r in salted:
+        p = plain[r["k"]]
+        assert (r["n"], r["mx"], r["mn"], r["n_t"]) == (p["n"], p["mx"], p["mn"], p["n_t"])
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
 def test_ntile_scores_in_range_and_balanced(spark, rows):
     df = spark.createDataFrame(rows, ["k", "t", "v"]).dropDuplicates(["k"])
     scored = R.ntile_score(df, F.col("v"), 5, "score", tiebreak=F.col("k"))
