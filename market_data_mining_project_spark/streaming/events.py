@@ -120,6 +120,30 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with state
+    bounded by the watermark (``dropDuplicatesWithinWatermark`` — keys older
+    than the delay are evicted, so state never grows unbounded). This is the
+    ingestion-side twin of :func:`operators.dedup.exact_dedup`: dedup at
+    ingest with bounded state, then the batch pass handles anything that
+    slipped across watermark horizons.
+
+    Default key = the content hash of the payload columns, the
+    training-data-pipeline shape (drop replayed/duplicated events before
+    they reach the corpus).
+    """
+    if keys is None:
+        payload = [c for c in stream.columns if c != time_col]
+        stream = stream.withColumn("__content_key", F.md5(F.concat_ws("\x1f", *payload)))
+        keys = ["__content_key"]
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_bounded(
     query_df: DataFrame, sink_table: str, checkpoint_dir: str, output_mode: str = "append"
 ) -> None:

@@ -57,6 +57,36 @@ def test_streaming_approx_users_close_to_exact(spark, sf_dir):
     assert approx == pytest.approx(exact, rel=0.15)
 
 
+def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
+    """Ingest-side dedup: replayed (duplicate-payload) events within the
+    watermark are dropped; bounded replay emits exactly the distinct set."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(5):  # 5 distinct events...
+        for rep in range(3):  # ...each replayed 3x within a minute
+            rows.append((i, base + dt.timedelta(seconds=10 * i + rep), float(i)))
+    src = tmp_path / "stream_src"
+    spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, value DOUBLE").coalesce(
+        1
+    ).write.parquet(str(src))
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    deduped = EV.streaming_dedup(stream, watermark="1 hour")
+    EV.run_bounded(deduped, "dedup_sink", str(tmp_path / "ck"))
+    out = spark.table("dedup_sink").collect()
+    assert len(out) == 5
+    assert sorted(r.user_id for r in out) == list(range(5))
+
+
 def test_media_mean_byte_ground_truth(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     media = MM.attach_media(docs, "doc_id", "text")
