@@ -41,7 +41,11 @@ def pivot_matrix(
     output schema (the scale-friendly form).
     """
     agg_expr = {"sum": F.sum(value), "count": F.count(value), "avg": F.avg(value)}[agg]
-    pivoted = df.groupBy(row).pivot(col, values) if values else df.groupBy(row).pivot(col)
+    pivoted = (
+        df.groupBy(row).pivot(col, values)
+        if values is not None
+        else df.groupBy(row).pivot(col)
+    )
     return pivoted.agg(agg_expr)
 
 

@@ -111,9 +111,10 @@ def quantile_edge_scores(
     s = out_suffix
 
     if exact:
-        # fully lazy: one-row edge frame broadcast-cross-joined in, so the
-        # base plan executes ONCE (a driver-side collect here would eagerly
-        # run the upstream plan a second time at query-construction time)
+        # fully lazy: one-row edge frame broadcast-cross-joined in — no
+        # eager collect at query-CONSTRUCTION time. The rfm subtree still
+        # appears twice in the final plan (edge agg + probe side); callers
+        # with an expensive upstream should cache it before scoring.
         edge_row = rfm.agg(
             *[
                 F.round(F.percentile(F.col(c).cast("double"), p), 4).alias(f"__e_{c}_{i}")

@@ -783,7 +783,10 @@ def _horizon_feature_parts(spark: SparkSession, sf_dir: str):
     Variance is computed from exact DECIMAL power sums (Σx, Σx²) so the
     result is partition-order independent — a double-summed stddev would be
     nondeterministic at scale. Labels are cached: the range join feeds brand
-    stats, the feature join AND (in serving) the training frame."""
+    stats, the feature join AND (in serving) the training frame. The cache
+    is session-scoped (Spark dedups identical plans in the CacheManager);
+    long-lived sessions replaying the catalog should clearCache() between
+    sweeps, as bench.py does."""
     fact = _brand_fact(spark, sf_dir)
     labels = q_horizon_labels(spark, sf_dir).cache()
     p = money("l_extendedprice")

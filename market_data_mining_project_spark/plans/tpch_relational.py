@@ -304,10 +304,12 @@ def q_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-bucket rollup (A7) computed through the skew-resistant salted
     two-phase aggregation — result-identical to the plain groupBy, which is
     exactly what the oracle checks. At 100 TB a hot month (holiday spike)
-    overwhelms a single reducer; salting bounds every reducer at
-    1/salt_buckets of the hot key. countDistinct salts on the counted column
-    (o_custkey) so each customer lands in exactly one bucket and the
-    per-bucket distinct counts sum exactly."""
+    overwhelms a single reducer; salting on hash(o_custkey) spreads the hot
+    month's rows across customer-hash buckets, so no reducer sees more of a
+    month than its largest single customer. (countDistinct exactness forces
+    the salt to be the counted column — each customer must land in exactly
+    one bucket — so single-customer skew specifically is NOT split; for
+    that shape use a row-random salt and drop the distinct count.)"""
     orders = _orders(spark, sf_dir).withColumn(
         "month_bucket", F.year("o_orderdate") * 100 + F.month("o_orderdate")
     ).withColumn("price_d", money("o_totalprice"))

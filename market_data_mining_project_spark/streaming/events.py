@@ -137,11 +137,18 @@ def streaming_dedup(
     training-data-pipeline shape (drop replayed/duplicated events before
     they reach the corpus).
     """
+    drop_after = []
     if keys is None:
         payload = [c for c in stream.columns if c != time_col]
-        stream = stream.withColumn("__content_key", F.md5(F.concat_ws("\x1f", *payload)))
-        keys = ["__content_key"]
-    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+        # to_json(struct(...)) is an unambiguous serialization: NULLs stay
+        # distinguishable from empty strings and no separator character can
+        # collide adjacent fields (concat_ws would conflate both)
+        stream = stream.withColumn(
+            "__content_key", F.md5(F.to_json(F.struct(*payload)))
+        )
+        keys = drop_after = ["__content_key"]
+    out = stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return out.drop(*drop_after) if drop_after else out
 
 
 def run_bounded(

@@ -76,7 +76,9 @@ def test_horizon_predictions_serving_shape(spark, sf_dir):
     rows = q_horizon_predictions(spark, sf_dir).collect()
     assert 0 < len(rows) <= 10
     for r in rows:
-        assert 0.1 < r.ml_prediction_score <= 1.0
+        # >= : the score is rounded to 3dp, so a passing average can land
+        # exactly on the 0.1 threshold
+        assert 0.1 <= r.ml_prediction_score <= 1.0
         assert 0.0 <= r.confidence <= 1.0
         assert r.confidence <= r.ml_prediction_score + 1e-9
         assert r.predicted_customers >= 1

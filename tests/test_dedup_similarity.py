@@ -45,11 +45,7 @@ def test_ngram_jaccard_df_cap_keeps_recall(spark, sf_dir):
         ).collect()
     }
     assert truth, "fixture should contain near-dup pairs"
-    assert truth <= capped or truth == capped, (
-        f"df cap lost pairs: {truth - capped}"
-    )
-    recall = len(truth & capped) / len(truth)
-    assert recall == 1.0, f"df-cap recall {recall:.2f}"
+    assert truth <= capped, f"df cap lost pairs: {truth - capped}"
 
 
 def test_simhash_flags_exact_dups(spark, sf_dir):

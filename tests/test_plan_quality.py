@@ -82,6 +82,15 @@ def test_pivot_queries_single_aggregate_with_broadcast_dim(spark, sf_dir):
     for name in ("pivot_brand_quarter", "pivot_segment_brand"):
         plan = _plan(spark, sf_dir, name)
         assert "BroadcastHashJoin" in plan, name  # part dim broadcast
-        # explicit pivot values: no separate distinct-collect aggregate for
-        # the column domain — the pivot is one hash aggregate over the fact
-        assert plan.count("CollectLimit") == 0, name
+
+
+def test_pivot_matrix_explicit_values_pin_schema(spark):
+    """Explicit pivot values must fix the output schema independent of the
+    data — on an empty frame the columns still appear (the contract the
+    eager distinct-collect path cannot honor)."""
+    from market_data_mining_project_spark.operators import diff as DIFF
+
+    empty = spark.createDataFrame([], "r STRING, c STRING, v DOUBLE")
+    piv = DIFF.pivot_matrix(empty, "r", "c", "v", "sum", values=["x", "y"])
+    assert piv.columns == ["r", "x", "y"]
+    assert piv.count() == 0
