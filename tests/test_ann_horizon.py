@@ -68,6 +68,25 @@ def test_horizon_grid_trains_all_kinds(spark, sf_dir):
         assert trained.metrics["f1"] > 0.3, (kind, trained.metrics)
 
 
+def test_horizon_grid_trains_per_horizon(spark, sf_dir):
+    """M9 trains SEPARATE models per horizon (reference train_models,
+    ml_models.py:661-686): every horizon target fits and scores sanely."""
+    from market_data_mining_project_spark.ml.pipelines import train_classifier
+    from market_data_mining_project_spark.plans.analytics_domain import (
+        HORIZON_FEATURE_COLS,
+        q_horizon_features,
+    )
+
+    feats = q_horizon_features(spark, sf_dir).coalesce(4).cache()
+    for target in ("buy_30d", "buy_90d", "buy_180d", "buy_365d"):
+        trained = train_classifier(
+            feats, HORIZON_FEATURE_COLS, target, kind="random_forest",
+            overrides={"numTrees": 10, "maxDepth": 5},
+        )
+        assert 0.0 <= trained.metrics["accuracy"] <= 1.0, target
+        assert trained.metrics["f1"] > 0.3, (target, trained.metrics)
+
+
 def test_horizon_predictions_serving_shape(spark, sf_dir):
     """M9 serving: brand rollup of >0.5-probability predictions with revenue
     projection (reference ml_models.py:703-745). Gates ranges + shape."""
