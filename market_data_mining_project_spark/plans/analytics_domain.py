@@ -910,9 +910,22 @@ def q_horizon_predictions(
         train_classifier,
     )
 
+    from market_data_mining_project_spark.operators.relational import stratified_sample
+
     fact, labels, cust_stats, brand_stats, dept_freq = _horizon_feature_parts(spark, sf_dir)
+    feats = _build_horizon_features(labels, cust_stats, brand_stats, dept_freq)
+    # Bounded training set, like the reference's sample_size=100000 with
+    # per-month-bucket stratification (ml_models.py:246-320): cap rows per
+    # (day // 30) time bucket with a deterministic hash order, so training
+    # cost stays fixed as the fact table scales and every period is
+    # represented. ~100 buckets x 1000 = the reference's 100k budget.
     feats = (
-        _build_horizon_features(labels, cust_stats, brand_stats, dept_freq)
+        stratified_sample(
+            feats,
+            bucket=F.expr("day div 30"),
+            per_bucket=1000,
+            order_key=F.md5(F.concat_ws("|", "o_custkey", "p_brand", "day")),
+        )
         .coalesce(4)
         .cache()
     )

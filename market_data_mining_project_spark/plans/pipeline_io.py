@@ -34,12 +34,17 @@ def _bounded(df: DataFrame, prefix: str, output_mode: str = "append") -> DataFra
 
 def q_streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window event stats, bounded replay (append mode:
-    only watermark-finalized windows are emitted)."""
+    only watermark-finalized windows are emitted). Window start exported as
+    epoch seconds — integers canonicalize identically everywhere, timestamps
+    are engine-format dependent."""
     stream = EV.read_event_stream(spark, sf_dir)
     stats = EV.windowed_event_stats(stream, "1 day", "1 hour")
     out = _bounded(stats, "win_stats")
     # approx_count_distinct has no DuckDB twin — exactness is pytest-gated
-    return out.select("window_start", "event_type", "events", "total_value")
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "event_type", "events", "total_value",
+    )
 
 
 SQL_STREAMING_WINDOW_STATS = """
@@ -47,25 +52,31 @@ WITH e AS (SELECT ts, event_type, value FROM events),
 mx AS (SELECT MAX(ts) AS mx FROM e),
 w AS (
   -- epoch_ms//1000: integer seconds (epoch() returns fractional double)
-  SELECT CAST(to_timestamp((epoch_ms(ts) // 1000 // 86400) * 86400) AS TIMESTAMP) AS window_start,
+  SELECT (epoch_ms(ts) // 1000 // 86400) * 86400 AS window_start_epoch,
          event_type, value
   FROM e
 )
-SELECT window_start, event_type,
+SELECT window_start_epoch, event_type,
        COUNT(*) AS events,
        ROUND(SUM(value), 2) AS total_value
 FROM w
-WHERE window_start + INTERVAL 1 DAY <= (SELECT mx FROM mx) - INTERVAL 1 HOUR
+WHERE CAST(to_timestamp(window_start_epoch) AS TIMESTAMP) + INTERVAL 1 DAY <= (SELECT mx FROM mx) - INTERVAL 1 HOUR
 GROUP BY 1, 2
 """
 
 
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based per-user sessionization (session_window, 30 min gap),
-    bounded replay with the same watermark-finalization rule."""
+    bounded replay with the same watermark-finalization rule. Session bounds
+    exported as epoch seconds (integer canonicalization)."""
     stream = EV.read_event_stream(spark, sf_dir)
     sess = EV.sessionize_events(stream, "30 minutes", "1 hour")
-    return _bounded(sess, "sessions")
+    return _bounded(sess, "sessions").select(
+        "user_id",
+        F.col("session_start").cast("long").alias("session_start_epoch"),
+        F.col("session_end").cast("long").alias("session_end_epoch"),
+        "events", "session_value",
+    )
 
 
 SQL_STREAMING_SESSIONS = """
@@ -88,7 +99,10 @@ flagged AS (
          ROUND(SUM(value), 2) AS session_value
   FROM s GROUP BY user_id, sid
 )
-SELECT user_id, session_start, session_end, events, session_value
+SELECT user_id,
+       epoch_ms(session_start) // 1000 AS session_start_epoch,
+       epoch_ms(session_end) // 1000 AS session_end_epoch,
+       events, session_value
 FROM agg
 WHERE session_end <= (SELECT mx FROM mx) - INTERVAL 1 HOUR
 """
