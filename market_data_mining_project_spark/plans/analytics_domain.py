@@ -918,22 +918,23 @@ def q_horizon_predictions(
     # per-month-bucket stratification (ml_models.py:246-320): cap rows per
     # (day // 30) time bucket with a deterministic hash order, so training
     # cost stays fixed as the fact table scales and every period is
-    # represented. ~100 buckets x 1000 = the reference's 100k budget.
+    # represented. ~85 buckets × 250 ≈ a 21k budget — the same ~4% sampling
+    # ratio the reference applies to its 2.6M-row table.
     feats = (
         stratified_sample(
             feats,
             bucket=F.expr("day div 30"),
-            per_bucket=1000,
+            per_bucket=250,
             order_key=F.md5(F.concat_ws("|", "o_custkey", "p_brand", "day")),
         )
         .coalesce(4)
         .cache()
     )
-    # maxIter trimmed from the reference's 300 — converges on this feature
-    # scale well before that, and the serving query runs per bench round
+    # maxIter trimmed from the reference's 300 — on the bounded sample LBFGS
+    # reaches its plateau (line-search stalls) within ~25 iterations
     trained = train_classifier(
         feats, HORIZON_FEATURE_COLS, "buy_90d", kind="neural_network",
-        overrides={"maxIter": 40},
+        overrides={"maxIter": 25},
     )
 
     max_day = fact.agg(F.max("day").alias("mx"))
