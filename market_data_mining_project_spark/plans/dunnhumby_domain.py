@@ -10,7 +10,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from market_data_mining_project_spark.functions.expressions import money
 from market_data_mining_project_spark.operators import rfm as RFM
 from market_data_mining_project_spark.operators import rules as RULES
 from market_data_mining_project_spark.operators.basket import department_mix

@@ -5,7 +5,6 @@ column pruning in ReadSchema."""
 
 from __future__ import annotations
 
-import pytest
 
 import __spark_entry__ as entry_mod
 

@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import math
 
-import pytest
 from pyspark.sql import functions as F
 
 from market_data_mining_project_spark.operators import recommend as REC
