@@ -290,11 +290,13 @@ FROM labels GROUP BY cluster
 
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus preparation — the composition every piece
-    above exists for, in one lazy plan: language ID → quality floor → exact
-    dedup (md5 keep-min-id) → near-dup clustering (exact Jaccard ≥ 0.5 with
-    the hot-shingle cap) → keep one representative per cluster → per-language
-    doc/token budget report. Rows-only (the cluster step is iterative);
-    consistency is pytest-gated (tests/test_dedup_similarity.py)."""
+    above exists for: language ID → quality floor → exact dedup (md5
+    keep-min-id) → near-dup clustering (exact Jaccard ≥ 0.5 with the
+    hot-shingle cap) → keep one representative per cluster → per-language
+    doc/token budget report. The clustering step is iterative and runs at
+    construction time (label-propagation checkpoints) — this call IS the
+    pipeline execution, not a lazy plan. Rows-only; the keep-one-per-cluster
+    contract is pytest-gated (tests/test_dedup_similarity.py)."""
     docs = load_table(spark, sf_dir, "documents")
     prof = TXT.text_profile(TXT.detect_language(docs, "text"), "text")
     kept = prof.filter(F.col("quality") >= 0.3)

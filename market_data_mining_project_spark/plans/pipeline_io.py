@@ -60,7 +60,10 @@ SELECT window_start_epoch, event_type,
        COUNT(*) AS events,
        ROUND(SUM(value), 2) AS total_value
 FROM w
-WHERE CAST(to_timestamp(window_start_epoch) AS TIMESTAMP) + INTERVAL 1 DAY <= (SELECT mx FROM mx) - INTERVAL 1 HOUR
+-- pure integer-second comparison: to_timestamp() would be TIMESTAMPTZ and
+-- session-timezone dependent; flooring mx to seconds preserves the
+-- predicate because window ends are whole seconds
+WHERE window_start_epoch + 86400 <= epoch_ms((SELECT mx FROM mx)) // 1000 - 3600
 GROUP BY 1, 2
 """
 

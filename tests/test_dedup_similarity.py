@@ -97,12 +97,19 @@ def test_corpus_prep_consistency(spark, sf_dir):
     report = {r.detected_lang: r for r in q_corpus_prep(spark, sf_dir).collect()}
     assert report, "corpus prep should keep documents"
     total_kept = sum(r.docs_kept for r in report.values())
-    # never more docs than the quality-filtered distinct-text upper bound
+    # recompute the stage outputs independently: the kept total must equal
+    # exact-deduped docs minus near-dup cluster members plus one
+    # representative per cluster — the keep-one contract, exactly
     prof = TXT.text_profile(TXT.detect_language(docs, "text"), "text")
-    upper = (
-        prof.filter(F.col("quality") >= 0.3).select(F.md5("text")).distinct().count()
+    kept = D.exact_dedup(prof.filter(F.col("quality") >= 0.3), "text", "doc_id")
+    pairs = D.ngram_jaccard_pairs(
+        kept, "text", "doc_id", shingle_n=3, threshold=0.5, max_shingle_df=100
     )
-    assert 0 < total_kept <= upper
+    clusters = D.dup_clusters(pairs.select("doc_a", "doc_b"))
+    n_kept = kept.count()
+    members = clusters.count()
+    n_clusters = clusters.select("cluster").distinct().count()
+    assert total_kept == n_kept - members + n_clusters
     for r in report.values():
         assert r.avg_quality >= 0.3
         assert r.bpe_tokens > 0
