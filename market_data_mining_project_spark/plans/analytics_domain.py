@@ -913,6 +913,11 @@ def q_horizon_predictions(
     from market_data_mining_project_spark.operators.relational import stratified_sample
 
     fact, labels, cust_stats, brand_stats, dept_freq = _horizon_feature_parts(spark, sf_dir)
+    # both the training-feature join and the serving-state join consume these
+    # per-customer/per-pair stat frames — cache the (small) aggregates so the
+    # fact table is scanned once per stat, not twice
+    cust_stats = cust_stats.cache()
+    dept_freq = dept_freq.cache()
     feats = _build_horizon_features(labels, cust_stats, brand_stats, dept_freq)
     # Bounded training set, like the reference's sample_size=100000 with
     # per-month-bucket stratification (ml_models.py:246-320): cap rows per
