@@ -140,6 +140,47 @@ def test_csv_validated_quarantines_bad_rows_and_orphans(spark, tmp_path):
     assert [r.id for r in load.fk_orphans.collect()] == [3]
 
 
+def test_jsonl_roundtrip_validates_and_quarantines(spark, tmp_path):
+    """JSONL corpus interchange: malformed lines quarantined, FK orphans
+    split out, valid docs round-trip export → import unchanged."""
+    from market_data_mining_project_spark.sources import jsonl_io
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "lang": "en", "text": "hello world"}\n'
+        '{"doc_id": "not_a_number", "lang": "en", "text": "bad id"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 3, "lang": "zz", "text": "orphan lang"}\n'
+        '{"doc_id": 4, "lang": "fr", "text": "bonjour"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    dim = spark.createDataFrame([("en",), ("fr",)], ["lang"])
+    load = jsonl_io.read_jsonl_validated(spark, str(src), schema, fk=("lang", dim))
+    assert sorted(r.doc_id for r in load.valid.collect()) == [1, 4]
+    assert load.rejected.count() == 2
+    assert [r.doc_id for r in load.fk_orphans.collect()] == [3]
+
+    out = tmp_path / "out.jsonl"
+    jsonl_io.export_jsonl(load.valid, str(out), columns=["doc_id", "text"])
+    back = jsonl_io.read_jsonl_validated(
+        spark,
+        str(out),
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+        ),
+    )
+    assert {(r.doc_id, r.text) for r in back.valid.collect()} == {
+        (1, "hello world"), (4, "bonjour"),
+    }
+    assert back.rejected.count() == 0
+
+
 def test_csv_export_caps_and_headers(spark, sf_dir, tmp_path):
     orders = load_table(spark, sf_dir, "orders")
     out = str(tmp_path / "export")
