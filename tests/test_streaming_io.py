@@ -140,6 +140,33 @@ def test_csv_validated_quarantines_bad_rows_and_orphans(spark, tmp_path):
     assert [r.id for r in load.fk_orphans.collect()] == [3]
 
 
+def test_text_profile_runs_unchanged_on_stream(spark, sf_dir, tmp_path):
+    """Replay/live symmetry for the text pipeline: the same pure-column text
+    operators (language ID, quality, fingerprint) run on a stream without
+    modification, and a bounded replay reproduces the batch result exactly."""
+    from market_data_mining_project_spark.operators import text as TXT
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = {
+        r.doc_id: (r.detected_lang, r.quality, r.fingerprint)
+        for r in TXT.text_profile(TXT.detect_language(docs, "text"), "text")
+        .select("doc_id", "detected_lang", "quality", "fingerprint")
+        .collect()
+    }
+    src = str(tmp_path / "docs_src")
+    docs.select("doc_id", "lang", "text").write.parquet(src)
+    stream = spark.readStream.schema("doc_id LONG, lang STRING, text STRING").parquet(src)
+    profiled = TXT.text_profile(TXT.detect_language(stream, "text"), "text").select(
+        "doc_id", "detected_lang", "quality", "fingerprint"
+    )
+    EV.run_bounded(profiled, "text_profile_stream", str(tmp_path / "ck"))
+    streamed = {
+        r.doc_id: (r.detected_lang, r.quality, r.fingerprint)
+        for r in spark.table("text_profile_stream").collect()
+    }
+    assert streamed == batch
+
+
 def test_jsonl_roundtrip_validates_and_quarantines(spark, tmp_path):
     """JSONL corpus interchange: malformed lines quarantined, FK orphans
     split out, valid docs round-trip export → import unchanged."""
