@@ -65,10 +65,12 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
-def overwrite_table(df: DataFrame, path: str) -> None:
+def overwrite_table(df: DataFrame, path: str, format: str = "parquet") -> None:
     """Derived-table refresh (reference's delete-all-then-recreate,
-    analytics.py:294-313) as one atomic parquet overwrite."""
-    df.write.mode("overwrite").parquet(path)
+    analytics.py:294-313) as one atomic columnar overwrite. ``format``
+    accepts any columnar source Spark ships ("parquet", "orc") — both carry
+    column stats so predicate pushdown and pruning work identically."""
+    df.write.mode("overwrite").format(format).save(path)
 
 
 def plan_has_shuffle(df: DataFrame) -> bool:

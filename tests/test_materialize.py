@@ -78,3 +78,24 @@ def test_dynamic_partition_overwrite_touches_only_new_partitions(spark, sf_dir, 
     assert after.filter(F.col("o_year") != 1996).count() == before_other
     assert after.filter((F.col("o_year") == 1996) & (F.col("o_totalprice") != 1.0)).count() == 0
     assert after.filter(F.col("o_year") == 1996).count() == patch.count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC is a first-class columnar sink: values round-trip exactly and
+    predicates still push down to the ORC scan."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_orc")
+    MAT.overwrite_table(orders, path, format="orc")
+    back = spark.read.orc(path)
+    assert back.count() == orders.count()
+    assert sorted(back.columns) == sorted(orders.columns)
+    filtered = back.filter(F.col("o_orderkey") > 5000)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThan(o_orderkey,5000)" in plan.replace(" ", "").replace("\n", "")
+    spark_sum = orders.filter(F.col("o_orderkey") > 5000).agg(
+        F.sum("o_orderkey")
+    ).collect()[0][0]
+    assert filtered.agg(F.sum("o_orderkey")).collect()[0][0] == spark_sum
