@@ -77,6 +77,46 @@ def test_rule_metrics_bounded(spark, baskets):
         assert r.pair_baskets <= r.consequent_baskets
 
 
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=_texts)
+@settings(**_SETTINGS)
+def test_fingerprint_order_and_duplication_insensitive(spark, texts):
+    """The document fingerprint is defined over the sorted distinct token
+    set — token order and duplication must not change it."""
+    import random
+
+    from market_data_mining_project_spark.operators import text as TXT
+
+    rng = random.Random(7)
+    rows = []
+    for i, t in enumerate(texts):
+        toks = t.split()
+        shuffled = toks * 2
+        rng.shuffle(shuffled)
+        rows.append((i, t, " ".join(shuffled)))
+    df = spark.createDataFrame(rows, ["i", "orig", "scrambled"])
+    got = df.select(
+        "i",
+        TXT.fingerprint(F.col("orig")).alias("fp_a"),
+        TXT.fingerprint(F.col("scrambled")).alias("fp_b"),
+        TXT.token_count(F.col("orig")).alias("ws"),
+        (TXT.bpe_ish_token_count(F.col("orig")) >= TXT.token_count(F.col("orig"))).alias("bpe_ge_ws"),
+    ).collect()
+    for r in got:
+        assert r.fp_a == r.fp_b, (r.i, texts[r.i])
+        assert r.bpe_ge_ws  # every ws token splits into >= 1 BPE-ish run
+
+
 @given(rows=rows_strategy)
 @settings(**_SETTINGS)
 def test_salted_agg_equals_plain_groupby(spark, rows):
