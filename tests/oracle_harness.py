@@ -107,7 +107,10 @@ def run_all(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, list
         if name not in oracles:
             df = fn(spark, sf_dir)
             n = df.count()
-            results[name] = [] if n >= 0 else [f"{name}: rows-only check failed"]
+            # every rows-only query in this catalog produces rows at every
+            # test scale — an empty result is a silent regression (e.g. a
+            # score threshold filtering everything out)
+            results[name] = [] if n > 0 else [f"{name}: rows-only result is empty"]
             continue
         try:
             df = fn(spark, sf_dir)
