@@ -158,13 +158,15 @@ WITH m AS (
   SELECT media_id, n_bytes, i * 4 AS chunk_index
   FROM m, UNNEST(range(0, (n_chunks + 3) // 4)) t(i)
 ), fr AS (
+  -- CAST: DuckDB SUM(BIGINT) yields HUGEINT which canonicalizes as float
+  -- (157.0 vs Spark's long 157) and breaks the value hash
   SELECT media_id, COUNT(*) AS frames,
-         SUM(LEAST(256, n_bytes - chunk_index * 256)) AS sampled_bytes
+         CAST(SUM(LEAST(256, n_bytes - chunk_index * 256)) AS BIGINT) AS sampled_bytes
   FROM f GROUP BY media_id
 )
 SELECT m.media_id, m.n_bytes, m.n_chunks, m.format,
-       COALESCE(fr.frames, 0) AS frames,
-       COALESCE(fr.sampled_bytes, 0) AS sampled_bytes
+       CAST(COALESCE(fr.frames, 0) AS BIGINT) AS frames,
+       CAST(COALESCE(fr.sampled_bytes, 0) AS BIGINT) AS sampled_bytes
 FROM m LEFT JOIN fr ON m.media_id = fr.media_id
 """
 
