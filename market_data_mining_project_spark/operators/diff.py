@@ -141,17 +141,34 @@ def welch_t_test(df: DataFrame, group: str, value: str, g1, g2) -> dict:
 
 
 def rank_sums(df: DataFrame, group: str, value: str) -> DataFrame:
-    """Average ranks over the pooled sample (tie-aware), reduced to per-group
-    rank sums. The global ordering is one ``Window.orderBy`` — at scale use a
-    range-partitioned sort; the downstream reduce is map-side."""
-    w_all = Window.orderBy(F.col(value).asc())
-    ranked = df.select(group, value).withColumn(
-        # average rank for ties: (first_rank + last_rank)/2 per tied value
-        "avg_rank",
-        F.avg(F.row_number().over(w_all)).over(Window.partitionBy(value)),
+    """Tie-aware average-rank sums WITHOUT ranking individual rows.
+
+    Two phases: (1) one map-side-combinable aggregate collapses the pooled
+    sample to per-(value, group) counts — |distinct values| ≪ N rows; (2) a
+    cumulative window over that small per-value frame derives each value's
+    average rank analytically (rows_before + (ties+1)/2), and the per-group
+    rank sum is Σ n_g(v)·avg_rank(v). Full rows never funnel through a
+    single-partition sort — only the distinct-value histogram does. (The
+    reference instead caps the sample at 2.5K rows, views.py:1708-1754; this
+    stays exact AND distributed.)"""
+    per_gv = df.groupBy(value, group).agg(
+        F.count(F.lit(1)).cast("double").alias("n_gv")
     )
-    return ranked.groupBy(group).agg(
-        F.sum("avg_rank").alias("rank_sum"), F.count(F.lit(1)).cast("double").alias("n")
+    vals = per_gv.groupBy(value).agg(F.sum("n_gv").alias("t"))
+    w_cum = Window.orderBy(F.col(value).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked_vals = vals.withColumn("cum_t", F.sum("t").over(w_cum)).withColumn(
+        # ranks occupied by a tied value v: (cum_t - t, cum_t]; their mean
+        "avg_rank", F.col("cum_t") - F.col("t") + (F.col("t") + F.lit(1.0)) / 2.0
+    )
+    return (
+        per_gv.join(F.broadcast(ranked_vals.select(value, "avg_rank")), value)
+        .groupBy(group)
+        .agg(
+            F.sum(F.col("n_gv") * F.col("avg_rank")).alias("rank_sum"),
+            F.sum("n_gv").alias("n"),
+        )
     )
 
 
@@ -192,28 +209,25 @@ def mann_whitney_u(df: DataFrame, group: str, value: str, g1, g2) -> dict:
 
 
 def ks_statistic(df: DataFrame, group: str, value: str, g1, g2) -> DataFrame:
-    """Distributed two-sample KS D: per-value ECDF step deltas via windows.
+    """Distributed two-sample KS D = max over pooled values of |ECDF₁ − ECDF₂|.
 
-    D = max over pooled values of |ECDF₁ − ECDF₂|. Single global sort window
-    (same scale caveat as rank_sums)."""
+    Same two-phase shape as ``rank_sums``: per-value group counts first (one
+    map-side-combinable aggregate — ties collapse here, so the ECDF step at a
+    tied value completes naturally), then cumulative sums over the small
+    distinct-value histogram. No row-level global sort."""
     sub = df.filter(F.col(group).isin([g1, g2])).select(group, value)
-    counts = sub.groupBy(group).agg(F.count(F.lit(1)).cast("double").alias("n_g"))
+    per_v = sub.groupBy(value).agg(
+        F.sum(F.when(F.col(group) == g1, 1.0).otherwise(0.0)).alias("t1"),
+        F.sum(F.when(F.col(group) == g2, 1.0).otherwise(0.0)).alias("t2"),
+    )
     w = Window.orderBy(F.col(value).asc()).rowsBetween(Window.unboundedPreceding, 0)
-    flagged = sub.withColumn("is1", F.when(F.col(group) == g1, 1.0).otherwise(0.0)).withColumn(
-        "is2", F.when(F.col(group) == g2, 1.0).otherwise(0.0)
+    cdf = per_v.withColumn("c1", F.sum("t1").over(w)).withColumn(
+        "c2", F.sum("t2").over(w)
     )
-    n1 = counts.filter(F.col(group) == g1).select("n_g")
-    n2 = counts.filter(F.col(group) == g2).select("n_g")
-    cdf = (
-        flagged.withColumn("c1", F.sum("is1").over(w))
-        .withColumn("c2", F.sum("is2").over(w))
-        # at ties, the ECDF step completes only after the last tied row
-        .groupBy(value)
-        .agg(F.max("c1").alias("c1"), F.max("c2").alias("c2"))
+    totals = per_v.agg(F.sum("t1").alias("n1"), F.sum("t2").alias("n2"))
+    return cdf.crossJoin(F.broadcast(totals)).select(
+        F.max(F.abs(F.col("c1") / F.col("n1") - F.col("c2") / F.col("n2"))).alias("ks_d")
     )
-    return cdf.crossJoin(F.broadcast(n1.withColumnRenamed("n_g", "n1"))).crossJoin(
-        F.broadcast(n2.withColumnRenamed("n_g", "n2"))
-    ).select(F.max(F.abs(F.col("c1") / F.col("n1") - F.col("c2") / F.col("n2"))).alias("ks_d"))
 
 
 def ks_test(df: DataFrame, group: str, value: str, g1, g2) -> dict:

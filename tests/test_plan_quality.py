@@ -93,3 +93,33 @@ def test_pivot_matrix_explicit_values_pin_schema(spark):
     piv = DIFF.pivot_matrix(empty, "r", "c", "v", "sum", values=["x", "y"])
     assert piv.columns == ["r", "x", "y"]
     assert piv.count() == 0
+
+
+def test_rank_windows_rank_the_histogram_not_rows(spark, sf_dir):
+    """MWU/KS scale guard: the unpartitioned cumulative window must sit over
+    the distinct-value aggregate (|V| rows), never over raw rows — in the
+    printed plan tree (parent before child) an aggregate must appear between
+    the deepest Window node and the file scan."""
+    from pyspark.sql import functions as F
+
+    from market_data_mining_project_spark.operators import diff as DIFF
+    from market_data_mining_project_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("v")
+    )
+    frames = {
+        "rank_sums": DIFF.rank_sums(orders, "o_orderpriority", "v"),
+        "ks_statistic": DIFF.ks_statistic(
+            orders, "o_orderpriority", "v", "1-URGENT", "5-LOW"
+        ),
+    }
+    for name, frame in frames.items():
+        lines = frame._jdf.queryExecution().executedPlan().toString().splitlines()
+        win_idx = [i for i, l in enumerate(lines) if "Window" in l]
+        assert win_idx, f"{name}: expected a Window node"
+        below = lines[max(win_idx):]
+        agg_i = next((i for i, l in enumerate(below) if "HashAggregate" in l), None)
+        scan_i = next((i for i, l in enumerate(below) if "Scan" in l), None)
+        assert agg_i is not None and scan_i is not None, f"{name}: {lines}"
+        assert agg_i < scan_i, f"{name}: window ranks raw rows\n" + "\n".join(lines)
