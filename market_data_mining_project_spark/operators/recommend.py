@@ -103,6 +103,7 @@ def cosine_cf_scores(
     k: int = 5,
     min_sim: float = 0.0,
     max_neighbors: int | None = None,
+    ui: DataFrame | None = None,
 ) -> DataFrame:
     """User-user CF recommendations (M13; collab_filter.py:21-114).
 
@@ -115,8 +116,13 @@ def cosine_cf_scores(
     users (fine for its 2.5K households, collab_filter.py:58-73), but the
     scoring join is |sims|×|items per neighbor|, so at 10⁸ users an uncapped
     neighborhood is the bottleneck. None = exact reference semantics.
+
+    Pass a prebuilt ``ui`` (user, item, cnt) matrix — e.g. the materialized
+    derived table shared with the hybrid/ALS paths — to skip re-aggregating
+    the fact; ``fact`` is then unused and may be None.
     """
-    ui = user_item_counts(fact, user, item)
+    if ui is None:
+        ui = user_item_counts(fact, user, item)
     qu = query_users.select(F.col(query_users.columns[0]).alias("user")).distinct()
     sims = user_similarities(ui, qu).filter(F.col("sim") > min_sim)
     if max_neighbors is not None:
@@ -153,32 +159,47 @@ def als_recommendations(
     rank: int = 8,
     reg: float = 0.1,
     seed: int = 42,
+    ui: DataFrame | None = None,
 ) -> DataFrame:
     """Implicit-feedback ALS — the 100 TB replacement for all-pairs cosine
     (SURVEY §7.4.10: the reference's dense pivot is fine for 2.5K households,
-    not for 10⁸ users). Requires integer user/item ids.
+    not for 10⁸ users). Requires integer user ids. A prebuilt ``ui`` matrix
+    (user, item, cnt) skips the fact aggregation (``fact`` may then be None).
 
     Returns (user, item, score, rec_rank) like :func:`cosine_cf_scores`.
     """
     if not HAS_ALS:  # pragma: no cover
         raise NotImplementedError("pyspark.ml.recommendation.ALS unavailable")
+    if ui is None:
+        ui = user_item_counts(fact, user, item)
     # ALS iterates over the ratings many times; cache the aggregated matrix
     # and right-size partitions so the sequential iterations aren't
     # scheduling-bound on near-empty tasks. Derived from defaultParallelism
     # (not a literal): a fixed coalesce(8) would cap every ALS iteration at
     # 8-way parallelism on a billion-row user-item matrix.
-    target = max(8, fact.sparkSession.sparkContext.defaultParallelism // 4)
-    ui = user_item_counts(fact, user, item).coalesce(target).cache()
-    # ALS requires numeric item ids — index categorical items deterministically
-    # (dense_rank over the sorted distinct values; the map-back join is tiny).
+    target = max(8, ui.sparkSession.sparkContext.defaultParallelism // 4)
+    ui = ui.coalesce(target).cache()
+    # ALS requires numeric item ids — index categorical items via a
+    # range-partitioned sort + zipWithIndex: distributed AND deterministic
+    # (the sort's range bounds are seeded deterministically, the offsets come
+    # from one per-partition count job). A dense_rank over an unpartitioned
+    # Window would funnel every distinct item through a single task —
+    # harmless for brands, a wall if someone binds product ids. Cached so the
+    # forward join and the map-back join see identical ids.
     numeric_items = dict(ui.dtypes)["item"] not in ("string",)
     if not numeric_items:
-        item_ids = (
-            ui.select("item")
-            .distinct()
-            .withColumn("item_id", F.dense_rank().over(Window.orderBy("item")))
-        )
-        ui = ui.join(F.broadcast(item_ids), "item").select(
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        item_ids = ui.sparkSession.createDataFrame(
+            ui.select("item").distinct().sort("item").rdd
+            .map(lambda r: r[0])
+            .zipWithIndex(),
+            StructType(
+                [StructField("item", StringType()), StructField("item_id", LongType())]
+            ),
+        ).withColumn("item_id", (F.col("item_id") + 1).cast("int")).cache()
+        # no broadcast hint: AQE broadcasts while |items| is small, shuffles when not
+        ui = ui.join(item_ids, "item").select(
             "user", F.col("item_id").alias("item"), "cnt", F.col("item").alias("item_label")
         )
     als = ALS(
@@ -204,7 +225,7 @@ def als_recommendations(
     if not numeric_items:
         out = (
             out.join(
-                F.broadcast(item_ids.withColumnRenamed("item", "item_label")),
+                item_ids.withColumnRenamed("item", "item_label"),
                 out["item"] == item_ids["item_id"],
             )
             .drop("item", "item_id")
