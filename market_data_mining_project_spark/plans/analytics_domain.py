@@ -47,19 +47,42 @@ _SQL_BRAND_FACT = f"""
 """
 
 
+_UI_MATRIX_PATHS: dict[str, str] = {}
+
+
+def _ui_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (user=o_custkey, item=p_brand, cnt) purchase matrix every
+    recommender needs — materialized ONCE per sf_dir via the S5
+    derived-table refresh (``materialize.overwrite_table``) and re-read from
+    parquet. cf / hybrid / als each pay one small columnar scan instead of
+    re-running the 3-table fact join + aggregation (the reference caches the
+    same derived table in SQL Server, views.py:85-121)."""
+    import tempfile
+
+    from market_data_mining_project_spark.sources import materialize as MAT
+
+    path = _UI_MATRIX_PATHS.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ui_matrix_") + "/ui"
+        MAT.overwrite_table(
+            REC.user_item_counts(_brand_fact(spark, sf_dir), "o_custkey", "p_brand"),
+            path,
+        )
+        _UI_MATRIX_PATHS[sf_dir] = path
+    return spark.read.parquet(path)
+
+
 # --- M13: user-user cosine CF -------------------------------------------------
 
 
 def q_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-user cosine CF over (customer × brand) purchase counts
     (M13; reference collab_filter.py:21-114). Query users: custkey % 100 = 0."""
-    fact = _brand_fact(spark, sf_dir)
-    query_users = fact.select(F.col("o_custkey").alias("user")).filter(
-        F.col("user") % 100 == 0
-    ).distinct()
-    return REC.cosine_cf_scores(fact, "o_custkey", "p_brand", query_users, k=5).withColumnRenamed(
-        "user", "o_custkey"
-    )
+    ui = _ui_matrix(spark, sf_dir)
+    query_users = ui.select("user").filter(F.col("user") % 100 == 0).distinct()
+    return REC.cosine_cf_scores(
+        None, "o_custkey", "p_brand", query_users, k=5, ui=ui
+    ).withColumnRenamed("user", "o_custkey")
 
 
 SQL_CF_RECOMMENDATIONS = f"""
@@ -109,9 +132,9 @@ def q_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     assoc score = max(confidence × lift) of brand rules whose antecedent the
     user purchased; CF score from M13; each max-normalized per user,
     blended α=0.6, purchased brands excluded, top-5."""
-    fact = _brand_fact(spark, sf_dir)
     query_users = (
-        fact.select(F.col("o_custkey").alias("user"))
+        _ui_matrix(spark, sf_dir)
+        .select("user")
         .filter(F.col("user") % 100 == 0)
         .distinct()
     )
@@ -121,10 +144,10 @@ def q_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, part, key="p_partkey", category="p_brand", basket="l_orderkey",
         min_support=0.02, min_confidence=0.05, item_cap=None,
     )
-    # cache the small aggregated matrix (users × brands), which the purchased
-    # set, the assoc path and the blend all reuse — NOT the wide fact (its
-    # cache write costs more than the rescans it saves)
-    ui = REC.user_item_counts(fact, "o_custkey", "p_brand").cache()
+    # the shared materialized matrix (users × brands): the purchased set, the
+    # assoc path, the CF path and the blend all reuse the same parquet-backed
+    # derived table — never the wide fact
+    ui = _ui_matrix(spark, sf_dir)
     purchased = ui.join(F.broadcast(query_users), "user").select("user", "item")
     assoc = (
         purchased.join(rules, purchased["item"] == rules["antecedent"])
@@ -133,7 +156,7 @@ def q_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user", F.col("rec_item").alias("item"), "score")
     )
     cf = (
-        REC.cosine_cf_scores(fact, "o_custkey", "p_brand", query_users, k=25)
+        REC.cosine_cf_scores(None, "o_custkey", "p_brand", query_users, k=25, ui=ui)
         .select("user", "item", "score")
     )
     blended = REC.hybrid_blend(assoc, cf, purchased, alpha=0.6, k=5)
@@ -960,7 +983,14 @@ def q_horizon_predictions(
         .join(dept_freq, ["o_custkey", "p_brand"])
     )
     scored = score_with_probability(trained.model, state, out="p_buy")
-    accuracy = float(trained.metrics.get("accuracy", 0.75))
+    if "accuracy" not in trained.metrics:
+        # a missing metric means the eval split degenerated — surface it,
+        # don't substitute a constant into confidence/projected_revenue
+        raise ValueError(
+            "brand prediction training produced no accuracy metric; "
+            f"got {sorted(trained.metrics)}"
+        )
+    accuracy = float(trained.metrics["accuracy"])
     horizon_days, window_days = 90.0, 90.0
     dept = (
         scored.filter(F.col("p_buy") > min_score)
@@ -1085,8 +1115,10 @@ WHERE CAST(cu AS DOUBLE) / ca >= 0.05
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Implicit ALS recs (M13 scale path) — rows-only; recall vs exact CF is
     pytest-checked."""
-    fact = _brand_fact(spark, sf_dir)
-    return REC.als_recommendations(fact, "o_custkey", "p_brand", k=5, rank=8, seed=42)
+    ui = _ui_matrix(spark, sf_dir)
+    return REC.als_recommendations(
+        None, "o_custkey", "p_brand", k=5, rank=8, seed=42, ui=ui
+    )
 
 
 def q_churn_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

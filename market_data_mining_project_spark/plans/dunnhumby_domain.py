@@ -29,7 +29,8 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     segments = RFM.rfm_pipeline(
         orders, customer="o_custkey", basket="o_orderkey", day="order_day", sales="o_totalprice"
-    )
+    ).cache()  # the edge aggregate re-embeds its input subtree — cache so the
+    # NTILE pipeline runs once, not once per quantile cross join
     segments = RFM.quantile_edge_scores(segments, exact=True, out_suffix="_q")
     return segments.select(
         F.col("o_custkey").alias("customer"),
