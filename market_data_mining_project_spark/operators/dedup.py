@@ -149,7 +149,10 @@ def ngram_jaccard_pairs(
     index BEFORE the self-join (standard practice — a shingle in 10⁶ docs
     carries no near-dup signal but would emit 10¹² pairs). Sizes are
     computed over the filtered shingle space so Jaccard stays internally
-    consistent; None (the oracled default) keeps the metric exact.
+    consistent; None (the oracled default) keeps the metric exact. The
+    capped metric can move either way near the threshold (dropping hot
+    shingles shrinks |A∪B| too) — the regression test bounds both the lost-
+    pair and admitted-pair sides.
     """
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")

@@ -46,6 +46,20 @@ def test_ngram_jaccard_df_cap_keeps_recall(spark, sf_dir):
     }
     assert truth, "fixture should contain near-dup pairs"
     assert truth <= capped, f"df cap lost pairs: {truth - capped}"
+    # the cap shrinks |A∪B| too, so it can ADMIT pairs as well as lose them —
+    # bound that false-positive side: any capped-only pair must still have a
+    # true (uncapped) Jaccard near the 0.5 threshold, never a far-off pair
+    extra = capped - truth
+    if extra:
+        true_j = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in D.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.0).collect()
+        }
+        for pair in extra:
+            assert true_j.get(pair, 0.0) >= 0.4, (
+                f"df cap admitted far-from-threshold pair {pair} "
+                f"(true jaccard {true_j.get(pair, 0.0)})"
+            )
 
 
 def test_simhash_flags_exact_dups(spark, sf_dir):
