@@ -330,8 +330,23 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries, "embedding", "vec_id", k=5, n_cells=16, nprobe=4)
 
 
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate nearest neighbors — the second ANN scale path
+    next to :func:`q_ivf_topk`: candidates only within matching
+    hyperplane-sign buckets across independent hash tables, verified with
+    exact cosine. Rows-only: the seeded random hyperplanes are not SQL;
+    recall vs exact cosine is pytest-gated
+    (tests/test_dedup_similarity.py::test_lsh_topk_recall_vs_exact_cosine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.lsh_topk(
+        emb, queries, "embedding", "vec_id", k=5, dim=64, bits=4, tables=16, seed=42
+    )
+
+
 QUERIES = {
     "dup_clusters": q_dup_clusters,
+    "lsh_topk": q_lsh_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "token_stats": q_token_stats,
     "ivf_topk": q_ivf_topk,

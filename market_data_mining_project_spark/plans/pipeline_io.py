@@ -120,6 +120,24 @@ def q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bounded(totals, "user_totals", output_mode="update")
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-side exact dedup (``dropDuplicatesWithinWatermark``): replayed
+    payloads — same (user, type, value, props) re-sent under a fresh
+    event_id — are dropped while their key is younger than the watermark, so
+    state stays bounded. Bounded replay, then a batch rollup of the surviving
+    events. Rows-only: watermark-scoped streaming state is not SQL; the
+    drop-replays contract is pytest-gated
+    (tests/test_streaming_io.py::test_streaming_dedup_drops_replayed_events)."""
+    stream = EV.read_event_stream(spark, sf_dir).drop("event_id")
+    deduped = EV.streaming_dedup(stream, watermark="1 hour")
+    out = _bounded(deduped, "stream_dedup")
+    return out.agg(
+        F.count(F.lit(1)).alias("events_after_dedup"),
+        F.countDistinct("user_id").alias("users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 # --- Multimodal columns ---------------------------------------------------------
 
 
@@ -220,6 +238,7 @@ QUERIES = {
     "streaming_window_stats": q_streaming_window_stats,
     "streaming_sessions": q_streaming_sessions,
     "running_user_totals": q_running_user_totals,
+    "streaming_dedup": q_streaming_dedup,
     "media_pipeline": q_media_pipeline,
     "csv_roundtrip": q_csv_roundtrip,
 }
@@ -230,4 +249,5 @@ ORACLE = {
     "media_pipeline": SQL_MEDIA_PIPELINE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
     # running_user_totals: rows-only (stateful op; pytest checks vs batch agg)
+    # streaming_dedup: rows-only (watermark-scoped state; pytest replay gate)
 }
