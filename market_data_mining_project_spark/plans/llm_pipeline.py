@@ -295,8 +295,10 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-shingle cap) → keep one representative per cluster → per-language
     doc/token budget report. The clustering step is iterative and runs at
     construction time (label-propagation checkpoints) — this call IS the
-    pipeline execution, not a lazy plan. Rows-only; the keep-one-per-cluster
-    contract is pytest-gated (tests/test_dedup_similarity.py)."""
+    pipeline execution, not a lazy plan. Oracled end-to-end: SQL_CORPUS_PREP
+    re-expresses every stage (incl. the recursive-CTE closure) as one DuckDB
+    statement; the keep-one-per-cluster contract is additionally pytest-gated
+    (tests/test_dedup_similarity.py)."""
     docs = load_table(spark, sf_dir, "documents")
     prof = TXT.text_profile(TXT.detect_language(docs, "text"), "text")
     kept = prof.filter(F.col("quality") >= 0.3)
@@ -319,6 +321,96 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("detected_lang")
     )
+
+
+#: The full pipeline as ONE DuckDB statement — language ID + quality floor
+#: (SQL_TEXT_PROFILE semantics), md5 keep-min exact dedup, the capped-shingle
+#: Jaccard pair detection (df > 100 shingles dropped BEFORE the self-join,
+#: sizes recomputed over the filtered space — identical to
+#: operators/dedup.py ngram_jaccard_pairs(max_shingle_df=100)), recursive-CTE
+#: transitive closure for clusters, keep-one-per-cluster, per-language budget.
+SQL_CORPUS_PREP = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+), prof AS (
+  SELECT doc_id, text, ts,
+         len(ts) AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS praw,
+         CASE WHEN len(ts) > 0
+              THEN CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
+              ELSE 0.0 END AS diversity,
+         len(list_filter(ts, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS h_en,
+         len(list_filter(ts, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS h_es,
+         len(list_filter(ts, x -> list_contains(['le','la','de','et','un','est','que','en','du','les'], x))) AS h_fr,
+         len(list_filter(ts, x -> list_contains(['der','die','das','und','ist','in','den','von','zu','mit'], x))) AS h_de
+  FROM toks
+), scored AS (
+  SELECT doc_id, text, ts,
+         CASE
+           WHEN GREATEST(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+           WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+           WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+           WHEN h_en >= h_de THEN 'en'
+           ELSE 'de'
+         END AS detected_lang,
+         ROUND((CASE WHEN n_tokens >= 5 AND n_tokens <= 10000 THEN 1.0 ELSE 0.5 END)
+               * (1.0 - praw) * (0.5 + diversity / 2), 6) AS quality
+  FROM prof
+), floor_kept AS (
+  SELECT * FROM scored WHERE quality >= 0.3
+), exact_kept AS (
+  SELECT doc_id, text, ts, detected_lang, quality
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+        FROM floor_kept)
+  WHERE rn = 1
+), sh0 AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+  FROM exact_kept, UNNEST(range(1, GREATEST(len(ts) - 2, 1) + 1)) AS r(i)
+), sh AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle NOT IN (
+    SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 100)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pair AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 6) >= 0.5
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pair
+  UNION
+  SELECT doc_b, doc_a FROM pair
+), reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), labels AS (
+  SELECT src AS doc, LEAST(src, MIN(dst)) AS cluster
+  FROM reach GROUP BY src
+), final AS (
+  SELECT k.*
+  FROM exact_kept k
+  LEFT JOIN labels l ON k.doc_id = l.doc
+  WHERE l.cluster IS NULL OR k.doc_id = l.cluster
+)
+SELECT detected_lang,
+       COUNT(*) AS docs_kept,
+       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+'))) AS BIGINT) AS bpe_tokens,
+       ROUND(AVG(quality), 6) AS avg_quality
+FROM final
+GROUP BY detected_lang
+ORDER BY detected_lang
+"""
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,7 +454,9 @@ ORACLE = {
     "dup_clusters": SQL_DUP_CLUSTERS,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "token_stats": SQL_TOKEN_STATS,
+    "corpus_prep": SQL_CORPUS_PREP,
     # ivf_topk: rows-only (KMeans cells; pytest recall gate)
+    # lsh_topk: rows-only (seeded hyperplanes; pytest recall gate)
     "text_profile": SQL_TEXT_PROFILE,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

@@ -227,34 +227,59 @@ SELECT *, 'keyset' AS page_method FROM (
 """
 
 
-# --- U2/A13: dedup keep-max then verify by aggregate ---------------------------
+# --- U2/A13 + P8: one table-health audit row (dedup keep-max ⨯ dirty repair) ----
 
 
-def q_dedup_keep_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_repair_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-health audit in one row — the U2/A13 keep-max dedup aggregate
+    cross-joined with the P8 dirty-data-repair aggregate (reference
+    ``UPDATE ... SET sales_value=0 WHERE sales_value<0``, admin.py:372-380,
+    and the duplicate-line cleanup idiom). Both sides are 1-row aggregates
+    over lineitem; the cross join is a broadcast of scalars, so the plan is
+    two scans + two hash aggregates, no shuffle join."""
     li = _li(spark, sf_dir)
     deduped = R.dedup_keep_max(
         li,
         keys=["l_orderkey", "l_partkey"],
         tiebreak=["l_linenumber", "l_extendedprice", "l_quantity"],
     )
-    return deduped.agg(
+    dedup_agg = deduped.agg(
         F.count(F.lit(1)).alias("dedup_rows"),
         F.sum("l_linenumber").alias("linenumber_sum"),
         F.sum(money("l_extendedprice")).cast("double").alias("dedup_sales"),
     )
+    repaired = li.withColumn(
+        "l_discount_repaired",
+        F.when(F.col("l_discount") < 0, F.lit(0.0)).otherwise(F.col("l_discount")),
+    )
+    repair_agg = repaired.agg(
+        F.count(F.lit(1)).alias("rows_total"),
+        F.count(F.when(F.col("l_discount") < 0, 1)).alias("rows_repaired"),
+        F.round(F.sum("l_discount_repaired"), 4).alias("discount_after_repair"),
+    )
+    return repair_agg.crossJoin(F.broadcast(dedup_agg))
 
 
-SQL_DEDUP_KEEP_MAX = """
+SQL_REPAIR_DEDUP_AUDIT = """
 WITH ranked AS (
   SELECT *, ROW_NUMBER() OVER (
       PARTITION BY l_orderkey, l_partkey
       ORDER BY l_linenumber DESC, l_extendedprice DESC, l_quantity DESC) AS rn
   FROM lineitem
+), dedup AS (
+  SELECT COUNT(*) AS dedup_rows,
+         CAST(SUM(l_linenumber) AS BIGINT) AS linenumber_sum,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS dedup_sales
+  FROM ranked WHERE rn = 1
+), repair AS (
+  SELECT COUNT(*) AS rows_total,
+         COUNT(CASE WHEN l_discount < 0 THEN 1 END) AS rows_repaired,
+         ROUND(SUM(CASE WHEN l_discount < 0 THEN 0.0 ELSE l_discount END), 4) AS discount_after_repair
+  FROM lineitem
 )
-SELECT COUNT(*) AS dedup_rows,
-       CAST(SUM(l_linenumber) AS BIGINT) AS linenumber_sum,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS dedup_sales
-FROM ranked WHERE rn = 1
+SELECT repair.rows_total, repair.rows_repaired, repair.discount_after_repair,
+       dedup.dedup_rows, dedup.linenumber_sum, dedup.dedup_sales
+FROM repair CROSS JOIN dedup
 """
 
 
@@ -528,33 +553,6 @@ WHERE table_name = 'orders'
 """
 
 
-# --- P8: dirty-data repair --------------------------------------------------------
-
-
-def q_sales_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dirty-data repair (P8; reference ``UPDATE ... SET sales_value=0 WHERE
-    sales_value<0``, admin.py:372-380): clamp negative discounts to zero and
-    report the repair as an aggregate audit row."""
-    li = _li(spark, sf_dir)
-    repaired = li.withColumn(
-        "l_discount_repaired",
-        F.when(F.col("l_discount") < 0, F.lit(0.0)).otherwise(F.col("l_discount")),
-    )
-    return repaired.agg(
-        F.count(F.lit(1)).alias("rows_total"),
-        F.count(F.when(F.col("l_discount") < 0, 1)).alias("rows_repaired"),
-        F.round(F.sum("l_discount_repaired"), 4).alias("discount_after_repair"),
-    )
-
-
-SQL_SALES_REPAIR = """
-SELECT COUNT(*) AS rows_total,
-       COUNT(CASE WHEN l_discount < 0 THEN 1 END) AS rows_repaired,
-       ROUND(SUM(CASE WHEN l_discount < 0 THEN 0.0 ELSE l_discount END), 4) AS discount_after_repair
-FROM lineitem
-"""
-
-
 # --- S9: mutation → recompute-downstream (the immutable-storage idiom) ------------
 
 
@@ -659,7 +657,7 @@ QUERIES = {
     "filtered_scan": q_filtered_scan,
     "search_icontains": q_search,
     "pagination": q_pagination,
-    "dedup_keep_max": q_dedup_keep_max,
+    "repair_dedup_audit": q_repair_dedup_audit,
     "order_gaps": q_order_gaps,
     "monthly_sales": q_monthly_sales,
     "conditional_horizons": q_conditional_horizons,
@@ -668,7 +666,6 @@ QUERIES = {
     "pivot_category_year": q_pivot_category_year,
     "stratified_sample": q_stratified_sample,
     "schema_introspect": q_schema_introspect,
-    "sales_repair": q_sales_repair,
     "basket_recompute": q_basket_recompute,
     "categorical_order": q_categorical_order,
 }
@@ -681,7 +678,7 @@ ORACLE = {
     "filtered_scan": SQL_FILTERED_SCAN,
     "search_icontains": SQL_SEARCH,
     "pagination": SQL_PAGINATION,
-    "dedup_keep_max": SQL_DEDUP_KEEP_MAX,
+    "repair_dedup_audit": SQL_REPAIR_DEDUP_AUDIT,
     "order_gaps": SQL_ORDER_GAPS,
     "monthly_sales": SQL_MONTHLY_SALES,
     "conditional_horizons": SQL_CONDITIONAL_HORIZONS,
@@ -690,7 +687,6 @@ ORACLE = {
     "pivot_category_year": SQL_PIVOT_CATEGORY_YEAR,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "schema_introspect": SQL_SCHEMA_INTROSPECT,
-    "sales_repair": SQL_SALES_REPAIR,
     "basket_recompute": SQL_BASKET_RECOMPUTE,
     "categorical_order": SQL_CATEGORICAL_ORDER,
 }
