@@ -1020,6 +1020,68 @@ def q_horizon_predictions(
     return dept.orderBy(F.col("projected_revenue").desc(), F.col("p_brand").asc()).limit(10)
 
 
+def q_model_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9's full training-status surface: the 4-horizon × 4-kind model grid
+    trained in ONE call, emitting the (horizon, kind, metrics) table the
+    reference's training-status API exposes (``ml_models.py:538-594``
+    metrics dict, polled via ``views.py:3119-3127``). Rows-only: MLlib
+    split/boosting internals aren't bit-stable cross-engine; range gates
+    live in tests/test_ann_horizon.py.
+
+    Cost is FIXED as the fact table scales: training runs on the bounded
+    per-time-bucket stratified sample (same cap as ``horizon_predictions``),
+    the feature scaler is fit once and shared across all 16 classifier fits
+    (``train_multi_horizon_grid``), and estimator budgets are trimmed — the
+    capability under test is the metrics *surface*, not leaderboard accuracy."""
+    from market_data_mining_project_spark.ml.pipelines import train_multi_horizon_grid
+    from market_data_mining_project_spark.operators.relational import stratified_sample
+
+    feats = q_horizon_features(spark, sf_dir)
+    feats = (
+        stratified_sample(
+            feats,
+            bucket=F.expr("day div 30"),
+            per_bucket=150,
+            order_key=F.md5(F.concat_ws("|", "o_custkey", "p_brand", "day")),
+        )
+        .coalesce(4)
+        .cache()
+    )
+    label_cols = ("buy_30d", "buy_90d", "buy_180d", "buy_365d")
+    grid = train_multi_horizon_grid(
+        feats,
+        HORIZON_FEATURE_COLS,
+        label_cols,
+        overrides={
+            "random_forest": {"numTrees": 20, "maxDepth": 6},
+            "gradient_boost": {"maxIter": 10},
+            "neural_network": {"maxIter": 15},
+            "svm": {"maxIter": 15},
+        },
+    )
+    feats.unpersist()
+    horizon_days = {"buy_30d": 30, "buy_90d": 90, "buy_180d": 180, "buy_365d": 365}
+    rows = [
+        (
+            horizon_days[label],
+            kind,
+            round(float(m["accuracy"]), 4),
+            round(float(m["weightedPrecision"]), 4),
+            round(float(m["weightedRecall"]), 4),
+            round(float(m["f1"]), 4),
+            round(float(m["auc"]), 4),
+        )
+        for (label, kind), m in sorted(
+            grid.items(), key=lambda kv: (horizon_days[kv[0][0]], kv[0][1])
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "horizon_days int, model_kind string, accuracy double, "
+        "precision double, recall double, f1 double, auc double",
+    )
+
+
 # --- rows-only entries (non-SQL-expressible; pytest carries the ground truth) -----
 
 
@@ -1188,6 +1250,7 @@ QUERIES = {
     "brand_predictions": q_brand_predictions,
     "fpgrowth_rules": q_fpgrowth_rules,
     "horizon_predictions": q_horizon_predictions,
+    "model_grid_metrics": q_model_grid_metrics,
     "als_recommendations": q_als_recommendations,
     "churn_model_scores": q_churn_model_scores,
     "minhash_candidates": q_minhash_candidates,

@@ -87,6 +87,26 @@ def test_horizon_grid_trains_per_horizon(spark, sf_dir):
         assert trained.metrics["f1"] > 0.3, (target, trained.metrics)
 
 
+def test_model_grid_metrics_surface(spark, sf_dir):
+    """M9 training-status surface: the one-call 4×4 grid emits exactly 16
+    (horizon, kind) metric rows with sane ranges (reference training-status
+    JSON, ml_models.py:583-594)."""
+    from market_data_mining_project_spark.plans.analytics_domain import q_model_grid_metrics
+
+    rows = q_model_grid_metrics(spark, sf_dir).collect()
+    assert len(rows) == 16
+    cells = {(r.horizon_days, r.model_kind) for r in rows}
+    assert cells == {
+        (h, k)
+        for h in (30, 90, 180, 365)
+        for k in ("random_forest", "gradient_boost", "neural_network", "svm")
+    }
+    for r in rows:
+        for metric in ("accuracy", "precision", "recall", "f1", "auc"):
+            assert 0.0 <= getattr(r, metric) <= 1.0, (r.horizon_days, r.model_kind, metric)
+        assert r.f1 > 0.3, (r.horizon_days, r.model_kind, r.f1)
+
+
 def test_horizon_predictions_serving_shape(spark, sf_dir):
     """M9 serving: brand rollup of >0.5-probability predictions with revenue
     projection (reference ml_models.py:703-745). Gates ranges + shape."""
