@@ -92,15 +92,6 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: bit b = 1 iff vec · plane_b > 0."""
-    out = F.lit(0).cast("long")
-    for b, plane in enumerate(planes):
-        d = dot(vec, F.array(*[F.lit(w) for w in plane]))
-        out = out + F.when(d > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
-
-
 def cosine_near_dups(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -303,25 +294,54 @@ def lsh_topk(
     """Approximate cosine top-k: compare only within matching sign-LSH
     buckets across ``tables`` independent hash tables, verify with exact
     cosine. At 100 TB the bucket join replaces the full cross product with
-    ~N/2^bits candidates per query per table."""
+    ~N/2^bits candidates per query per table.
+
+    ONE corpus scan: all ``tables`` bucket ids come from a single
+    Arrow-batched matmul against the stacked (tables·bits, dim) hyperplane
+    matrix (vs ``tables`` scan branches each folding ``bits`` interpreted
+    HOF dot products), then posexplode → hash join on (table, bucket). A
+    pair colliding in several tables is admitted only at its FIRST matching
+    table — a cheap probe of the two bucket arrays already on the row — so
+    candidates are unique by construction: no wide dropDuplicates shuffle,
+    and each candidate pays exact-cosine verification exactly once.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    planes = np.array(
+        [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)], dtype="float64"
+    ).reshape(tables * bits, dim)
+    weights = 1 << np.arange(bits, dtype="int64")
+    n_tables = tables
+
+    def _bucket_ids(vecs):
+        m = np.stack(vecs.to_numpy()).astype("float64")  # (batch, dim)
+        signs = (m @ planes.T) > 0  # (batch, tables*bits)
+        codes = (signs.reshape(len(vecs), n_tables, -1) * weights).sum(axis=2)
+        return pd.Series(list(codes.astype("int64")))
+
+    # real class annotations: the module-wide `from __future__ import
+    # annotations` stringifies inline hints, which pandas_udf can't resolve
+    # against a function-local pandas import
+    _bucket_ids.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    bucket_ids = pandas_udf(_bucket_ids, "array<long>")
+
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
-    cand = None
-    for t in range(tables):
-        planes = _hyperplanes(dim, bits, seed + 1000 * t)
-        ct = c.withColumn("bucket", lsh_bucket(F.col("cv"), planes)).withColumn(
-            "tbl", F.lit(t)
-        )
-        qt = q.withColumn("bucket", lsh_bucket(F.col("qv"), planes)).withColumn(
-            "tbl", F.lit(t)
-        )
-        pairs = ct.join(F.broadcast(qt), ["tbl", "bucket"]).select(
-            "query_id", "neighbor_id", "qv", "cv"
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    cb = c.withColumn("c_bs", bucket_ids("cv")).select(
+        "neighbor_id", "cv", "c_bs", F.posexplode("c_bs").alias("tbl", "bucket")
+    )
+    qb = q.withColumn("q_bs", bucket_ids("qv")).select(
+        "query_id", "qv", "q_bs", F.posexplode("q_bs").alias("tbl", "bucket")
+    )
+    first_match = F.when(F.col("tbl") == 0, F.lit(True)).otherwise(
+        ~F.expr("exists(sequence(0, tbl - 1), t -> c_bs[t] = q_bs[t])")
+    )
     scored = (
-        cand.dropDuplicates(["query_id", "neighbor_id"])
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(first_match)
         .select(
             "query_id",
             "neighbor_id",

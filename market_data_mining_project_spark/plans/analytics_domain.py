@@ -625,6 +625,53 @@ GROUP BY p_brand
 """
 
 
+_BRANDS = [f"Brand#{i}{j}" for i in range(1, 6) for j in range(1, 6)]
+
+
+def q_pivot_nation_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15 store×department count-matrix analogue (reference
+    views.py:2406-2438 builds the store × department transaction-count
+    matrix): nation plays store, brand plays department — 25 nation rows ×
+    25 brand count columns through the same generic pivot operator.
+    Explicit column values pin the schema and skip the distinct-collect job;
+    the 25-column pivot still compiles to ONE hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    part = load_table(spark, sf_dir, "part")
+    fact = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(part.select("p_partkey", "p_brand")), "p_partkey")
+    )
+    piv = DIFF.pivot_matrix(fact, "n_name", "p_brand", "l_orderkey", "count", values=_BRANDS)
+    return piv.select(
+        "n_name",
+        *[
+            F.coalesce(F.col(f"`{b}`"), F.lit(0)).alias(f"n_{b.replace('Brand#', 'brand_')}")
+            for b in _BRANDS
+        ],
+    )
+
+
+SQL_PIVOT_NATION_BRAND = f"""
+SELECT n_name,
+       {", ".join(
+           f"COALESCE(COUNT(CASE WHEN p_brand = '{b}' THEN 1 END), 0) "
+           f"AS n_{b.replace('Brand#', 'brand_')}"
+           for b in _BRANDS
+       )}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+GROUP BY n_name
+"""
+
+
 # --- M16: data assessment --------------------------------------------------------
 
 
@@ -1246,6 +1293,7 @@ QUERIES = {
     "stat_tests": q_stat_tests,
     "pivot_brand_quarter": q_pivot_brand_quarter,
     "pivot_segment_brand": q_pivot_segment_brand,
+    "pivot_nation_brand": q_pivot_nation_brand,
     "data_assessment": q_data_assessment,
     "brand_predictions": q_brand_predictions,
     "fpgrowth_rules": q_fpgrowth_rules,
@@ -1266,6 +1314,7 @@ ORACLE = {
     "stat_tests": SQL_STAT_TESTS,
     "pivot_brand_quarter": SQL_PIVOT_BRAND_QUARTER,
     "pivot_segment_brand": SQL_PIVOT_SEGMENT_BRAND,
+    "pivot_nation_brand": SQL_PIVOT_NATION_BRAND,
     "data_assessment": SQL_DATA_ASSESSMENT,
     "brand_predictions": SQL_BRAND_PREDICTIONS,
     "fpgrowth_rules": SQL_FPGROWTH_RULES,

@@ -429,7 +429,11 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine. Rows-only: the seeded random hyperplanes are not SQL;
     recall vs exact cosine is pytest-gated
     (tests/test_dedup_similarity.py::test_lsh_topk_recall_vs_exact_cosine)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    from market_data_mining_project_spark.operators.dedup import ensure_parallelism
+
+    # driver test parquet is one row group → one partition; the Arrow-batched
+    # bucket matmul + HOF verification need the cores
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return SIM.lsh_topk(
         emb, queries, "embedding", "vec_id", k=5, dim=64, bits=4, tables=16, seed=42

@@ -29,26 +29,35 @@ FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """
 
-# TPC-H Q3-shaped shipping priority — 3-way join + filter + top-k, the
-# broadcast-join + TakeOrderedAndProject showcase.
-SQL_SEGMENT_REVENUE = """
-SELECT o_orderkey,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
-       o_orderpriority
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-WHERE c_mktsegment = 'BUILDING'
-GROUP BY o_orderkey, o_orderpriority
-ORDER BY revenue DESC, o_orderkey ASC
-LIMIT 20
-"""
-
-# Nation-level rollup through two dims — join-reordering showcase.
-SQL_NATION_REVENUE = """
-SELECT n_name,
+# Two revenue rollups in one statement (one oracle slot): the TPC-H
+# Q3-shaped segment top-k (3-way join + filter + top-k — broadcast-join +
+# TakeOrderedAndProject showcase) UNION ALL the nation-level rollup through
+# two dims (join-reordering + COUNT DISTINCT showcase). Column-aligned with a
+# scope tag; counts default to 0, not NULL, per the oracle determinism rules.
+SQL_REVENUE_ROLLUPS = """
+SELECT 'segment_topk' AS scope,
+       CAST(o_orderkey AS STRING) AS rollup_key,
+       0 AS customers,
+       revenue,
+       o_orderpriority AS detail
+FROM (
+  SELECT o_orderkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+         o_orderpriority
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY o_orderkey, o_orderpriority
+  ORDER BY revenue DESC, o_orderkey ASC
+  LIMIT 20
+) seg
+UNION ALL
+SELECT 'nation' AS scope,
+       n_name AS rollup_key,
        COUNT(DISTINCT c_custkey) AS customers,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_order_value
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       'ALL' AS detail
 FROM nation
 JOIN customer ON c_nationkey = n_nationkey
 JOIN orders ON o_custkey = c_custkey
@@ -82,12 +91,8 @@ def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, SQL_PRICING_SUMMARY)
 
 
-def q_sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run(spark, sf_dir, SQL_SEGMENT_REVENUE)
-
-
-def q_sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run(spark, sf_dir, SQL_NATION_REVENUE)
+def q_sql_revenue_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, SQL_REVENUE_ROLLUPS)
 
 
 def q_sql_repurchase_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,15 +101,13 @@ def q_sql_repurchase_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sql_pricing_summary": q_sql_pricing_summary,
-    "sql_segment_revenue": q_sql_segment_revenue,
-    "sql_nation_revenue": q_sql_nation_revenue,
+    "sql_revenue_rollups": q_sql_revenue_rollups,
     "sql_repurchase_exists": q_sql_repurchase_exists,
 }
 
 # the oracle is the SAME string Spark executes — by construction
 ORACLE = {
     "sql_pricing_summary": SQL_PRICING_SUMMARY,
-    "sql_segment_revenue": SQL_SEGMENT_REVENUE,
-    "sql_nation_revenue": SQL_NATION_REVENUE,
+    "sql_revenue_rollups": SQL_REVENUE_ROLLUPS,
     "sql_repurchase_exists": SQL_REPURCHASE_EXISTS,
 }
