@@ -78,9 +78,20 @@ def test_horizon_features_broadcasts_brand_stats(spark, sf_dir):
 
 
 def test_pivot_queries_single_aggregate_with_broadcast_dim(spark, sf_dir):
-    for name in ("pivot_brand_quarter", "pivot_segment_brand"):
+    for name in ("pivot_brand_quarter", "pivot_segment_brand", "pivot_nation_brand"):
         plan = _plan(spark, sf_dir, name)
         assert "BroadcastHashJoin" in plan, name  # part dim broadcast
+
+
+def test_lsh_topk_single_scan_no_wide_dedup(spark, sf_dir):
+    """The multi-table LSH bucket join must read the embeddings ONCE (all
+    table buckets from one Arrow matmul, not one scan branch per table) and
+    must not dedup candidate pairs through a shuffle of the vectors — the
+    first-matching-table filter makes pairs unique by construction."""
+    plan = _plan(spark, sf_dir, "lsh_topk")
+    corpus_scans = plan.count("Scan parquet")
+    assert corpus_scans <= 2, f"{corpus_scans} scans (corpus + broadcast queries expected)"
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" not in plan, "bucket UDF not Arrow"
 
 
 def test_pivot_matrix_explicit_values_pin_schema(spark):
