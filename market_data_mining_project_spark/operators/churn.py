@@ -26,6 +26,73 @@ from pyspark.sql import functions as F
 from market_data_mining_project_spark.functions.expressions import money, safe_ratio
 
 
+DEFAULT_SWEEP_THRESHOLDS = tuple(round(0.10 + 0.03 * i, 2) for i in range(7))
+
+
+def churn_threshold_sweep(
+    scored: DataFrame,
+    score: str = "churn_probability",
+    label: str = "churned",
+    thresholds: tuple[float, ...] = DEFAULT_SWEEP_THRESHOLDS,
+) -> DataFrame:
+    """Decision-threshold sweep over an already-scored frame (reference
+    ``Website/market/dunnhumby/management/commands/optimize_churn_model.py:
+    16-57``: sweep ``range(10, 31, 3)``, report accuracy + churn recall per
+    threshold, pick the max-recall one). The reference re-prepares and
+    re-trains a model per threshold; here the model is trained once and the
+    sweep is pure counting over its scores — predicted-churn iff
+    ``score >= t`` — which is what the sweep actually measures.
+
+    ONE scan: every threshold's confusion matrix is a conditional sum in a
+    single global aggregate (map-side combinable, no crossJoin row
+    multiplication, no per-threshold pass), then the 1-row result is
+    unpivoted with ``stack``. Scales as O(rows) regardless of threshold
+    count. Output: (threshold, tp, fp, fn, tn, churn_recall, accuracy,
+    is_best) with is_best = max recall, ties to the lowest threshold
+    (pandas ``idxmax`` keeps the first occurrence).
+    """
+    pos = F.col(label) == 1
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = F.col(score) >= F.lit(float(t))
+        aggs += [
+            F.sum(F.when(pred & pos, 1).otherwise(0)).alias(f"tp_{i}"),
+            F.sum(F.when(pred & ~pos, 1).otherwise(0)).alias(f"fp_{i}"),
+            F.sum(F.when(~pred & pos, 1).otherwise(0)).alias(f"fn_{i}"),
+            F.sum(F.when(~pred & ~pos, 1).otherwise(0)).alias(f"tn_{i}"),
+        ]
+    stacked = ", ".join(
+        f"CAST({t} AS DOUBLE), tp_{i}, fp_{i}, fn_{i}, tn_{i}"
+        for i, t in enumerate(thresholds)
+    )
+    long = scored.agg(*aggs).select(
+        F.expr(f"stack({len(thresholds)}, {stacked}) AS (threshold, tp, fp, fn, tn)")
+    )
+    metrics = long.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            safe_ratio(F.col("tp").cast("double"), (F.col("tp") + F.col("fn")).cast("double")), 6
+        ).alias("churn_recall"),
+        F.round(
+            safe_ratio(
+                (F.col("tp") + F.col("tn")).cast("double"),
+                (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")).cast("double"),
+            ),
+            6,
+        ).alias("accuracy"),
+    )
+    # #thresholds rows total — a global window here is O(len(thresholds)),
+    # not a scale concern
+    best_w = Window.orderBy(F.col("churn_recall").desc(), F.col("threshold").asc())
+    return metrics.withColumn(
+        "is_best", (F.row_number().over(best_w) == 1).cast("int")
+    ).orderBy("threshold")
+
+
 def split_day(fact: DataFrame, day: str, churn_days: int) -> int:
     """``max(day) − churn_days`` computed on the FULL table (analytics.py:456)."""
     return fact.agg(F.max(day)).collect()[0][0] - churn_days

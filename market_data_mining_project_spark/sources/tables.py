@@ -9,6 +9,7 @@ retains pushdown, pruning and partition elimination.
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,21 +37,51 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet footer
-# conversion rejects outright. Reading with an explicit schema (ts: long =
-# nanos since epoch) bypasses footer inference without needing the session
-# config `spark.sql.legacy.parquet.nanosAsLong` (we can't assume the driver's
-# session sets it); `ts` is then re-derived as a micros timestamp column.
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# events.parquet has shipped with two physical encodings of `ts` over time:
+#   * TIMESTAMP(NANOS) / raw int64 nanos — Spark's footer conversion rejects
+#     TIMESTAMP(NANOS) outright, so those files must be read with a forced
+#     `ts: long` schema and re-derived as a micros timestamp (integer `div`).
+#   * TIMESTAMP(MICROS) — a plain read yields correct values; forcing LongType
+#     there would misinterpret micros as nanos (events collapse into Jan 1970).
+# The loader inspects the parquet footer once per path (cached) and picks the
+# matching schema, so either vintage of the testdata reads correctly.
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+@_functools.lru_cache(maxsize=None)
+def events_ts_is_nanos(path: str) -> bool:
+    """True when the parquet footer declares `ts` as int64 or nanosecond
+    timestamps (needs the forced-long + div-1000 workaround); False for the
+    directly-readable micro/millisecond encodings. Footer-only — no data read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):  # partitioned dataset: any one footer is representative
+        for entry in sorted(os.listdir(path)):
+            if entry.endswith(".parquet"):
+                probe = os.path.join(path, entry)
+                break
+    ts_type = pq.ParquetFile(probe).schema_arrow.field("ts").type
+    return pa.types.is_int64(ts_type) or (
+        pa.types.is_timestamp(ts_type) and ts_type.unit == "ns"
+    )
+
+
+def events_read_schema(path: str) -> tuple[T.StructType, bool]:
+    """(forced read schema, needs nanos→micros conversion) for this path."""
+    nanos = events_ts_is_nanos(path)
+    return _events_schema(T.LongType() if nanos else T.TimestampType()), nanos
 
 
 def nanos_to_micros_ts(col: str = "ts"):
@@ -60,8 +91,10 @@ def nanos_to_micros_ts(col: str = "ts"):
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = spark.read.schema(_EVENTS_RAW).parquet(table_path(sf_dir, "events"))
-    return raw.withColumn("ts", nanos_to_micros_ts("ts"))
+    path = table_path(sf_dir, "events")
+    schema, nanos = events_read_schema(path)
+    raw = spark.read.schema(schema).parquet(path)
+    return raw.withColumn("ts", nanos_to_micros_ts("ts")) if nanos else raw
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -23,18 +23,26 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from market_data_mining_project_spark.sources.tables import _EVENTS_RAW, nanos_to_micros_ts
+from market_data_mining_project_spark.sources.tables import (
+    events_read_schema,
+    nanos_to_micros_ts,
+    table_path,
+)
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the testdata events parquet (nanos-ts schema
-    workaround shared with the batch loader, sources/tables.py)."""
+    """File-source stream over the testdata events parquet. Streaming sources
+    require an explicit schema, so we probe the parquet footer (shared with
+    the batch loader, sources/tables.py) to read `ts` with its real physical
+    type — int64-nanos files get the forced-long + div-1000 workaround,
+    timestamp[us] files are read natively."""
+    schema, nanos = events_read_schema(table_path(sf_dir, "events"))
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", nanos_to_micros_ts("ts"))
+    return raw.withColumn("ts", nanos_to_micros_ts("ts")) if nanos else raw
 
 
 def windowed_event_stats(

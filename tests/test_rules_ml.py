@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from market_data_mining_project_spark.operators import recommend as REC
@@ -103,6 +104,54 @@ def test_churn_model_quality(spark, sf_dir):
     trained = train_classifier(feats, cols, "churned", kind="gradient_boost")
     assert trained.metrics["auc"] > 0.55, trained.metrics
     assert trained.metrics["accuracy"] > 0.5, trained.metrics
+
+
+def test_churn_threshold_sweep_matches_driver_recount(spark, sf_dir):
+    """Threshold-sweep gate (reference optimize_churn_model.py): the single
+    scan's per-threshold confusion counts, recall and accuracy must equal a
+    driver-side recomputation over the same (score, label) pairs, and the
+    is_best row must be the max-recall threshold (ties → lowest threshold,
+    pandas idxmax semantics). Runs on a synthetic scored frame so the gate is
+    exact and independent of GBT seed stability."""
+    from market_data_mining_project_spark.operators.churn import (
+        DEFAULT_SWEEP_THRESHOLDS,
+        churn_threshold_sweep,
+    )
+
+    rng_rows = [
+        # (score, label): crafted so recall strictly drops across thresholds
+        (float(f"0.{(7 * i + 3) % 100:02d}"), 1 if i % 3 == 0 else 0)
+        for i in range(200)
+    ]
+    scored = spark.createDataFrame(rng_rows, "churn_probability DOUBLE, churned INT")
+    out = {r.threshold: r for r in churn_threshold_sweep(scored).collect()}
+    assert set(out) == set(DEFAULT_SWEEP_THRESHOLDS)
+
+    best_by_recall = None
+    for t in DEFAULT_SWEEP_THRESHOLDS:
+        tp = sum(1 for s, y in rng_rows if s >= t and y == 1)
+        fp = sum(1 for s, y in rng_rows if s >= t and y == 0)
+        fn = sum(1 for s, y in rng_rows if s < t and y == 1)
+        tn = sum(1 for s, y in rng_rows if s < t and y == 0)
+        r = out[t]
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn), t
+        assert r.churn_recall == pytest.approx(tp / (tp + fn), abs=1e-6), t
+        assert r.accuracy == pytest.approx((tp + tn) / len(rng_rows), abs=1e-6), t
+        if best_by_recall is None or r.churn_recall > best_by_recall[1]:
+            best_by_recall = (t, r.churn_recall)
+    assert [t for t, r in out.items() if r.is_best] == [best_by_recall[0]]
+
+    # end-to-end shape on the real scored frame: one row per threshold,
+    # exactly one winner
+    from market_data_mining_project_spark.plans.analytics_domain import (
+        q_churn_threshold_sweep,
+    )
+
+    sweep = q_churn_threshold_sweep(spark, sf_dir).collect()
+    assert len(sweep) == len(DEFAULT_SWEEP_THRESHOLDS)
+    assert sum(r.is_best for r in sweep) == 1
+    n = sum(r.tp + r.fp + r.fn + r.tn for r in sweep) / len(sweep)
+    assert all(r.tp + r.fp + r.fn + r.tn == n for r in sweep)
 
 
 def test_cf_scores_exclude_purchased(spark, sf_dir):

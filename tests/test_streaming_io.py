@@ -38,6 +38,51 @@ def test_running_user_totals_match_batch(spark, sf_dir):
         assert abs(streamed[r.user_id][1] - r.v) < 0.02, r.user_id
 
 
+def test_streaming_emits_finalized_windows_canary(spark, sf_dir):
+    """Canary: the bounded replay must FINALIZE windows, not just run.
+
+    Round 3 regression: the events loader force-read a timestamp[us] `ts`
+    column as int64 nanos and div-1000'd it into January 1970, so every event
+    landed in one day-window whose end stayed beyond the watermark — append
+    mode emitted 0 rows while every plan/oracle remained syntactically fine.
+    This test pins both the symptom (0 finalized windows/sessions) and the
+    root cause (a corrupted event-time domain) with direct messages so the
+    next silent 0-row regression is diagnosable in seconds.
+    """
+    import datetime as dt
+
+    lo, hi = (
+        load_table(spark, sf_dir, "events").agg(F.min("ts"), F.max("ts")).collect()[0]
+    )
+    assert lo is not None and lo.year >= 2000, (
+        f"events.ts min is {lo!r} — the loader is misreading the parquet "
+        "physical type (epoch-era values mean a nanos/micros unit mismatch)"
+    )
+    assert (hi - lo) > dt.timedelta(days=1), (
+        f"events.ts spans only {hi - lo} — day windows can never close under "
+        "a 1-hour watermark, so append-mode streaming will emit 0 rows"
+    )
+
+    stream = EV.read_event_stream(spark, sf_dir)
+    EV.run_bounded(EV.windowed_event_stats(stream), "canary_win", tempfile.mkdtemp())
+    n_windows = spark.table("canary_win").count()
+    assert n_windows > 0, (
+        "windowed_event_stats finalized 0 windows in a bounded replay: the "
+        "watermark never passed any window end — check the events loader's "
+        "ts decoding before suspecting the streaming plan"
+    )
+
+    EV.run_bounded(
+        EV.sessionize_events(EV.read_event_stream(spark, sf_dir)),
+        "canary_sess",
+        tempfile.mkdtemp(),
+    )
+    assert spark.table("canary_sess").count() > 0, (
+        "sessionize_events finalized 0 sessions in a bounded replay — same "
+        "watermark-never-advances failure mode as the window canary"
+    )
+
+
 def test_streaming_approx_users_close_to_exact(spark, sf_dir):
     """approx_count_distinct (the streaming-legal distinct) stays within HLL
     tolerance of the exact batch count."""
@@ -85,6 +130,53 @@ def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
     out = spark.table("dedup_sink").collect()
     assert len(out) == 5
     assert sorted(r.user_id for r in out) == list(range(5))
+
+
+def test_events_loader_adapts_to_both_ts_encodings(spark, tmp_path):
+    """The events loader must read BOTH physical vintages of `ts` to the same
+    logical timestamps: raw int64 nanoseconds (the original testdata, which
+    Spark's footer conversion can't map) and timestamp[us] (the current one,
+    which a forced-long read would corrupt into 1970)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from market_data_mining_project_spark.sources import tables as TB
+
+    stamps = [dt.datetime(2024, 3, 1, 12, 0, i) for i in range(4)]
+    cols = {
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([10, 10, 11, 12], pa.int64()),
+        "event_type": pa.array(["click"] * 4),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+        "props": pa.array(["{}"] * 4),
+    }
+    nanos_dir, micros_dir = tmp_path / "nanos_sf", tmp_path / "micros_sf"
+    for d in (nanos_dir, micros_dir):
+        d.mkdir()
+    ts_nanos = pa.array(
+        [int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000_000) for t in stamps],
+        pa.int64(),
+    )
+    pq.write_table(
+        pa.table({**cols, "ts": ts_nanos}), nanos_dir / "events.parquet"
+    )
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array(stamps, pa.timestamp("us"))}),
+        micros_dir / "events.parquet",
+    )
+
+    assert TB.events_ts_is_nanos(str(nanos_dir / "events.parquet"))
+    assert not TB.events_ts_is_nanos(str(micros_dir / "events.parquet"))
+
+    read = lambda d: sorted(
+        (r.event_id, r.ts) for r in TB.load_events(spark, str(d)).collect()
+    )
+    from_nanos, from_micros = read(nanos_dir), read(micros_dir)
+    assert from_micros == [(i + 1, stamps[i]) for i in range(4)]
+    # the int64-nanos file decodes to the same wall-clock instants
+    assert [t for _, t in from_nanos] == [t for _, t in from_micros]
 
 
 def test_media_mean_byte_ground_truth(spark, sf_dir):
