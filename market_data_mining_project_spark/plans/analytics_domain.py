@@ -75,14 +75,41 @@ def _ui_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- M13: user-user cosine CF -------------------------------------------------
 
 
+_CF_CANDIDATES_PATHS: dict[str, str] = {}
+
+
+def _cf_candidates(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    """Top-25 cosine-CF candidates per query user, computed + materialized
+    ONCE per sf_dir: `cf_recommendations` (top-5) and the hybrid blend's CF
+    leg (all 25) are the same ranking at different cut depths, so the
+    similarity join — the expensive half of both queries — runs once per
+    session. Cutting a deeper top-k to a shallower one preserves scores and
+    ranks exactly (row_number over the identical ordering)."""
+    import tempfile
+
+    from market_data_mining_project_spark.sources import materialize as MAT
+
+    path = _CF_CANDIDATES_PATHS.get(sf_dir)
+    if path is None:
+        ui = _ui_matrix(spark, sf_dir)
+        query_users = ui.select("user").filter(F.col("user") % 100 == 0).distinct()
+        cand = REC.cosine_cf_scores(
+            None, "o_custkey", "p_brand", query_users, k=k, ui=ui
+        )
+        path = tempfile.mkdtemp(prefix="cf_cand_") + "/cand"
+        MAT.overwrite_table(cand, path)
+        _CF_CANDIDATES_PATHS[sf_dir] = path
+    return spark.read.parquet(path)
+
+
 def q_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-user cosine CF over (customer × brand) purchase counts
     (M13; reference collab_filter.py:21-114). Query users: custkey % 100 = 0."""
-    ui = _ui_matrix(spark, sf_dir)
-    query_users = ui.select("user").filter(F.col("user") % 100 == 0).distinct()
-    return REC.cosine_cf_scores(
-        None, "o_custkey", "p_brand", query_users, k=5, ui=ui
-    ).withColumnRenamed("user", "o_custkey")
+    return (
+        _cf_candidates(spark, sf_dir)
+        .filter(F.col("rec_rank") <= 5)
+        .withColumnRenamed("user", "o_custkey")
+    )
 
 
 SQL_CF_RECOMMENDATIONS = f"""
@@ -155,10 +182,10 @@ def q_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.col("confidence") * F.col("lift")).alias("score"))
         .select("user", F.col("rec_item").alias("item"), "score")
     )
-    cf = (
-        REC.cosine_cf_scores(None, "o_custkey", "p_brand", query_users, k=25, ui=ui)
-        .select("user", "item", "score")
-    )
+    # the CF leg reads the shared materialized top-25 candidates (same
+    # ranking cf_recommendations cuts at 5) instead of re-running the
+    # similarity join
+    cf = _cf_candidates(spark, sf_dir).select("user", "item", "score")
     blended = REC.hybrid_blend(assoc, cf, purchased, alpha=0.6, k=5)
     return blended.withColumnRenamed("user", "o_custkey")
 

@@ -134,3 +134,23 @@ def test_rank_windows_rank_the_histogram_not_rows(spark, sf_dir):
         scan_i = next((i for i, l in enumerate(below) if "Scan" in l), None)
         assert agg_i is not None and scan_i is not None, f"{name}: {lines}"
         assert agg_i < scan_i, f"{name}: window ranks raw rows\n" + "\n".join(lines)
+
+
+def test_threshold_sweep_is_one_pass_no_crossjoin(spark):
+    """The churn threshold sweep must compute every threshold's confusion
+    matrix in ONE aggregation over one scan of the scored frame — no
+    crossJoin row multiplication, no per-threshold re-scan. The plan
+    therefore contains exactly one scan of the input and zero
+    nested-loop/cartesian joins."""
+    from market_data_mining_project_spark.operators.churn import churn_threshold_sweep
+
+    scored = spark.createDataFrame(
+        [(0.05 * i % 1.0, i % 2) for i in range(40)],
+        "churn_probability DOUBLE, churned INT",
+    )
+    plan = (
+        churn_threshold_sweep(scored)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    scans = plan.count("Scan ExistingRDD") + plan.count("LocalTableScan")
+    assert scans == 1, f"expected one scan of the scored frame, got {scans}:\n{plan}"
