@@ -1320,8 +1320,12 @@ def _churn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fact table, so right-size partitions for the iterative stage (32
         # near-empty partitions make every GBT iteration scheduling-bound)
         # and keep the 3-table join + window plan from re-executing per
-        # iteration
-        feats = q_churn_features(spark, sf_dir).coalesce(4).cache()
+        # iteration. Parallelism-derived, not a literal: unlike the bounded
+        # stratified samples the per-customer frame grows with the customer
+        # base, so a fixed coalesce(4) would cap a 10^8-customer fit at
+        # 4-way parallelism.
+        target = max(4, spark.sparkContext.defaultParallelism // 8)
+        feats = q_churn_features(spark, sf_dir).coalesce(target).cache()
         feature_cols = [
             "recency", "frequency", "monetary", "avg_basket_value",
             "avg_purchase_gap", "product_variety", "active_days",
