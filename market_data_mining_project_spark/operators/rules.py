@@ -44,13 +44,21 @@ def item_baskets(fact: DataFrame, basket: str, item: str) -> DataFrame:
 
 
 def frequent_items(
-    fact: DataFrame, basket: str, item: str, min_count: int, cap: int | None = None
+    fact: DataFrame | None,
+    basket: str,
+    item: str,
+    min_count: int,
+    cap: int | None = None,
+    ib: DataFrame | None = None,
 ) -> DataFrame:
     """Items appearing in ≥ min_count distinct baskets (A6; reference
-    frequent-1 pruning with candidate caps, views.py:414-437)."""
+    frequent-1 pruning with candidate caps, views.py:414-437). A prebuilt
+    ``ib`` (distinct basket-item frame — e.g. a materialized derived table
+    shared across the rule miners) skips re-deduplicating ``fact``."""
+    if ib is None:
+        ib = item_baskets(fact, basket, item)
     counts = (
-        item_baskets(fact, basket, item)
-        .groupBy(item)
+        ib.groupBy(item)
         .agg(F.count(F.lit(1)).alias("item_baskets"))
         .filter(F.col("item_baskets") >= min_count)
     )
@@ -60,7 +68,12 @@ def frequent_items(
 
 
 def pair_counts(
-    fact: DataFrame, basket: str, item: str, min_count: int, item_cap: int | None = None
+    fact: DataFrame | None,
+    basket: str,
+    item: str,
+    min_count: int,
+    item_cap: int | None = None,
+    ib: DataFrame | None = None,
 ) -> DataFrame:
     """Co-occurrence pair counts via self-join (J4; reference views.py:199-235).
 
@@ -68,8 +81,10 @@ def pair_counts(
     shuffle is |frequent items' baskets|², not |all baskets|². The join keys
     on ``basket`` — a co-partitioned shuffle both sides reuse.
     """
-    freq = frequent_items(fact, basket, item, min_count, item_cap)
-    ib = item_baskets(fact, basket, item).join(
+    if ib is None:
+        ib = item_baskets(fact, basket, item)
+    freq = frequent_items(None, basket, item, min_count, item_cap, ib=ib)
+    ib = ib.join(
         F.broadcast(freq.select(item)), item, "left_semi"
     )
     a = ib.select(F.col(basket).alias("__b"), F.col(item).alias("item_a"))
@@ -83,7 +98,7 @@ def pair_counts(
 
 
 def pairwise_rules(
-    fact: DataFrame,
+    fact: DataFrame | None,
     basket: str,
     item: str,
     min_support: float = 0.01,
@@ -91,17 +106,26 @@ def pairwise_rules(
     min_lift: float = 0.0,
     max_results: int | None = None,
     item_cap: int | None = None,
+    ib: DataFrame | None = None,
 ) -> DataFrame:
     """1⇒1 association rules, both directions (M3; reference views.py:133-348).
 
     Returns columns: antecedent, consequent, pair_baskets, antecedent_baskets,
     consequent_baskets, support, confidence, lift — floats rounded to 6.
+
+    Pass a prebuilt ``ib`` (distinct basket-item frame, e.g. the materialized
+    derived table shared with the FPGrowth and hybrid paths) so the basket
+    total, the frequent-item counts and the pair self-join all read one
+    columnar scan instead of each re-deduplicating the fact; ``fact`` is then
+    unused and may be None.
     """
-    total = item_baskets(fact, basket, item).select(basket).distinct().count()
+    if ib is None:
+        ib = item_baskets(fact, basket, item)
+    total = ib.select(basket).distinct().count()
     min_count = max(1, int(total * min_support))
 
-    freq = frequent_items(fact, basket, item, min_count, item_cap)
-    pairs = pair_counts(fact, basket, item, min_count, item_cap)
+    freq = frequent_items(None, basket, item, min_count, item_cap, ib=ib)
+    pairs = pair_counts(None, basket, item, min_count, item_cap, ib=ib)
 
     counts_a = freq.select(F.col(item).alias("antecedent"), F.col("item_baskets").alias("antecedent_baskets"))
     counts_b = freq.select(F.col(item).alias("consequent"), F.col("item_baskets").alias("consequent_baskets"))
@@ -176,32 +200,35 @@ def category_rules(
     )
 
 
-def basket_itemsets(fact: DataFrame, basket: str, item: str) -> DataFrame:
-    """Per-basket distinct item arrays for FPGrowth (sorted for determinism)."""
-    return (
-        fact.select(basket, item)
-        .distinct()
-        .groupBy(basket)
-        .agg(F.sort_array(F.collect_list(item)).alias("items"))
-    )
+def basket_itemsets(
+    fact: DataFrame | None, basket: str, item: str, ib: DataFrame | None = None
+) -> DataFrame:
+    """Per-basket distinct item arrays for FPGrowth (sorted for determinism).
+    A prebuilt ``ib`` (already-distinct basket-item frame) skips the dedup."""
+    if ib is None:
+        ib = fact.select(basket, item).distinct()
+    return ib.groupBy(basket).agg(F.sort_array(F.collect_list(item)).alias("items"))
 
 
 def fpgrowth_rules(
-    fact: DataFrame,
+    fact: DataFrame | None,
     basket: str,
     item: str,
     min_support: float = 0.01,
     min_confidence: float = 0.2,
+    ib: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-item rules via MLlib FPGrowth (M1/M2; replaces the reference's
     level-wise Apriori, analytics.py:56-160 — same frequent-itemset
     semantics at equal minSupport, SURVEY §7.4.6).
 
     Returns antecedent array, consequent array, support/confidence/lift.
+    ``ib`` as in :func:`pairwise_rules` — the shared distinct basket-item
+    frame; ``fact`` may then be None.
     """
     if not HAS_FPGROWTH:  # pragma: no cover
         raise NotImplementedError("pyspark.ml.fpm.FPGrowth unavailable in this build")
-    baskets = basket_itemsets(fact, basket, item).withColumn(
+    baskets = basket_itemsets(fact, basket, item, ib=ib).withColumn(
         "items", F.col("items").cast("array<string>")
     )
     model = FPGrowth(

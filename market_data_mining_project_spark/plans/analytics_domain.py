@@ -72,6 +72,36 @@ def _ui_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+_BASKET_BRANDS_PATHS: dict[str, str] = {}
+
+
+def _basket_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (l_orderkey, p_brand) pairs — the frame every rule miner
+    dedups first (reference counts DISTINCT basket_id throughout,
+    views.py:219-233) — materialized ONCE per sf_dir. The pairwise miner
+    reads it three times (basket total, frequent-item counts, pair
+    self-join) and the FPGrowth + hybrid paths read it again; sharing one
+    parquet scan replaces five lineitem⨝part dedups per session."""
+    import tempfile
+
+    from market_data_mining_project_spark.sources import materialize as MAT
+
+    path = _BASKET_BRANDS_PATHS.get(sf_dir)
+    if path is None:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        ib = (
+            li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .filter(F.col("p_brand").isNotNull())
+            .select("l_orderkey", "p_brand")
+            .distinct()
+        )
+        path = tempfile.mkdtemp(prefix="basket_brands_") + "/ib"
+        MAT.overwrite_table(ib, path)
+        _BASKET_BRANDS_PATHS[sf_dir] = path
+    return spark.read.parquet(path)
+
+
 # --- M13: user-user cosine CF -------------------------------------------------
 
 
@@ -165,11 +195,11 @@ def q_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user") % 100 == 0)
         .distinct()
     )
-    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
-    part = load_table(spark, sf_dir, "part")
-    rules = RULES.category_rules(
-        li, part, key="p_partkey", category="p_brand", basket="l_orderkey",
+    # rules leg over the shared materialized distinct (basket, brand) frame
+    rules = RULES.pairwise_rules(
+        None, basket="l_orderkey", item="p_brand",
         min_support=0.02, min_confidence=0.05, item_cap=None,
+        ib=_basket_brands(spark, sf_dir),
     )
     # the shared materialized matrix (users × brands): the purchased set, the
     # assoc path, the CF path and the blend all reuse the same parquet-backed
@@ -1205,11 +1235,9 @@ def q_fpgrowth_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns so results are canonicalizable, and oracles against an exact
     frequent-itemset enumeration in SQL (FPGrowth at equal minSupport is
     exact, SURVEY §7.4.6)."""
-    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
-    part = load_table(spark, sf_dir, "part")
-    cat = li.join(F.broadcast(part.select("p_partkey", "p_brand")), "p_partkey")
     rules = RULES.fpgrowth_rules(
-        cat, basket="l_orderkey", item="p_brand", min_support=0.02, min_confidence=0.05
+        None, basket="l_orderkey", item="p_brand", min_support=0.02,
+        min_confidence=0.05, ib=_basket_brands(spark, sf_dir),
     )
     return rules.select(
         F.array_join(F.array_sort("antecedent"), "|").alias("antecedent"),

@@ -128,15 +128,16 @@ def q_pairwise_rules_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem ⨝ broadcast(part) → distinct (order, brand) → frequent-item
     pruning → self-join pair counts → support/confidence/lift expressions
-    (reference views.py:133-348 / 361-678)."""
-    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
-    part = load_table(spark, sf_dir, "part")
-    rules = RULES.category_rules(
-        li,
-        part,
-        key="p_partkey",
-        category="p_brand",
+    (reference views.py:133-348 / 361-678). The distinct (order, brand)
+    frame is the materialized derived table shared with the FPGrowth and
+    hybrid miners (`analytics_domain._basket_brands`)."""
+    from market_data_mining_project_spark.plans.analytics_domain import _basket_brands
+
+    rules = RULES.pairwise_rules(
+        None,
+        item="p_brand",
         basket="l_orderkey",
+        ib=_basket_brands(spark, sf_dir),
         min_support=0.02,
         min_confidence=0.05,
         item_cap=None,

@@ -90,6 +90,33 @@ def test_als_runs_and_ranks(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), user
 
 
+def test_category_rules_equals_pairwise_over_shared_frame(spark, sf_dir):
+    """M4's convenience wrapper (dim join inside) must produce exactly the
+    rules the catalog's shared-frame binding produces — the materialized
+    distinct (basket, brand) path and the live dim-join path are the same
+    logical plan."""
+    from market_data_mining_project_spark.plans.analytics_domain import _basket_brands
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    part = load_table(spark, sf_dir, "part")
+    via_wrapper = {
+        (r.antecedent, r.consequent): (r.support, r.confidence, r.lift)
+        for r in RULES.category_rules(
+            li, part, key="p_partkey", category="p_brand", basket="l_orderkey",
+            min_support=0.02, min_confidence=0.05, item_cap=None,
+        ).collect()
+    }
+    via_shared = {
+        (r.antecedent, r.consequent): (r.support, r.confidence, r.lift)
+        for r in RULES.pairwise_rules(
+            None, basket="l_orderkey", item="p_brand",
+            min_support=0.02, min_confidence=0.05, item_cap=None,
+            ib=_basket_brands(spark, sf_dir),
+        ).collect()
+    }
+    assert via_wrapper == via_shared and via_wrapper
+
+
 def test_churn_model_quality(spark, sf_dir):
     """M8 gate: GBT churn classifier beats chance on held-out data
     (the reference reports accuracy ~0.7-0.9; tiny sf gives noisier AUC)."""
