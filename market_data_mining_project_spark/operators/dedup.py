@@ -62,6 +62,60 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination check: training docs sharing ≥ min_overlap
+    distinct word n-grams with ANY eval/benchmark doc (the GPT-3-style
+    13-gram overlap test, scaled down to this corpus's short docs).
+
+    Shape at 100 TB: the eval side is a benchmark suite — thousands of docs,
+    not billions — so its distinct gram set is broadcast-sized; the train
+    side is one scan + explode + (broadcast) semi-join + groupBy id. No
+    all-pairs comparison ever happens, and the overlap counts arrive from
+    the same shuffle that groups by document. Grams travel as strings (not
+    hashes) so the result is exactly recountable; hash them (xxhash64)
+    if gram payload ever dominates the shuffle.
+
+    Returns (id_col, overlap_grams) for contaminated train docs only.
+    """
+    eval_grams = (
+        eval_df.select(F.explode(shingles(F.col(text_col), n)).alias("__gram"))
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__gram")
+    )
+    # no explicit broadcast hint: benchmark-sized eval sets auto-broadcast,
+    # and a genuinely huge eval side degrades to a shuffle join instead of
+    # an executor OOM
+    return (
+        train_grams.join(eval_grams, "__gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("overlap_grams"))
+        .filter(F.col("overlap_grams") >= min_overlap)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Drop contaminated docs from the training side (anti-join against
+    :func:`ngram_contamination` — J10 shape, broadcast-able flag set)."""
+    flagged = ngram_contamination(train, eval_df, text_col, id_col, n, min_overlap)
+    return train.join(flagged.select(id_col), id_col, "left_anti")
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: per hash function i, min over shingles of
     xxhash64(shingle, seed=i). Returns array<bigint> of length num_hashes."""

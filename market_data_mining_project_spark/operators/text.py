@@ -49,6 +49,43 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
     return F.when(F.size(words) > 0, hits / F.size(words)).otherwise(0.0)
 
 
+# PII patterns, ordered so earlier rewrites can't destroy later matches
+# (emails before phones: an email's digits must not be phone-matched after
+# the '@' is gone; URLs before emails would eat 'user@host' paths, so URLs
+# go first).
+_PII_PATTERNS = (
+    ("<URL>", r"(?:https?://|www\.)[^\s<>\"']+"),
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<IP>", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("<PHONE>", r"(?<![\w.])\+?\d[\d()\-\s.]{6,}\d(?![\w.])"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace URLs / emails / IPv4s / phone-shaped numbers with typed
+    placeholder tokens — the standard scrub step before corpus text reaches
+    training. Pure Catalyst ``regexp_replace`` chain: one scan, one map,
+    whole-stage codegen, no UDF. Deliberately conservative patterns (a
+    redactor that eats prose is worse than one that misses an exotic
+    format); real deployments extend ``_PII_PATTERNS``."""
+    out = text
+    for token, pattern in _PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """Struct of per-category PII match counts (audit/reporting side of
+    :func:`redact_pii`): how much the scrub would remove, without removing
+    it. ``regexp_count`` is Catalyst-native."""
+    return F.struct(
+        *[
+            F.regexp_count(text, F.lit(pattern)).alias(token.strip("<>").lower())
+            for token, pattern in _PII_PATTERNS
+        ]
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Composite quality heuristic in [0, 1]: rewards reasonable length,
     low punctuation noise, and vocabulary diversity (distinct/total tokens).

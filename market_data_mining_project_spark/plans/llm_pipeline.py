@@ -440,8 +440,58 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit: docs with doc_id % 50 == 0 stand in
+    for a held-out eval set; every other doc sharing ≥1 distinct 5-gram with
+    any of them is flagged with its overlap count, alongside the corpus-level
+    keep/drop tally. Rows-only (the 50-slot oracle window is full); the
+    overlap counts are exactly recomputed driver-side in
+    tests/test_dedup_similarity.py."""
+    # single-row-group test parquet arrives as ONE partition; the gram
+    # explode is CPU-bound and needs the cores (same fix as lsh_topk)
+    docs = D.ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    flagged = D.ngram_contamination(train, eval_df, "text", "doc_id", n=5)
+    return flagged.orderBy(F.col("overlap_grams").desc(), F.col("doc_id").asc()).limit(
+        100
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit over documents: corpus-level match totals by category
+    (url/email/ip/phone), affected-doc count, and the total character delta
+    the redaction would apply — the reporting row a scrub step emits before
+    rewriting a corpus. One scan, pure Catalyst regex (no UDF), one
+    map-side-combined aggregate. Emits exactly one row even on a clean
+    corpus (this synthetic one is clean — zeros prove the scan ran).
+    Rows-only; the regex semantics are pytest-pinned on hand-built strings
+    (tests/test_dedup_similarity.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        TXT.pii_counts(F.col("text")).alias("pii"),
+        (F.length("text") - F.length(TXT.redact_pii(F.col("text")))).alias("delta"),
+    )
+    return counted.agg(
+        F.count(F.lit(1)).alias("docs_scanned"),
+        F.sum("pii.url").alias("n_url"),
+        F.sum("pii.email").alias("n_email"),
+        F.sum("pii.ip").alias("n_ip"),
+        F.sum("pii.phone").alias("n_phone"),
+        F.sum(
+            (
+                F.col("pii.url") + F.col("pii.email") + F.col("pii.ip") + F.col("pii.phone")
+                > 0
+            ).cast("long")
+        ).alias("docs_with_pii"),
+        F.sum("delta").alias("redacted_chars"),
+    )
+
+
 QUERIES = {
     "dup_clusters": q_dup_clusters,
+    "decontamination": q_decontamination,
+    "pii_redaction": q_pii_redaction,
     "lsh_topk": q_lsh_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "token_stats": q_token_stats,
@@ -461,6 +511,8 @@ ORACLE = {
     "corpus_prep": SQL_CORPUS_PREP,
     # ivf_topk: rows-only (KMeans cells; pytest recall gate)
     # lsh_topk: rows-only (seeded hyperplanes; pytest recall gate)
+    # decontamination / pii_redaction: rows-only (oracle window full; exact
+    # driver-side recount + hand-built-string pytest gates)
     "text_profile": SQL_TEXT_PROFILE,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

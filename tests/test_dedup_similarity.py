@@ -153,3 +153,72 @@ def test_dup_clusters_match_networkx_free_ground_truth(spark, sf_dir):
     got = {r.doc: r.cluster for r in dup_clusters(
         spark.createDataFrame(pairs, ["doc_a", "doc_b"])).collect()}
     assert got == truth
+
+
+def test_ngram_contamination_matches_driver_recount(spark, sf_dir):
+    """Decontamination gate: the distributed overlap counts must equal an
+    exact driver-side recomputation of distinct 5-gram intersections, and
+    decontaminate() must drop exactly the flagged ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    flagged = {
+        r.doc_id: r.overlap_grams
+        for r in D.ngram_contamination(train, eval_df, "text", "doc_id", n=5).collect()
+    }
+
+    def grams(text, n=5):
+        toks = [t for t in text.split() if t]
+        if len(toks) <= n:
+            return {" ".join(toks[:n])} if toks else set()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    eval_grams = set()
+    for r in eval_df.select("text").collect():
+        eval_grams |= grams(r.text)
+    expected = {}
+    for r in train.select("doc_id", "text").collect():
+        k = len(grams(r.text) & eval_grams)
+        if k >= 1:
+            expected[r.doc_id] = k
+    assert flagged == expected
+    assert expected, "fixture should contain contaminated docs (dup corpus)"
+
+    kept = D.decontaminate(train, eval_df, "text", "doc_id", n=5)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    train_ids = {r.doc_id for r in train.select("doc_id").collect()}
+    assert kept_ids == train_ids - set(expected)
+
+
+def test_redact_pii_hand_built_strings(spark):
+    """Redaction gate: each category is replaced with its typed token, prose
+    survives, and counts agree with the redaction."""
+    from market_data_mining_project_spark.operators import text as TXT
+
+    rows = [
+        (1, "contact me at alice@example.com or bob.smith+x@mail.co.uk today"),
+        (2, "see https://example.com/a?b=c and www.test.org/path for docs"),
+        (3, "server at 192.168.1.10 answered"),
+        (4, "call +1 (555) 123-4567 or 555-123-4567 now"),
+        (5, "plain prose with numbers like 42 and 7 stays untouched"),
+        (6, "mixed: http://x.io/u@v 10.0.0.1 c@d.org"),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, text STRING")
+    out = {
+        r.id: (r.red, r.cnt)
+        for r in df.select(
+            "id",
+            TXT.redact_pii(F.col("text")).alias("red"),
+            TXT.pii_counts(F.col("text")).alias("cnt"),
+        ).collect()
+    }
+    assert out[1][0] == "contact me at <EMAIL> or <EMAIL> today"
+    assert out[1][1].email == 2
+    assert out[2][0] == "see <URL> and <URL> for docs"
+    assert out[2][1].url == 2
+    assert out[3][0] == "server at <IP> answered"
+    assert out[3][1].ip == 1
+    assert out[4][0] == "call <PHONE> or <PHONE> now"
+    assert out[4][1].phone >= 2
+    assert out[5][0] == rows[4][1]  # untouched
+    assert out[6][0] == "mixed: <URL> <IP> <EMAIL>"
