@@ -154,3 +154,24 @@ def test_threshold_sweep_is_one_pass_no_crossjoin(spark):
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
     scans = plan.count("Scan ExistingRDD") + plan.count("LocalTableScan")
     assert scans == 1, f"expected one scan of the scored frame, got {scans}:\n{plan}"
+
+
+def test_decontamination_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-set gram side must broadcast (benchmark-sized) so the train
+    side's exploded grams are filtered without a pre-join shuffle, and the
+    per-doc overlap count must partial-aggregate before its exchange
+    (map-side combine)."""
+    from pyspark.sql import functions as F
+
+    from market_data_mining_project_spark.operators import dedup as D
+    from market_data_mining_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    plan = (
+        D.ngram_contamination(tr, ev, "text", "doc_id", n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "partial_count" in plan, plan
