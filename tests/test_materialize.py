@@ -99,3 +99,21 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
         F.sum("o_orderkey")
     ).collect()[0][0]
     assert filtered.agg(F.sum("o_orderkey")).collect()[0][0] == spark_sum
+
+
+def test_shared_derived_tables_are_keyed_by_sf_dir(spark):
+    """The session-cached materialized frames (ui matrix, CF candidates,
+    basket-brand pairs) must be keyed by sf_dir: a second scale factor in the
+    same session must produce its own frame, not a stale read of the first
+    one's parquet. A regression here silently corrupts every consumer's
+    results, so pin it on the cheapest two inputs."""
+    from market_data_mining_project_spark.plans import analytics_domain as AD
+
+    small, large = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    for builder in (AD._ui_matrix, AD._basket_brands):
+        n_small = builder(spark, small).count()
+        n_large = builder(spark, large).count()
+        assert n_small != n_large, (
+            f"{builder.__name__}: identical row counts for {small} and {large} "
+            "— the materializer cache is not keyed by sf_dir"
+        )
