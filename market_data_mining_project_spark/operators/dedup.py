@@ -21,6 +21,8 @@ executors and runs (no Python ``hash()``, which is salted per-process).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -32,11 +34,32 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     CPU-heavy shingle/hash stages onto one core (AQE can't split a scan).
     The extra shuffle of raw text is cheap relative to per-row hashing work;
     at 100 TB inputs are many-file and this is a no-op.
+
+    The under-split probe is Catalyst/filesystem-side (``inputFiles`` +
+    sizes), not ``df.rdd.getNumPartitions()`` — the RDD probe forces the
+    plan through the Python RDD conversion path on every call. Spark's own
+    file-split math (``FilePartition.maxSplitBytes``) yields ≥ parallelism
+    partitions whenever total bytes ≥ openCostInBytes × parallelism, so a
+    scan is only ever under-split when the input is BOTH few-file and small
+    — exactly what file count + byte size detect without touching the RDD
+    API. Frames with no file lineage (createDataFrame fixtures) or
+    unreadable remote sizes conservatively repartition only on the few-file
+    signal.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    files = df.inputFiles()
+    if not files or len(files) >= target:
+        return df
+    # few files: under-split only if too small for maxSplitBytes range-splitting
+    open_cost = 4 * 1024 * 1024  # spark.sql.files.openCostInBytes default
+    try:
+        local = [f[len("file:"):] if f.startswith("file:") else f for f in files]
+        total = sum(os.path.getsize(f) for f in local)
+        if total >= open_cost * target:
+            return df  # big files: the scan already range-splits to >= target
+    except OSError:
+        pass  # non-local fs: fall through on the few-file signal alone
+    return df.repartition(target)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -55,11 +78,17 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a document."""
+    """Distinct word n-gram shingles of a document.
+
+    Empty/whitespace-only docs yield an EMPTY array, not a [''] singleton
+    (the index sequence always emits position 0, which would join to an
+    empty-string gram that every empty doc shares — making all empty docs
+    mutual near-dups/contaminators). The '' filter removes exactly that
+    artifact; short non-empty docs keep their partial (< n token) gram."""
     toks = F.filter(F.split(F.trim(text), "\\s+"), lambda t: t != "")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return F.array_distinct(grams)
+    return F.filter(F.array_distinct(grams), lambda g: g != "")
 
 
 def ngram_contamination(

@@ -77,13 +77,19 @@ def redact_pii(text: Column) -> Column:
 def pii_counts(text: Column) -> Column:
     """Struct of per-category PII match counts (audit/reporting side of
     :func:`redact_pii`): how much the scrub would remove, without removing
-    it. ``regexp_count`` is Catalyst-native."""
-    return F.struct(
-        *[
-            F.regexp_count(text, F.lit(pattern)).alias(token.strip("<>").lower())
-            for token, pattern in _PII_PATTERNS
-        ]
-    )
+    it. Each category is counted on the *progressively redacted* text
+    (patterns 0..i-1 applied before counting pattern i) so the audit counts
+    exactly what :func:`redact_pii`'s sequential chain redacts — counting on
+    the raw text would double-count overlaps (every IPv4 also matches the
+    phone pattern, but the chain redacts it as <IP> first, never <PHONE>).
+    ``regexp_count`` / ``regexp_replace`` are Catalyst-native; the whole
+    struct stays one codegen'd map."""
+    cols = []
+    staged = text
+    for token, pattern in _PII_PATTERNS:
+        cols.append(F.regexp_count(staged, F.lit(pattern)).alias(token.strip("<>").lower()))
+        staged = F.regexp_replace(staged, pattern, token)
+    return F.struct(*cols)
 
 
 def quality_score(text: Column) -> Column:

@@ -57,19 +57,15 @@ def _ui_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet. cf / hybrid / als each pay one small columnar scan instead of
     re-running the 3-table fact join + aggregation (the reference caches the
     same derived table in SQL Server, views.py:85-121)."""
-    import tempfile
-
     from market_data_mining_project_spark.sources import materialize as MAT
 
-    path = _UI_MATRIX_PATHS.get(sf_dir)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="ui_matrix_") + "/ui"
-        MAT.overwrite_table(
-            REC.user_item_counts(_brand_fact(spark, sf_dir), "o_custkey", "p_brand"),
-            path,
-        )
-        _UI_MATRIX_PATHS[sf_dir] = path
-    return spark.read.parquet(path)
+    return MAT.derived_table(
+        spark,
+        _UI_MATRIX_PATHS,
+        sf_dir,
+        "ui_matrix_",
+        lambda: REC.user_item_counts(_brand_fact(spark, sf_dir), "o_custkey", "p_brand"),
+    )
 
 
 _BASKET_BRANDS_PATHS: dict[str, str] = {}
@@ -82,24 +78,19 @@ def _basket_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads it three times (basket total, frequent-item counts, pair
     self-join) and the FPGrowth + hybrid paths read it again; sharing one
     parquet scan replaces five lineitem⨝part dedups per session."""
-    import tempfile
-
     from market_data_mining_project_spark.sources import materialize as MAT
 
-    path = _BASKET_BRANDS_PATHS.get(sf_dir)
-    if path is None:
+    def build() -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-        ib = (
+        return (
             li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
             .filter(F.col("p_brand").isNotNull())
             .select("l_orderkey", "p_brand")
             .distinct()
         )
-        path = tempfile.mkdtemp(prefix="basket_brands_") + "/ib"
-        MAT.overwrite_table(ib, path)
-        _BASKET_BRANDS_PATHS[sf_dir] = path
-    return spark.read.parquet(path)
+
+    return MAT.derived_table(spark, _BASKET_BRANDS_PATHS, sf_dir, "basket_brands_", build)
 
 
 # --- M13: user-user cosine CF -------------------------------------------------
@@ -115,21 +106,14 @@ def _cf_candidates(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
     similarity join — the expensive half of both queries — runs once per
     session. Cutting a deeper top-k to a shallower one preserves scores and
     ranks exactly (row_number over the identical ordering)."""
-    import tempfile
-
     from market_data_mining_project_spark.sources import materialize as MAT
 
-    path = _CF_CANDIDATES_PATHS.get(sf_dir)
-    if path is None:
+    def build() -> DataFrame:
         ui = _ui_matrix(spark, sf_dir)
         query_users = ui.select("user").filter(F.col("user") % 100 == 0).distinct()
-        cand = REC.cosine_cf_scores(
-            None, "o_custkey", "p_brand", query_users, k=k, ui=ui
-        )
-        path = tempfile.mkdtemp(prefix="cf_cand_") + "/cand"
-        MAT.overwrite_table(cand, path)
-        _CF_CANDIDATES_PATHS[sf_dir] = path
-    return spark.read.parquet(path)
+        return REC.cosine_cf_scores(None, "o_custkey", "p_brand", query_users, k=k, ui=ui)
+
+    return MAT.derived_table(spark, _CF_CANDIDATES_PATHS, sf_dir, "cf_cand_", build)
 
 
 def q_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,18 +971,15 @@ def _horizon_features_mat(
     ``feats`` to avoid recomputing the parts for the write.
     `q_horizon_features` itself stays the live plan — it IS the
     measured/oracled operator."""
-    import tempfile
-
     from market_data_mining_project_spark.sources import materialize as MAT
 
-    path = _HORIZON_FEATS_PATHS.get(sf_dir)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="horizon_feats_") + "/feats"
-        MAT.overwrite_table(
-            feats if feats is not None else q_horizon_features(spark, sf_dir), path
-        )
-        _HORIZON_FEATS_PATHS[sf_dir] = path
-    return spark.read.parquet(path)
+    return MAT.derived_table(
+        spark,
+        _HORIZON_FEATS_PATHS,
+        sf_dir,
+        "horizon_feats_",
+        lambda: feats if feats is not None else q_horizon_features(spark, sf_dir),
+    )
 
 
 SQL_HORIZON_FEATURES = f"""
@@ -1337,12 +1318,9 @@ def _churn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_classifier,
     )
 
-    path = _CHURN_SCORES_PATHS.get(sf_dir)
-    if path is None:
-        import tempfile
+    from market_data_mining_project_spark.sources import materialize as MAT
 
-        from market_data_mining_project_spark.sources import materialize as MAT
-
+    def build() -> DataFrame:
         # coalesce + cache: boosting runs ~2 jobs per iteration over the
         # feature frame — per-customer aggregates are tiny relative to the
         # fact table, so right-size partitions for the iterative stage (32
@@ -1371,10 +1349,9 @@ def _churn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             churn_risk_label(F.col("churn_probability")).alias("risk_band"),
         )
         feats.unpersist()
-        path = tempfile.mkdtemp(prefix="churn_scores_") + "/scores"
-        MAT.overwrite_table(scored, path)
-        _CHURN_SCORES_PATHS[sf_dir] = path
-    return spark.read.parquet(path)
+        return scored
+
+    return MAT.derived_table(spark, _CHURN_SCORES_PATHS, sf_dir, "churn_scores_", build)
 
 
 def q_churn_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -110,6 +110,7 @@ WITH toks AS (
          array_to_string(ts[i:i+2], ' ') AS shingle
   FROM toks,
        UNNEST(range(1, GREATEST(len(ts) - 2, 1) + 1)) AS r(i)
+  WHERE array_to_string(ts[i:i+2], ' ') <> ''
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
 ), inter AS (
@@ -370,6 +371,7 @@ WITH RECURSIVE toks AS (
 ), sh0 AS (
   SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
   FROM exact_kept, UNNEST(range(1, GREATEST(len(ts) - 2, 1) + 1)) AS r(i)
+  WHERE array_to_string(ts[i:i+2], ' ') <> ''
 ), sh AS (
   SELECT doc_id, shingle FROM sh0
   WHERE shingle NOT IN (

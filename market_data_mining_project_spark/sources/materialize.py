@@ -20,7 +20,48 @@ recompute → atomic overwrite.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
+
+_DERIVED_DIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup_derived_dirs() -> None:  # pragma: no cover - exit hook
+    for d in _DERIVED_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def derived_table(
+    spark: SparkSession,
+    cache: dict[str, str],
+    sf_dir: str,
+    prefix: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Session-scoped shared derived table (the reference's SQL-Server-side
+    result caches, views.py:85-121): build once per (realpath'd) sf_dir,
+    overwrite to a temp parquet, serve every later consumer one columnar
+    scan. Keys normalize through ``os.path.realpath`` so '/x' and '/x/' (or
+    a symlink) share one materialization, and every temp dir is registered
+    for atexit cleanup — long-lived processes don't leak parquet. The cache
+    is deliberately session-scoped: data rewritten on disk mid-process needs
+    a new session (or a ``cache.clear()``), the same contract as Spark's own
+    ``DataFrame.cache``."""
+    key = os.path.realpath(sf_dir)
+    path = cache.get(key)
+    if path is None:
+        tmp = tempfile.mkdtemp(prefix=prefix)
+        _DERIVED_DIRS.append(tmp)
+        path = os.path.join(tmp, "t")
+        overwrite_table(build(), path)
+        cache[key] = path
+    return spark.read.parquet(path)
 
 
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite") -> None:

@@ -63,15 +63,21 @@ def events_ts_is_nanos(path: str) -> bool:
     """True when the parquet footer declares `ts` as int64 or nanosecond
     timestamps (needs the forced-long + div-1000 workaround); False for the
     directly-readable micro/millisecond encodings. Footer-only — no data read."""
+    import glob as _glob
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     probe = path
     if os.path.isdir(path):  # partitioned dataset: any one footer is representative
-        for entry in sorted(os.listdir(path)):
-            if entry.endswith(".parquet"):
-                probe = os.path.join(path, entry)
-                break
+        # recursive: partition-subdirectory layouts (day=.../part-*.parquet)
+        # have no top-level .parquet entries
+        files = sorted(
+            _glob.glob(os.path.join(_glob.escape(path), "**", "*.parquet"), recursive=True)
+        )
+        if not files:
+            raise FileNotFoundError(f"no .parquet footer file found under {path}")
+        probe = files[0]
     ts_type = pq.ParquetFile(probe).schema_arrow.field("ts").type
     return pa.types.is_int64(ts_type) or (
         pa.types.is_timestamp(ts_type) and ts_type.unit == "ns"

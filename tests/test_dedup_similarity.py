@@ -218,7 +218,12 @@ def test_redact_pii_hand_built_strings(spark):
     assert out[2][1].url == 2
     assert out[3][0] == "server at <IP> answered"
     assert out[3][1].ip == 1
+    # the audit must count what the sequential chain redacts: an IPv4 also
+    # matches the phone regex on raw text, but the chain replaces it with
+    # <IP> first — so phone must be 0 here, not 1
+    assert out[3][1].phone == 0
     assert out[4][0] == "call <PHONE> or <PHONE> now"
     assert out[4][1].phone >= 2
+    assert out[6][1].ip == 1 and out[6][1].phone == 0
     assert out[5][0] == rows[4][1]  # untouched
     assert out[6][0] == "mixed: <URL> <IP> <EMAIL>"

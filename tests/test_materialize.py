@@ -101,15 +101,22 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     assert filtered.agg(F.sum("o_orderkey")).collect()[0][0] == spark_sum
 
 
-def test_shared_derived_tables_are_keyed_by_sf_dir(spark):
+def test_shared_derived_tables_are_keyed_by_sf_dir(spark, sf_dir):
     """The session-cached materialized frames (ui matrix, CF candidates,
     basket-brand pairs) must be keyed by sf_dir: a second scale factor in the
     same session must produce its own frame, not a stale read of the first
     one's parquet. A regression here silently corrupts every consumer's
     results, so pin it on the cheapest two inputs."""
+    import os
+
+    import pytest
+
     from market_data_mining_project_spark.plans import analytics_domain as AD
 
-    small, large = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    # derive both scale factors from the same root the sf_dir fixture uses
+    small, large = sf_dir, os.path.join(os.path.dirname(os.path.abspath(sf_dir)), "sf0.01")
+    if os.path.realpath(small) == os.path.realpath(large) or not os.path.isdir(large):
+        pytest.skip(f"no second scale factor next to {small}")
     for builder in (AD._ui_matrix, AD._basket_brands):
         n_small = builder(spark, small).count()
         n_large = builder(spark, large).count()
