@@ -1,0 +1,123 @@
+"""MLlib model persistence — the load-or-train cache surface (M8/M9).
+
+The reference caches its 16 trained models + scaler + metrics as pickles and
+serves from the cache when present (``Website/market/dunnhumby/
+ml_models.py:101-214``; the ``has_cached_models`` check at
+``ml_models.py:197-210``, with a ``force_retrain`` override) — without it
+every session refits. Spark-first, the artifact is the whole
+``PipelineModel`` (assembler + scaler + classifier serialize as ONE
+directory via ``model.write().save()`` — SURVEY §3.3), plus a
+``metrics.json`` sidecar mirroring the reference's cached metrics dict.
+
+Cache key = ``name`` (model identity: kind + horizon) × ``data_version``
+(a fingerprint of the training inputs: realpath'd sf_dir plus size + mtime
+of every source file). Data rewritten on disk changes the version, so
+staleness is detected automatically — no manual invalidation step, and no
+way to serve a model trained on different data. Writes go through a
+temp-dir + ``os.replace`` rename so a concurrent reader never observes a
+half-written model.
+
+At scale the cache root lives on shared storage (HDFS/S3 path via
+``SPARK_GRAFT_MODEL_DIR``) — ``PipelineModel.save/load`` speak any Hadoop
+filesystem; only the local-fs fingerprint helper assumes local paths.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.ml import PipelineModel
+
+
+def model_cache_root() -> str:
+    """Cache root — override with SPARK_GRAFT_MODEL_DIR (shared storage in a
+    cluster deployment; a local scratch dir here)."""
+    return os.environ.get(
+        "SPARK_GRAFT_MODEL_DIR", os.path.join(tempfile.gettempdir(), "mdmp_model_cache")
+    )
+
+
+def data_version(sf_dir: str, tables: tuple[str, ...] = ("lineitem", "orders", "part")) -> str:
+    """Fingerprint of the training inputs: realpath + (path, size, mtime) of
+    every file of every source table the model trains on. Any rewrite of the
+    data produces a new version → a new cache key → retraining, which is the
+    invalidation contract (the reference's cache has no such guard — it
+    serves stale models after a re-import until force_retrain)."""
+    h = hashlib.md5()
+    h.update(os.path.realpath(sf_dir).encode())
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        files = (
+            sorted(glob.glob(os.path.join(glob.escape(p), "**", "*"), recursive=True))
+            if os.path.isdir(p)
+            else [p]
+        )
+        for f in files:
+            if os.path.isfile(f):
+                st = os.stat(f)
+                h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def model_dir(name: str, version: str) -> str:
+    return os.path.join(model_cache_root(), f"{name}-{version}")
+
+
+def has_cached_model(name: str, version: str) -> bool:
+    """The reference's ``has_cached_models`` check (ml_models.py:197-210):
+    a usable artifact is a completed save — metrics sidecar present (it is
+    written into the temp dir before the atomic rename, so its presence at
+    the final path implies the model directory is complete)."""
+    d = model_dir(name, version)
+    return os.path.isfile(os.path.join(d, "metrics.json")) and os.path.isdir(
+        os.path.join(d, "model")
+    )
+
+
+def save_model(model: PipelineModel, metrics: dict[str, float], name: str, version: str) -> str:
+    """Persist model + metrics sidecar atomically; returns the final dir."""
+    final = model_dir(name, version)
+    staging = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(staging, exist_ok=True)
+    try:
+        model.write().overwrite().save(os.path.join(staging, "model"))
+        with open(os.path.join(staging, "metrics.json"), "w") as fh:
+            json.dump(metrics, fh, sort_keys=True)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(staging, final)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return final
+
+
+def load_model(name: str, version: str) -> tuple[PipelineModel, dict[str, float]]:
+    d = model_dir(name, version)
+    with open(os.path.join(d, "metrics.json")) as fh:
+        metrics = json.load(fh)
+    return PipelineModel.load(os.path.join(d, "model")), metrics
+
+
+def load_or_train(
+    name: str,
+    version: str,
+    train_fn: Callable[[], "object"],
+    force: bool = False,
+) -> tuple[PipelineModel, dict[str, float], bool]:
+    """Serve from cache when a (name, version) artifact exists, else train
+    via ``train_fn`` (returning ``pipelines.TrainedModel``) and persist.
+    Returns (model, metrics, from_cache). ``force=True`` mirrors the
+    reference's force_retrain flag: always refit and overwrite."""
+    if not force and has_cached_model(name, version):
+        model, metrics = load_model(name, version)
+        return model, metrics, True
+    trained = train_fn()
+    save_model(trained.model, trained.metrics, name, version)
+    return trained.model, trained.metrics, False

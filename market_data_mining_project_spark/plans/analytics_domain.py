@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from market_data_mining_project_spark.functions.expressions import money
+from market_data_mining_project_spark.ml import persistence as PERSIST
 from market_data_mining_project_spark.operators import churn as CHURN
 from market_data_mining_project_spark.operators import diff as DIFF
 from market_data_mining_project_spark.operators import recommend as REC
@@ -1079,10 +1080,16 @@ def q_horizon_predictions(
         .cache()
     )
     # maxIter trimmed from the reference's 300 — on the bounded sample LBFGS
-    # reaches its plateau (line-search stalls) within ~25 iterations
-    trained = train_classifier(
-        feats, HORIZON_FEATURE_COLS, "buy_90d", kind="neural_network",
-        overrides={"maxIter": 25},
+    # reaches its plateau (line-search stalls) within ~25 iterations.
+    # load-or-train keyed on (horizon+kind, data version): a later session
+    # serves predictions without refitting (reference ml_models.py:101-214)
+    model, metrics, _cached = PERSIST.load_or_train(
+        "horizon_mlp_90d",
+        PERSIST.data_version(sf_dir),
+        lambda: train_classifier(
+            feats, HORIZON_FEATURE_COLS, "buy_90d", kind="neural_network",
+            overrides={"maxIter": 25},
+        ),
     )
 
     max_day = fact.agg(F.max("day").alias("mx"))
@@ -1102,15 +1109,15 @@ def q_horizon_predictions(
         .join(F.broadcast(brand_stats), "p_brand")
         .join(dept_freq, ["o_custkey", "p_brand"])
     )
-    scored = score_with_probability(trained.model, state, out="p_buy")
-    if "accuracy" not in trained.metrics:
+    scored = score_with_probability(model, state, out="p_buy")
+    if "accuracy" not in metrics:
         # a missing metric means the eval split degenerated — surface it,
         # don't substitute a constant into confidence/projected_revenue
         raise ValueError(
             "brand prediction training produced no accuracy metric; "
-            f"got {sorted(trained.metrics)}"
+            f"got {sorted(metrics)}"
         )
-    accuracy = float(trained.metrics["accuracy"])
+    accuracy = float(metrics["accuracy"])
     horizon_days, window_days = 90.0, 90.0
     dept = (
         scored.filter(F.col("p_buy") > min_score)
@@ -1338,11 +1345,18 @@ def _churn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         # maxIter 30 (down from the default 60): measured AUC/F1 are flat
         # from 25-40 rounds at sf0.1, the AUC gate in tests/test_rules_ml.py
-        # holds at sf0.001, and every extra 10 rounds costs ~35% of the fit
-        trained = train_classifier(
-            feats, feature_cols, "churned", kind="gradient_boost", overrides={"maxIter": 30}
+        # holds at sf0.001, and every extra 10 rounds costs ~35% of the fit.
+        # load-or-train: a prior process's fit on the same data version is
+        # reloaded instead of refit (reference ml_models.py:101-214 cache)
+        model, _metrics, _cached = PERSIST.load_or_train(
+            "churn_gbt",
+            PERSIST.data_version(sf_dir),
+            lambda: train_classifier(
+                feats, feature_cols, "churned", kind="gradient_boost",
+                overrides={"maxIter": 30},
+            ),
         )
-        scored = score_with_probability(trained.model, feats).select(
+        scored = score_with_probability(model, feats).select(
             "o_custkey",
             "churned",
             F.round("churn_probability", 6).alias("churn_probability"),

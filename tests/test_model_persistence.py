@@ -1,0 +1,92 @@
+"""Model persistence (M8/M9 cache surface): save → reload in a fresh
+PipelineModel object → bit-identical scores, plus the load-or-train /
+has_cached_model / force / data-version contracts (reference
+ml_models.py:101-214)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.ml import persistence as P
+from market_data_mining_project_spark.ml.pipelines import (
+    score_with_probability,
+    train_classifier,
+)
+
+
+@pytest.fixture()
+def model_root(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_MODEL_DIR", str(tmp_path / "models"))
+    return str(tmp_path / "models")
+
+
+def _labeled(spark, n=400, offset=0):
+    return spark.range(offset, offset + n).select(
+        "id",
+        (F.sin(F.col("id") * 0.7) + F.rand(seed=1) * 0.1).alias("f1"),
+        (F.cos(F.col("id") * 1.3) + F.rand(seed=2) * 0.1).alias("f2"),
+        (F.col("id") % 3 == 0).cast("int").alias("y"),
+    )
+
+
+def test_save_reload_bit_identical_scores(spark, model_root):
+    df = _labeled(spark)
+    trained = train_classifier(
+        df, ["f1", "f2"], "y", kind="gradient_boost", overrides={"maxIter": 5}
+    )
+    model, metrics, cached = P.load_or_train("t_gbt", "v1", lambda: trained)
+    assert not cached
+    assert P.has_cached_model("t_gbt", "v1")
+
+    # a second call must NOT invoke the trainer — reload from disk
+    def boom():
+        raise AssertionError("load_or_train retrained despite a cached model")
+
+    model2, metrics2, cached2 = P.load_or_train("t_gbt", "v1", boom)
+    assert cached2
+    assert metrics2 == pytest.approx(metrics)  # sidecar round-trips the dict
+
+    # the reloaded PipelineModel is a fresh object scoring BIT-identically
+    held = _labeled(spark, n=150, offset=1000)
+    s1 = {r.id: r.p for r in score_with_probability(model, held, out="p").select("id", "p").collect()}
+    s2 = {r.id: r.p for r in score_with_probability(model2, held, out="p").select("id", "p").collect()}
+    assert s1 == s2  # exact float equality, not approx
+
+
+def test_force_retrains_and_overwrites(spark, model_root):
+    df = _labeled(spark)
+    calls = []
+
+    def trainer():
+        calls.append(1)
+        return train_classifier(df, ["f1", "f2"], "y", kind="gradient_boost", overrides={"maxIter": 3})
+
+    P.load_or_train("t_force", "v1", trainer)
+    P.load_or_train("t_force", "v1", trainer)
+    assert len(calls) == 1
+    P.load_or_train("t_force", "v1", trainer, force=True)
+    assert len(calls) == 2
+    assert P.has_cached_model("t_force", "v1")
+
+
+def test_data_version_tracks_input_changes(tmp_path):
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    f = sf / "lineitem.parquet"
+    f.write_bytes(b"aaaa")
+    v1 = P.data_version(str(sf), tables=("lineitem",))
+    assert v1 == P.data_version(str(sf), tables=("lineitem",))  # stable
+    f.write_bytes(b"bbbbbb")  # size change → new version → retrain
+    assert P.data_version(str(sf), tables=("lineitem",)) != v1
+
+
+def test_different_versions_are_separate_artifacts(spark, model_root):
+    df = _labeled(spark)
+    trained = train_classifier(df, ["f1", "f2"], "y", kind="gradient_boost", overrides={"maxIter": 3})
+    P.load_or_train("t_ver", "v1", lambda: trained)
+    assert P.has_cached_model("t_ver", "v1")
+    assert not P.has_cached_model("t_ver", "v2")
+    assert os.path.isdir(P.model_dir("t_ver", "v1"))
