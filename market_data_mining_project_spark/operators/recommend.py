@@ -235,6 +235,61 @@ def als_recommendations(
     return out
 
 
+class RecommendationCache:
+    """Versioned recommendation cache with invalidation (the M14 serving
+    surface; reference ``customer_recommendation_cache`` —
+    ``Website/market/customers/models.py:71-85``, keyed on ``alpha`` +
+    ``rules_version`` with the staleness check at
+    ``customers/views.py:203-224``: stale or missing → recompute + store).
+
+    Storage is ONE parquet table holding the recommendation rows stamped
+    with the (``alpha``, ``rules_version``) they were computed under — the
+    S5 derived-table refresh idiom (``materialize.overwrite_table``), so a
+    lookup is a columnar scan with both stamp predicates pushed down.
+    ``rules_version`` is any token that changes when the rule store does;
+    ``ml.persistence.data_version`` over the mining inputs is the natural
+    choice (a re-import/re-mine produces a new token, invalidating every
+    cached blend — the reference's ``rules_version`` datetime semantics).
+    At scale the path lives on shared storage and the overwrite is the
+    atomic-swap the reference approximates with row deletes."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def lookup(self, spark, alpha: float, rules_version: str) -> DataFrame | None:
+        """Cached frame for (alpha, rules_version), or None on miss/stale."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            cached = spark.read.parquet(self.path)
+        except AnalysisException:  # never populated
+            return None
+        hit = cached.filter(
+            (F.col("alpha") == F.lit(float(alpha)))
+            & (F.col("rules_version") == F.lit(rules_version))
+        )
+        if not hit.limit(1).count():  # stamp mismatch = stale
+            return None
+        return hit.drop("alpha", "rules_version")
+
+    def store(self, recs: DataFrame, alpha: float, rules_version: str) -> None:
+        from market_data_mining_project_spark.sources.materialize import overwrite_table
+
+        stamped = recs.withColumn("alpha", F.lit(float(alpha))).withColumn(
+            "rules_version", F.lit(rules_version)
+        )
+        overwrite_table(stamped, self.path)
+
+    def serve(self, spark, alpha: float, rules_version: str, compute) -> DataFrame:
+        """Hit → cached rows; miss/stale → ``compute()`` + store + serve
+        (the reference's get-or-recompute request path, views.py:203-255)."""
+        hit = self.lookup(spark, alpha, rules_version)
+        if hit is not None:
+            return hit
+        self.store(compute(), alpha, rules_version)
+        return self.lookup(spark, alpha, rules_version)
+
+
 def hybrid_blend(
     assoc_scores: DataFrame,
     cf_scores: DataFrame,

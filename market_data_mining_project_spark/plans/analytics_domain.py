@@ -7,6 +7,8 @@ l_orderkey≈basket_id, p_brand≈department, day = days since 1995-01-01.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -169,11 +171,37 @@ FROM ranked WHERE rec_rank <= 5
 # --- M14: hybrid rules + CF blend ----------------------------------------------
 
 
+_REC_CACHE_PATHS: dict[str, str] = {}
+
+
 def q_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid recommender (M14; reference customers/views.py:49-183):
     assoc score = max(confidence × lift) of brand rules whose antecedent the
     user purchased; CF score from M13; each max-normalized per user,
-    blended α=0.6, purchased brands excluded, top-5."""
+    blended α=0.6, purchased brands excluded, top-5. Served through the
+    versioned RecommendationCache (reference customers/views.py:203-224):
+    the blend recomputes only when (alpha, rules_version) miss — a rules
+    re-mine on changed data flips the version token and invalidates."""
+    import tempfile
+
+    from market_data_mining_project_spark.sources import materialize as MAT
+
+    key = os.path.realpath(sf_dir)
+    path = _REC_CACHE_PATHS.get(key)
+    if path is None:
+        tmp = tempfile.mkdtemp(prefix="rec_cache_")
+        MAT._DERIVED_DIRS.append(tmp)
+        path = _REC_CACHE_PATHS[key] = tmp + "/recs"
+    cache = REC.RecommendationCache(path)
+    rules_version = PERSIST.data_version(sf_dir, ("lineitem", "part"))
+    return (
+        cache.serve(spark, 0.6, rules_version, lambda: _hybrid_blend_live(spark, sf_dir))
+        .withColumnRenamed("user", "o_custkey")
+        .orderBy("o_custkey", "rec_rank")
+    )
+
+
+def _hybrid_blend_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     query_users = (
         _ui_matrix(spark, sf_dir)
         .select("user")
@@ -201,8 +229,7 @@ def q_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranking cf_recommendations cuts at 5) instead of re-running the
     # similarity join
     cf = _cf_candidates(spark, sf_dir).select("user", "item", "score")
-    blended = REC.hybrid_blend(assoc, cf, purchased, alpha=0.6, k=5)
-    return blended.withColumnRenamed("user", "o_custkey")
+    return REC.hybrid_blend(assoc, cf, purchased, alpha=0.6, k=5)
 
 
 SQL_HYBRID_RECOMMENDATIONS = f"""
