@@ -694,6 +694,23 @@ GROUP BY p_brand
 """
 
 
+def q_pivot_brand_matrices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both brand-keyed M15 pivot matrices in ONE oracled entry (slot-merge:
+    quarter-sales columns ⨝ segment-count columns on the shared p_brand row
+    key — every cell of the former separate entries still hash-checks).
+    Each side stays its own single hash-aggregate pivot; the join is 25×25
+    rows, broadcast."""
+    return q_pivot_brand_quarter(spark, sf_dir).join(
+        F.broadcast(q_pivot_segment_brand(spark, sf_dir)), "p_brand"
+    )
+
+
+SQL_PIVOT_BRAND_MATRICES = f"""
+SELECT bq.*, sb.* EXCLUDE (p_brand)
+FROM ({SQL_PIVOT_BRAND_QUARTER}) bq JOIN ({SQL_PIVOT_SEGMENT_BRAND}) sb USING (p_brand)
+"""
+
+
 _BRANDS = [f"Brand#{i}{j}" for i in range(1, 6) for j in range(1, 6)]
 
 
@@ -1438,8 +1455,7 @@ QUERIES = {
     "horizon_labels": q_horizon_labels,
     "horizon_features": q_horizon_features,
     "stat_tests": q_stat_tests,
-    "pivot_brand_quarter": q_pivot_brand_quarter,
-    "pivot_segment_brand": q_pivot_segment_brand,
+    "pivot_brand_matrices": q_pivot_brand_matrices,
     "pivot_nation_brand": q_pivot_nation_brand,
     "data_assessment": q_data_assessment,
     "brand_predictions": q_brand_predictions,
@@ -1460,8 +1476,7 @@ ORACLE = {
     "horizon_labels": SQL_HORIZON_LABELS,
     "horizon_features": SQL_HORIZON_FEATURES,
     "stat_tests": SQL_STAT_TESTS,
-    "pivot_brand_quarter": SQL_PIVOT_BRAND_QUARTER,
-    "pivot_segment_brand": SQL_PIVOT_SEGMENT_BRAND,
+    "pivot_brand_matrices": SQL_PIVOT_BRAND_MATRICES,
     "pivot_nation_brand": SQL_PIVOT_NATION_BRAND,
     "data_assessment": SQL_DATA_ASSESSMENT,
     "brand_predictions": SQL_BRAND_PREDICTIONS,

@@ -145,6 +145,74 @@ def q_pairwise_rules_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules
 
 
+def q_pairwise_rules_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 at PRODUCT grain — the reference's main mining case (92K items,
+    views.py:133-348, with candidate caps and a TOP-2000 rule cut), vs the
+    25-value brand grain above. This is where the Apriori-style pruning
+    actually pays: the item space is the full part dimension (20K at sf0.1,
+    200K×SF in general), so the ``item_cap`` keeps the pair self-join to the
+    top-500 most-purchased items instead of |items|² candidates, and
+    ``max_results`` bounds the output like the reference's TOP 2000.
+
+    min_support is 0 (→ min_count 1): TPC-H-ish purchases are uniform
+    across a growing part dimension, so — unlike real market data — no
+    product pair ever reaches a fixed support ratio as SF grows; the
+    machinery under test is the cap-based candidate pruning + metric
+    expressions, not the (data-dependent) threshold."""
+    ib = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey"), F.col("l_partkey"))
+        .distinct()
+    )
+    return RULES.pairwise_rules(
+        None,
+        basket="l_orderkey",
+        item="l_partkey",
+        ib=ib,
+        min_support=0.0,
+        min_confidence=0.0,
+        item_cap=500,
+        max_results=2000,
+    )
+
+
+SQL_PAIRWISE_RULES_PRODUCT = """
+WITH ib AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS item FROM lineitem
+), tot AS (
+  SELECT COUNT(DISTINCT b) AS total FROM ib
+), freq AS (
+  SELECT item, COUNT(*) AS item_baskets FROM ib GROUP BY item
+  ORDER BY item_baskets DESC, item ASC
+  LIMIT 500
+), fib AS (
+  SELECT ib.b, ib.item FROM ib JOIN freq ON ib.item = freq.item
+), pairs AS (
+  SELECT a.item AS item_a, b2.item AS item_b, COUNT(*) AS pair_baskets
+  FROM fib a JOIN fib b2 ON a.b = b2.b AND a.item < b2.item
+  GROUP BY a.item, b2.item
+), directed AS (
+  SELECT item_a AS antecedent, item_b AS consequent, pair_baskets FROM pairs
+  UNION ALL
+  SELECT item_b AS antecedent, item_a AS consequent, pair_baskets FROM pairs
+)
+SELECT * FROM (
+  SELECT d.antecedent, d.consequent, d.pair_baskets,
+         fa.item_baskets AS antecedent_baskets,
+         fb.item_baskets AS consequent_baskets,
+         ROUND(CAST(d.pair_baskets AS DOUBLE) / (SELECT total FROM tot), 6) AS support,
+         ROUND(CAST(d.pair_baskets AS DOUBLE) / fa.item_baskets, 6) AS confidence,
+         ROUND((CAST(d.pair_baskets AS DOUBLE) / fa.item_baskets)
+               / (CAST(fb.item_baskets AS DOUBLE) / (SELECT total FROM tot)), 6) AS lift
+  FROM directed d
+  JOIN freq fa ON d.antecedent = fa.item
+  JOIN freq fb ON d.consequent = fb.item
+)
+ORDER BY lift DESC, antecedent ASC, consequent ASC
+LIMIT 2000
+"""
+
+
 SQL_PAIRWISE_RULES_BRAND = """
 WITH ib AS (
   SELECT DISTINCT l_orderkey AS b, p_brand AS item
@@ -219,6 +287,7 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "rfm_summary": q_rfm_summary,
     "pairwise_rules_brand": q_pairwise_rules_brand,
+    "pairwise_rules_product": q_pairwise_rules_product,
     "department_mix": q_department_mix,
 }
 
@@ -226,5 +295,6 @@ ORACLE = {
     "rfm_segments": SQL_RFM_SEGMENTS,
     "rfm_summary": SQL_RFM_SUMMARY,
     "pairwise_rules_brand": SQL_PAIRWISE_RULES_BRAND,
+    "pairwise_rules_product": SQL_PAIRWISE_RULES_PRODUCT,
     "department_mix": SQL_DEPARTMENT_MIX,
 }

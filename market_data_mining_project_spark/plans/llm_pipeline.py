@@ -445,10 +445,10 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination audit: docs with doc_id % 50 == 0 stand in
     for a held-out eval set; every other doc sharing ≥1 distinct 5-gram with
-    any of them is flagged with its overlap count, alongside the corpus-level
-    keep/drop tally. Rows-only (the 50-slot oracle window is full); the
-    overlap counts are exactly recomputed driver-side in
-    tests/test_dedup_similarity.py."""
+    any of them is flagged with its overlap count (top-100, total order).
+    Oracled (SQL_DECONTAMINATION re-expresses the gram explode + semi-join +
+    groupBy in DuckDB); the overlap counts are additionally recomputed
+    driver-side in tests/test_dedup_similarity.py."""
     # single-row-group test parquet arrives as ONE partition; the gram
     # explode is CPU-bound and needs the cores (same fix as lsh_topk)
     docs = D.ensure_parallelism(load_table(spark, sf_dir, "documents"))
@@ -458,6 +458,31 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.orderBy(F.col("overlap_grams").desc(), F.col("doc_id").asc()).limit(
         100
     )
+
+
+#: Same shape as the Spark plan: distinct 5-gram per doc (empty grams
+#: filtered, matching operators/dedup.shingles), eval-set gram dictionary,
+#: semi-join + per-doc overlap count, total-ordered top-100.
+SQL_DECONTAMINATION = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS g
+  FROM toks, UNNEST(range(1, GREATEST(len(ts) - 4, 1) + 1)) AS r(i)
+  WHERE array_to_string(ts[i:i+4], ' ') <> ''
+), ev AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+)
+SELECT doc_id, COUNT(*) AS overlap_grams
+FROM grams JOIN ev USING (g)
+WHERE doc_id % 50 <> 0
+GROUP BY doc_id
+HAVING COUNT(*) >= 1
+ORDER BY overlap_grams DESC, doc_id ASC
+LIMIT 100
+"""
 
 
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,10 +536,11 @@ ORACLE = {
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "token_stats": SQL_TOKEN_STATS,
     "corpus_prep": SQL_CORPUS_PREP,
+    "decontamination": SQL_DECONTAMINATION,
     # ivf_topk: rows-only (KMeans cells; pytest recall gate)
     # lsh_topk: rows-only (seeded hyperplanes; pytest recall gate)
-    # decontamination / pii_redaction: rows-only (oracle window full; exact
-    # driver-side recount + hand-built-string pytest gates)
+    # pii_redaction: rows-only (regex semantics pytest-pinned on hand-built
+    # strings; DuckDB's regex engine differs on lookarounds)
     "text_profile": SQL_TEXT_PROFILE,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

@@ -260,6 +260,18 @@ def q_repair_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repair_agg.crossJoin(F.broadcast(dedup_agg))
 
 
+def q_repair_recompute_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row table-health + mutation audit: the U2/A13 dedup aggregate ×
+    the P8 repair aggregate × the S9 delete-and-recompute before/after row.
+    All three sides are 1-row aggregates, so the cross joins are scalar
+    broadcasts — merging them costs nothing but frees oracle-window slots
+    for decontamination and the product-grain rules (every column of the
+    former separate entries is still hash-checked here)."""
+    return q_repair_dedup_audit(spark, sf_dir).crossJoin(
+        F.broadcast(q_basket_recompute(spark, sf_dir))
+    )
+
+
 SQL_REPAIR_DEDUP_AUDIT = """
 WITH ranked AS (
   SELECT *, ROW_NUMBER() OVER (
@@ -616,6 +628,11 @@ SELECT b.basket, before.*, after.*
 FROM b CROSS JOIN before CROSS JOIN after
 """
 
+SQL_REPAIR_RECOMPUTE_AUDIT = f"""
+SELECT rd.*, br.*
+FROM ({SQL_REPAIR_DEDUP_AUDIT}) rd CROSS JOIN ({SQL_BASKET_RECOMPUTE}) br
+"""
+
 
 # --- O5: custom categorical ordering ----------------------------------------------
 
@@ -657,7 +674,7 @@ QUERIES = {
     "filtered_scan": q_filtered_scan,
     "search_icontains": q_search,
     "pagination": q_pagination,
-    "repair_dedup_audit": q_repair_dedup_audit,
+    "repair_recompute_audit": q_repair_recompute_audit,
     "order_gaps": q_order_gaps,
     "monthly_sales": q_monthly_sales,
     "conditional_horizons": q_conditional_horizons,
@@ -666,7 +683,6 @@ QUERIES = {
     "pivot_category_year": q_pivot_category_year,
     "stratified_sample": q_stratified_sample,
     "schema_introspect": q_schema_introspect,
-    "basket_recompute": q_basket_recompute,
     "categorical_order": q_categorical_order,
 }
 
@@ -678,7 +694,7 @@ ORACLE = {
     "filtered_scan": SQL_FILTERED_SCAN,
     "search_icontains": SQL_SEARCH,
     "pagination": SQL_PAGINATION,
-    "repair_dedup_audit": SQL_REPAIR_DEDUP_AUDIT,
+    "repair_recompute_audit": SQL_REPAIR_RECOMPUTE_AUDIT,
     "order_gaps": SQL_ORDER_GAPS,
     "monthly_sales": SQL_MONTHLY_SALES,
     "conditional_horizons": SQL_CONDITIONAL_HORIZONS,
@@ -687,6 +703,5 @@ ORACLE = {
     "pivot_category_year": SQL_PIVOT_CATEGORY_YEAR,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "schema_introspect": SQL_SCHEMA_INTROSPECT,
-    "basket_recompute": SQL_BASKET_RECOMPUTE,
     "categorical_order": SQL_CATEGORICAL_ORDER,
 }

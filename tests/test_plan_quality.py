@@ -78,7 +78,7 @@ def test_horizon_features_broadcasts_brand_stats(spark, sf_dir):
 
 
 def test_pivot_queries_single_aggregate_with_broadcast_dim(spark, sf_dir):
-    for name in ("pivot_brand_quarter", "pivot_segment_brand", "pivot_nation_brand"):
+    for name in ("pivot_brand_matrices", "pivot_nation_brand"):
         plan = _plan(spark, sf_dir, name)
         assert "BroadcastHashJoin" in plan, name  # part dim broadcast
 
