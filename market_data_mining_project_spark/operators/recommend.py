@@ -77,7 +77,11 @@ def user_similarities(ui: DataFrame, query_users: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("qcnt").cast("double") * F.col("ocnt")).alias("dot"))
     )
     # query-side norms broadcast; the other_user norm join keys on the same
-    # hash partitioning the groupBy just produced
+    # hash partitioning the groupBy just produced. This join against the
+    # full norms frame is the scale bottleneck at ~10⁸ users — the intended
+    # cap is cosine_cf_scores(max_neighbors=K), which row_number-prunes the
+    # neighborhood BEFORE the scoring join (the serving catalog binds the
+    # capped variant; the oracled entries keep exact reference semantics)
     return (
         dots.join(
             F.broadcast(

@@ -129,6 +129,28 @@ def q_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cf_recommendations_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING variant of M13: k-NN CF with the neighborhood capped to
+    each query user's top-50 most-similar users (``max_neighbors``) before
+    the scoring join. The exact entry above keeps the reference's
+    score-against-everyone semantics (fine at its 2.5K households and
+    SQL-oracle-able); at 10⁸ users the uncapped neighborhood join is the
+    bottleneck, and this capped plan — one extra row_number window over the
+    similarity frame, then a join whose left side is ≤ 50 rows/user — is the
+    one a deployment binds. Rows-only: the cap cutoff rides on unrounded
+    float similarity ordering, which is not bit-stable across engines; the
+    capped-vs-exact contract is pytest-gated instead
+    (tests/test_rec_cache.py::test_cf_max_neighbors_*)."""
+    ui = _ui_matrix(spark, sf_dir)
+    query_users = ui.select("user").filter(F.col("user") % 100 == 0).distinct()
+    return (
+        REC.cosine_cf_scores(
+            None, "o_custkey", "p_brand", query_users, k=5, max_neighbors=50, ui=ui
+        )
+        .withColumnRenamed("user", "o_custkey")
+    )
+
+
 SQL_CF_RECOMMENDATIONS = f"""
 WITH fact AS ({_SQL_BRAND_FACT}),
 ui AS (
@@ -1463,6 +1485,7 @@ QUERIES = {
     "horizon_predictions": q_horizon_predictions,
     "model_grid_metrics": q_model_grid_metrics,
     "als_recommendations": q_als_recommendations,
+    "cf_recommendations_capped": q_cf_recommendations_capped,
     "churn_model_scores": q_churn_model_scores,
     "churn_threshold_sweep": q_churn_threshold_sweep,
     "minhash_candidates": q_minhash_candidates,

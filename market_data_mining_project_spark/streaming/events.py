@@ -138,8 +138,9 @@ def streaming_dedup(
     bounded by the watermark (``dropDuplicatesWithinWatermark`` — keys older
     than the delay are evicted, so state never grows unbounded). This is the
     ingestion-side twin of :func:`operators.dedup.exact_dedup`: dedup at
-    ingest with bounded state, then the batch pass handles anything that
-    slipped across watermark horizons.
+    ingest with bounded state, then :func:`reconcile_dedup_sink` sweeps the
+    sink to catch anything that slipped across watermark horizons (tested
+    end-to-end in test_cross_watermark_dedup_reconciliation).
 
     Default key = the content hash of the payload columns, the
     training-data-pipeline shape (drop replayed/duplicated events before
@@ -156,6 +157,38 @@ def streaming_dedup(
         )
         keys = drop_after = ["__content_key"]
     out = stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return out.drop(*drop_after) if drop_after else out
+
+
+def reconcile_dedup_sink(
+    sink: DataFrame, time_col: str = "ts", keys: list[str] | None = None
+) -> DataFrame:
+    """Periodic batch reconciliation for :func:`streaming_dedup` — the
+    promised composed pipeline: dedup at ingest with watermark-bounded state,
+    then sweep the sink with an exact batch dedup to catch duplicates that
+    arrived in DIFFERENT watermark horizons (the stream operator's state for
+    a key is evicted once the watermark passes its event time + delay, so a
+    replay hours later is re-emitted by design — unbounded state is the
+    alternative, and at 100 TB it isn't one).
+
+    Same default key as the stream side (content hash of the payload columns,
+    ``time_col`` excluded), keeping the EARLIEST arrival — one shuffle on the
+    digest, the :func:`operators.dedup.exact_dedup` shape. Run it over the
+    sink table on whatever cadence the corpus tolerates (e.g. daily
+    partition-scoped sweeps via ``overwrite_partitions``)."""
+    from pyspark.sql import Window
+
+    drop_after = []
+    if keys is None:
+        payload = [c for c in sink.columns if c != time_col]
+        sink = sink.withColumn("__content_key", F.md5(F.to_json(F.struct(*payload))))
+        keys = drop_after = ["__content_key"]
+    w = Window.partitionBy(*keys).orderBy(F.col(time_col).asc())
+    out = (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     return out.drop(*drop_after) if drop_after else out
 
 

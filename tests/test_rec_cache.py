@@ -5,6 +5,7 @@ alpha invalidates and recomputes."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from market_data_mining_project_spark.operators.recommend import RecommendationCache
@@ -54,3 +55,74 @@ def test_hit_invalidate_recompute_cycle(spark, tmp_path):
 def test_lookup_on_never_populated_path_is_miss(spark, tmp_path):
     cache = RecommendationCache(str(tmp_path / "nope"))
     assert cache.lookup(spark, 0.5, "v1") is None
+
+
+# --- max_neighbors: the capped k-NN serving path vs exact CF ------------------
+
+
+def _ui_fixture(spark):
+    """(user, item, cnt): query user 0 co-purchases with users 1..6 at
+    strictly decreasing similarity (higher user id → fewer shared items)."""
+    rows = []
+    items = [f"i{j}" for j in range(8)]
+    for it in items:
+        rows.append((0, it, 2))
+    for v in range(1, 7):
+        for it in items[: 8 - v]:  # user v shares 8-v items with user 0
+            rows.append((v, it, 1))
+        rows.append((v, f"only{v}", 3))  # plus an item user 0 never bought
+    return spark.createDataFrame(rows, "user LONG, item STRING, cnt LONG")
+
+
+def test_cf_max_neighbors_generous_cap_equals_exact(spark):
+    from market_data_mining_project_spark.operators.recommend import cosine_cf_scores
+
+    ui = _ui_fixture(spark)
+    q = spark.createDataFrame([(0,)], "user LONG")
+    exact = cosine_cf_scores(None, "user", "item", q, k=10, ui=ui).collect()
+    capped = cosine_cf_scores(None, "user", "item", q, k=10, max_neighbors=100, ui=ui).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, capped))
+
+
+def test_cf_max_neighbors_prunes_neighborhood_before_scoring(spark):
+    """With cap=2 only the top-2 most-similar users contribute: items owned
+    solely by pruned neighbors must vanish from the candidates, and the
+    surviving scores must equal a driver-side recomputation from exactly
+    those two neighborhoods."""
+    from market_data_mining_project_spark.operators.recommend import (
+        cosine_cf_scores,
+        user_similarities,
+    )
+
+    ui = _ui_fixture(spark)
+    q = spark.createDataFrame([(0,)], "user LONG")
+    sims = {
+        r.other_user: r.sim for r in user_similarities(ui, q).collect()
+    }
+    assert len(sims) == 6  # all co-purchasers are candidates pre-cap
+    top2 = sorted(sims, key=lambda u: (-sims[u], u))[:2]
+
+    capped = cosine_cf_scores(None, "user", "item", q, k=10, max_neighbors=2, ui=ui).collect()
+    got = {r.item: r.score for r in capped}
+    # only the top-2 neighbors' exclusive items may appear
+    assert set(got) == {f"only{u}" for u in top2}
+    for u in top2:
+        assert got[f"only{u}"] == pytest.approx(sims[u] * 3, abs=1e-6)
+
+
+def test_cf_capped_plan_adds_windowed_prune(spark):
+    """Plan difference on record: the capped variant carries the row_number
+    window over the similarity frame; the exact default does not."""
+    from market_data_mining_project_spark.operators.recommend import cosine_cf_scores
+
+    ui = _ui_fixture(spark)
+    q = spark.createDataFrame([(0,)], "user LONG")
+    exact_plan = (
+        cosine_cf_scores(None, "user", "item", q, k=5, ui=ui)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    capped_plan = (
+        cosine_cf_scores(None, "user", "item", q, k=5, max_neighbors=2, ui=ui)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "__nr" in capped_plan and "__nr" not in exact_plan

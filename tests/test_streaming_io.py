@@ -132,6 +132,77 @@ def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
     assert sorted(r.user_id for r in out) == list(range(5))
 
 
+def test_cross_watermark_dedup_reconciliation(spark, tmp_path):
+    """The composed dedup pipeline: a duplicate payload arriving AFTER the
+    watermark evicted its key's state is re-emitted by the stream operator
+    (bounded state working as designed), and the periodic batch sweep
+    (`reconcile_dedup_sink`) still ends with exactly one copy — keeping the
+    earliest arrival."""
+    import datetime as dt
+
+    import os as _os
+    import time as _time
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    # four micro-batches (the watermark lags one batch, and state eviction
+    # runs at the END of the batch — after that batch's dedup):
+    #   1. payload A at 12:00 — dedup state expires at 13:00
+    #   2. watermark pusher at 16:00 (processed under wm 11:00)
+    #   3. filler at 16:30 — processed under wm 15:00, so A's expired state
+    #      is physically removed when this batch closes
+    #   4. the SAME payload A replayed at 17:00 (not late: > watermark) —
+    #      state is gone, so the stream operator re-emits it by design
+    files = [
+        [(1, base, 42.0)],
+        [(2, base.replace(hour=16), 7.0)],
+        [(4, base.replace(hour=16, minute=30), 8.0)],
+        [(1, base.replace(hour=17), 42.0), (3, base.replace(hour=17, minute=30), 9.0)],
+    ]
+    src = tmp_path / "cw_src"
+    schema = "user_id LONG, ts TIMESTAMP, value DOUBLE"
+    now = _time.time()
+    written: set = set()
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+        # pin mtimes so the file source (ordered by modification time)
+        # replays the horizons in fixture order
+        for part in src.glob("part-*.parquet"):
+            if part not in written:
+                _os.utime(part, (now - 300 + 60 * i, now - 300 + 60 * i))
+                written.add(part)
+
+    stream = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("ts", T.TimestampType()),
+                    T.StructField("value", T.DoubleType()),
+                ]
+            )
+        )
+        .option("maxFilesPerTrigger", 1)  # one horizon per micro-batch
+        .parquet(str(src))
+    )
+    deduped = EV.streaming_dedup(stream, watermark="1 hour")
+    EV.run_bounded(deduped, "cw_dedup_sink", str(tmp_path / "cw_ck"))
+    sink = spark.table("cw_dedup_sink")
+
+    a_copies = sink.filter((F.col("user_id") == 1) & (F.col("value") == 42.0)).collect()
+    assert len(a_copies) == 2, (
+        "expected the replay to slip past the evicted state — if this is 1, "
+        "the fixture no longer crosses watermark horizons and the test "
+        "exercises nothing"
+    )
+
+    reconciled = EV.reconcile_dedup_sink(sink, time_col="ts")
+    a_final = reconciled.filter((F.col("user_id") == 1) & (F.col("value") == 42.0)).collect()
+    assert len(a_final) == 1
+    assert a_final[0].ts == base  # earliest arrival wins
+    # the distinct payloads all survive
+    assert reconciled.count() == 4
+
+
 def test_events_loader_adapts_to_both_ts_encodings(spark, tmp_path):
     """The events loader must read BOTH physical vintages of `ts` to the same
     logical timestamps: raw int64 nanoseconds (the original testdata, which
