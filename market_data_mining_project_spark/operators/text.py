@@ -92,6 +92,46 @@ def pii_counts(text: Column) -> Column:
     return F.struct(*cols)
 
 
+def word_bigrams(text: Column) -> Column:
+    """All word bigrams of a document (non-distinct — frequencies matter).
+    Docs with < 2 tokens yield an empty array (the lone partial slice has no
+    space and is filtered)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 2), " "))
+    return F.filter(grams, lambda g: g.contains(" "))
+
+
+def top_bigram_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of all word-bigram
+    occurrences taken by the single most frequent bigram (Rae et al. 2021
+    §A1.1 'duplicate n-grams' family — boilerplate and template spam score
+    high, natural prose low). Pure higher-order-function expression: for
+    each DISTINCT bigram count its occurrences, take the max. Per-doc cost
+    is O(distinct·total) on short-doc corpora — all inside codegen, no
+    shuffle, no UDF."""
+    grams = word_bigrams(text)
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda d: F.size(F.filter(grams, lambda g: g == d)),
+    )
+    return F.when(
+        F.size(grams) > 0,
+        F.round(F.array_max(counts) / F.size(grams), 6),
+    ).otherwise(0.0)
+
+
+def dup_token_ratio(text: Column) -> Column:
+    """Fraction of token occurrences that are repeats of an earlier token —
+    1 − distinct/total (the complement of the diversity term in
+    :func:`quality_score`, exposed as its own audit column)."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) > 0,
+        F.round(1.0 - F.size(F.array_distinct(toks)) / F.size(toks), 6),
+    ).otherwise(0.0)
+
+
 def quality_score(text: Column) -> Column:
     """Composite quality heuristic in [0, 1]: rewards reasonable length,
     low punctuation noise, and vocabulary diversity (distinct/total tokens).
@@ -160,7 +200,7 @@ def fingerprint(text: Column, n: int = 8) -> Column:
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document profile: tokens, chars, punct ratio, stopword
-    ratio (en), quality score, fingerprint."""
+    ratio (en), quality score, Gopher-style repetition signals, fingerprint."""
     t = F.col(text_col)
     return df.select(
         "*",
@@ -169,5 +209,7 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
         F.round(stopword_ratio(t, "en"), 6).alias("stopword_ratio_en"),
         quality_score(t).alias("quality"),
+        top_bigram_fraction(t).alias("top_bigram_fraction"),
+        dup_token_ratio(t).alias("dup_token_ratio"),
         fingerprint(t).alias("fingerprint"),
     )

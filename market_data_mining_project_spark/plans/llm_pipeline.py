@@ -19,14 +19,17 @@ from market_data_mining_project_spark.sources.tables import load_table
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis in one scan-and-map pass: token counts,
-    punctuation/stopword ratios, quality score, fingerprint, AND stopword-
-    voting language ID (``detected_lang``, verified per-doc against the
+    punctuation/stopword ratios, quality score, Gopher-style repetition
+    signals (top-bigram occurrence fraction + duplicate-token ratio — the
+    boilerplate/template-spam detectors), fingerprint, AND stopword-voting
+    language ID (``detected_lang``, verified per-doc against the
     ground-truth ``lang`` column via the oracle)."""
     docs = load_table(spark, sf_dir, "documents")
     prof = TXT.text_profile(TXT.detect_language(docs, "text"), "text")
     return prof.select(
         "doc_id", "lang", "detected_lang", "n_tokens", "punct_ratio",
-        "stopword_ratio_en", "quality", "fingerprint",
+        "stopword_ratio_en", "quality", "top_bigram_fraction",
+        "dup_token_ratio", "fingerprint",
     )
 
 
@@ -67,8 +70,17 @@ SELECT doc_id,
        ROUND(sraw, 6) AS stopword_ratio_en,
        ROUND((CASE WHEN n_tokens >= 5 AND n_tokens <= 10000 THEN 1.0 ELSE 0.5 END)
              * (1.0 - praw) * (0.5 + diversity / 2), 6) AS quality,
+       CASE WHEN len(bg) > 0
+            THEN ROUND(list_max([len(list_filter(bg, g -> g = d)) FOR d IN list_distinct(bg)])
+                       / len(bg), 6)
+            ELSE 0.0 END AS top_bigram_fraction,
+       CASE WHEN len(ts) > 0
+            THEN ROUND(1.0 - len(list_distinct(ts)) / len(ts), 6)
+            ELSE 0.0 END AS dup_token_ratio,
        md5(array_to_string(list_sort(list_distinct(ts))[1:8], ' ')) AS fingerprint
-FROM prof
+FROM (SELECT *, list_filter([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))],
+                            g -> contains(g, ' ')) AS bg
+      FROM prof)
 """
 
 

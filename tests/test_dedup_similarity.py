@@ -5,6 +5,7 @@ cosine, mirroring the reference's independent-recount validation style
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from market_data_mining_project_spark.operators import dedup as D
@@ -188,6 +189,40 @@ def test_ngram_contamination_matches_driver_recount(spark, sf_dir):
     kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
     train_ids = {r.doc_id for r in train.select("doc_id").collect()}
     assert kept_ids == train_ids - set(expected)
+
+
+def test_repetition_signals_hand_built_strings(spark):
+    """Gopher-style repetition columns on constructed docs: template spam
+    scores high, natural prose low, degenerate docs are 0 not NULL."""
+    from market_data_mining_project_spark.operators import text as TXT
+
+    rows = [
+        (1, "buy now buy now buy now buy now"),  # one bigram dominates
+        (2, "the quick brown fox jumps over lazy dogs"),  # all bigrams unique
+        (3, "word"),  # single token: no bigrams
+        (4, ""),  # empty
+        (5, "a b a b a b"),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, text STRING")
+    out = {
+        r.id: (r.tb, r.dt)
+        for r in df.select(
+            "id",
+            TXT.top_bigram_fraction(F.col("text")).alias("tb"),
+            TXT.dup_token_ratio(F.col("text")).alias("dt"),
+        ).collect()
+    }
+    # doc 1: 7 bigrams, "buy now" appears 4 times -> 4/7; 8 tokens 2 distinct
+    assert out[1][0] == pytest.approx(4 / 7, abs=1e-6)
+    assert out[1][1] == pytest.approx(1 - 2 / 8, abs=1e-6)
+    # doc 2: every bigram unique -> 1/7; every token unique -> 0
+    assert out[2][0] == pytest.approx(1 / 7, abs=1e-6)
+    assert out[2][1] == 0.0
+    assert out[3] == (0.0, 0.0)
+    assert out[4] == (0.0, 0.0)
+    # doc 5: bigrams [a b, b a, a b, b a, a b] -> 3/5; tokens 6, 2 distinct
+    assert out[5][0] == pytest.approx(3 / 5, abs=1e-6)
+    assert out[5][1] == pytest.approx(1 - 2 / 6, abs=1e-6)
 
 
 def test_redact_pii_hand_built_strings(spark):

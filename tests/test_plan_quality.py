@@ -77,6 +77,19 @@ def test_horizon_features_broadcasts_brand_stats(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_product_rules_cap_bounds_self_join_input(spark, sf_dir):
+    """pairwise_rules_product at full part-dimension grain must (a) compute
+    the top-500 frequent items with TakeOrderedAndProject (a bounded global
+    top-k, not a full sort) and (b) prune BOTH self-join branches with a
+    broadcast semi-join against that capped set — the plan property that
+    keeps the pair join |capped|², not |items|², at any scale."""
+    plan = _plan(spark, sf_dir, "pairwise_rules_product")
+    assert "TakeOrderedAndProject" in plan, "item_cap is not a bounded top-k"
+    flat = plan.replace("\n", " ")
+    assert flat.count("LeftSemi") >= 2, "self-join branches not semi-pruned"
+    assert "BroadcastHashJoin" in flat or "BroadcastExchange" in flat
+
+
 def test_pivot_queries_single_aggregate_with_broadcast_dim(spark, sf_dir):
     for name in ("pivot_brand_matrices", "pivot_nation_brand"):
         plan = _plan(spark, sf_dir, name)
