@@ -9,7 +9,7 @@ linearly with no shuffle at all — the ideal 100 TB shape: one scan, one map.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
@@ -140,6 +140,119 @@ def quality_score(text: Column) -> Column:
     diversity = F.when(n_tok > 0, F.size(F.array_distinct(tokens(text))) / n_tok).otherwise(0.0)
     length_ok = F.when((n_tok >= 5) & (n_tok <= 10000), F.lit(1.0)).otherwise(F.lit(0.5))
     return F.round(length_ok * (1.0 - punct_ratio(text)) * (0.5 + diversity / 2), 6)
+
+
+def token_budget_select_naive(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    tokens_col: str,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-group token-budget selection, naive form: order each group by
+    (score desc, id asc), running token cumsum, keep every doc whose
+    PRE-inclusion total is under ``budget`` (so the budget may be exceeded
+    by at most one document, never undershot while docs remain).
+
+    SMALL-DATA BASELINE ONLY: the window sorts each whole group on one
+    reducer — a per-language group at 100 TB is terabytes, so this shape
+    does not scale. It exists as the exact ground truth for
+    :func:`token_budget_select` (the same relationship exact all-pairs
+    cosine has to the blocked/LSH paths)."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.withColumn("__pre", pre).filter(F.col("__pre") < budget).drop("__pre")
+
+
+def token_budget_select(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    tokens_col: str,
+    id_col: str,
+    budget: int,
+    num_buckets: int = 1000,
+    score_range: tuple[float, float] = (0.0, 1.0),
+) -> DataFrame:
+    """Scale-path token-budget selection: fill each group's token budget
+    from the highest-scored documents down, WITHOUT sorting whole groups.
+
+    The naive cumsum-window sorts every group on a single reducer; this
+    two-phase plan stays bounded at any size:
+
+    1. bucket each doc by score into ``num_buckets`` fixed-width bins; ONE
+       map-side-combined aggregate yields the (group, bucket) token totals —
+       a bounded |groups|×|buckets| matrix collected to the driver;
+    2. per group, walk buckets from high score down until the budget
+       crosses: buckets strictly above the boundary are kept whole (a pure
+       filter — no sort, no shuffle); only the BOUNDARY bucket (≈1/num_buckets
+       of the group) pays the exact (score desc, id asc) cumsum window, with
+       the remaining budget from step 1.
+
+    Document-for-document identical to the naive form whenever scores are
+    deterministic (ties broken by id inside the boundary bucket; bucket
+    boundaries only coarsen WHERE the window runs, not its result).
+    ``score_range`` must bound the score column (quality scores live in
+    [0, 1]); values at the top edge clamp into the last bucket.
+    """
+    lo, hi = score_range
+    width = (hi - lo) / num_buckets
+    bucket = F.least(
+        F.lit(num_buckets - 1),
+        F.greatest(F.lit(0), F.floor((F.col(score_col) - lo) / width)),
+    ).cast("int")
+    bucketed = df.withColumn("__bk", bucket)
+    totals = (
+        bucketed.groupBy(group_col, "__bk")
+        .agg(F.sum(tokens_col).alias("__tok"))
+        .collect()  # bounded: |groups| × num_buckets rows
+    )
+    per_group: dict = {}
+    for r in totals:
+        per_group.setdefault(r[group_col], {})[r["__bk"]] = r["__tok"]
+    keep_whole: list = []  # (group, min_bucket_exclusive)
+    boundary: list = []  # (group, bucket, remaining_budget)
+    for g, buckets in per_group.items():
+        remaining = budget
+        for bk in sorted(buckets, reverse=True):
+            if remaining <= 0:
+                break
+            if buckets[bk] <= remaining:
+                keep_whole.append((g, bk))
+                remaining -= buckets[bk]
+            else:
+                boundary.append((g, bk, remaining))
+                break
+    spark = df.sparkSession
+    whole_df = spark.createDataFrame(
+        keep_whole or [(None, -1)], f"{group_col} STRING, __bk INT"
+    )
+    kept_whole = bucketed.join(F.broadcast(whole_df), [group_col, "__bk"], "left_semi")
+    if boundary:
+        bnd_df = spark.createDataFrame(
+            boundary, f"{group_col} STRING, __bk INT, __rem BIGINT"
+        )
+        bnd_rows = bucketed.join(F.broadcast(bnd_df), [group_col, "__bk"])
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        pre = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+        kept_boundary = (
+            bnd_rows.withColumn("__pre", pre)
+            .filter(F.col("__pre") < F.col("__rem"))
+            .drop("__pre", "__rem")
+        )
+        kept = kept_whole.unionByName(kept_boundary)
+    else:
+        kept = kept_whole
+    return kept.drop("__bk")
 
 
 def _isin_pred(values: list[str]):

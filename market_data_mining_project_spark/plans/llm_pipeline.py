@@ -527,8 +527,37 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget corpus selection (the sampling step between
+    corpus prep and training-set export): fill a 20K-BPE-token budget per
+    detected language from the highest-quality documents down, via the
+    bucketed two-phase `token_budget_select` — whole score-buckets keep as a
+    pure filter, only the boundary bucket pays a (small) sort window, so no
+    group is ever sorted whole. Summary row per language. Rows-only (the
+    50-slot oracle window is full); doc-identical equivalence with the naive
+    window-cumsum baseline and an exact driver recount are pytest-gated
+    (tests/test_dedup_similarity.py::test_token_budget_*)."""
+    docs = load_table(spark, sf_dir, "documents")
+    prof = TXT.text_profile(TXT.detect_language(docs, "text"), "text").withColumn(
+        "bpe_tokens", TXT.bpe_ish_token_count(F.col("text"))
+    )
+    kept = TXT.token_budget_select(
+        prof, "detected_lang", "quality", "bpe_tokens", "doc_id", budget=20_000
+    )
+    return (
+        kept.groupBy("detected_lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("bpe_tokens").alias("tokens_kept"),
+            F.round(F.min("quality"), 6).alias("min_quality_kept"),
+        )
+        .orderBy("detected_lang")
+    )
+
+
 QUERIES = {
     "dup_clusters": q_dup_clusters,
+    "token_budget_sample": q_token_budget_sample,
     "decontamination": q_decontamination,
     "pii_redaction": q_pii_redaction,
     "lsh_topk": q_lsh_topk,

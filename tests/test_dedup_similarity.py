@@ -191,6 +191,58 @@ def test_ngram_contamination_matches_driver_recount(spark, sf_dir):
     assert kept_ids == train_ids - set(expected)
 
 
+def test_token_budget_bucketed_equals_naive(spark, sf_dir):
+    """The scale-path bucketed selection must keep EXACTLY the documents the
+    naive full-sort cumsum keeps (same relationship as blocked vs naive
+    cosine): per-group budget filled high-score-down, pre-inclusion total
+    strictly under budget, ties by id."""
+    from market_data_mining_project_spark.operators import text as TXT
+
+    docs = load_table(spark, sf_dir, "documents")
+    prof = TXT.text_profile(TXT.detect_language(docs, "text"), "text").withColumn(
+        "bpe_tokens", TXT.bpe_ish_token_count(F.col("text"))
+    ).select("doc_id", "detected_lang", "quality", "bpe_tokens")
+    args = ("detected_lang", "quality", "bpe_tokens", "doc_id")
+    for budget in (500, 5_000, 10**9):
+        naive = TXT.token_budget_select_naive(prof, *args, budget=budget)
+        fast = TXT.token_budget_select(prof, *args, budget=budget)
+        assert sorted(r.doc_id for r in naive.collect()) == sorted(
+            r.doc_id for r in fast.collect()
+        ), f"budget={budget}"
+
+
+def test_token_budget_selection_matches_driver_recount(spark, sf_dir):
+    """Exact ground truth: recompute the selection in plain Python and
+    compare doc sets and budget accounting."""
+    from market_data_mining_project_spark.operators import text as TXT
+
+    docs = load_table(spark, sf_dir, "documents")
+    prof = TXT.text_profile(TXT.detect_language(docs, "text"), "text").withColumn(
+        "bpe_tokens", TXT.bpe_ish_token_count(F.col("text"))
+    ).select("doc_id", "detected_lang", "quality", "bpe_tokens")
+    budget = 2_000
+    rows = prof.collect()
+    expected: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.detected_lang, -r.quality, r.doc_id)):
+        grp = expected.setdefault(r.detected_lang, [0, set()])
+        if grp[0] < budget:
+            grp[0] += r.bpe_tokens
+            grp[1].add(r.doc_id)
+    got = TXT.token_budget_select(
+        prof, "detected_lang", "quality", "bpe_tokens", "doc_id", budget=budget
+    ).collect()
+    got_by_lang: dict[str, set] = {}
+    for r in got:
+        got_by_lang.setdefault(r.detected_lang, set()).add(r.doc_id)
+    assert got_by_lang == {g: ids for g, (_tok, ids) in expected.items()}
+    # budget respected up to one overshooting doc per group
+    for g, rs in got_by_lang.items():
+        toks = {r.doc_id: r.bpe_tokens for r in rows if r.detected_lang == g}
+        total = sum(toks[d] for d in rs)
+        largest = max(toks[d] for d in rs)
+        assert total - largest < budget
+
+
 def test_repetition_signals_hand_built_strings(spark):
     """Gopher-style repetition columns on constructed docs: template spam
     scores high, natural prose low, degenerate docs are 0 not NULL."""
