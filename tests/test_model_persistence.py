@@ -83,6 +83,30 @@ def test_data_version_tracks_input_changes(tmp_path):
     assert P.data_version(str(sf), tables=("lineitem",)) != v1
 
 
+def test_partial_cache_artifacts_are_not_served(spark, model_root):
+    """A half-written cache (metrics sidecar without a model dir, or the
+    reverse) must read as a miss — the atomic staging rename makes this
+    state unreachable through save_model, but a crashed copy or manual
+    tampering must trigger retraining, not a load failure."""
+    d = P.model_dir("t_partial", "v1")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "metrics.json"), "w") as fh:
+        fh.write("{}")
+    assert not P.has_cached_model("t_partial", "v1")  # no model dir
+
+    calls = []
+
+    def trainer():
+        calls.append(1)
+        return train_classifier(
+            _labeled(spark), ["f1", "f2"], "y", kind="gradient_boost", overrides={"maxIter": 3}
+        )
+
+    _m, _met, cached = P.load_or_train("t_partial", "v1", trainer)
+    assert not cached and calls == [1]
+    assert P.has_cached_model("t_partial", "v1")
+
+
 def test_different_versions_are_separate_artifacts(spark, model_root):
     df = _labeled(spark)
     trained = train_classifier(df, ["f1", "f2"], "y", kind="gradient_boost", overrides={"maxIter": 3})
