@@ -164,3 +164,33 @@ def test_ntile_scores_in_range_and_balanced(spark, rows):
         scored.groupBy("score").count().rdd.map(lambda r: r["count"]).collect()
     )
     assert counts[-1] - counts[0] <= 1  # NTILE balance property
+
+
+budget_docs_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de", "und"]),  # group
+        st.integers(min_value=0, max_value=1000),  # score milli-units → ties + bucket edges
+        st.integers(min_value=1, max_value=200),  # tokens
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(docs=budget_docs_strategy, budget=st.integers(min_value=1, max_value=2000))
+@settings(**_SETTINGS)
+def test_token_budget_bucketed_equals_naive_property(spark, docs, budget):
+    """For ANY score distribution (including exact ties and scores landing
+    on bucket edges) the bucketed two-phase selection keeps exactly the docs
+    the naive full-sort cumsum keeps."""
+    from market_data_mining_project_spark.operators import text as TXT
+
+    rows = [(i, g, s / 1000.0, t) for i, (g, s, t) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, score DOUBLE, tokens LONG")
+    args = ("lang", "score", "tokens", "doc_id")
+    naive = {r.doc_id for r in TXT.token_budget_select_naive(df, *args, budget=budget).collect()}
+    fast = {
+        r.doc_id
+        for r in TXT.token_budget_select(df, *args, budget=budget, num_buckets=16).collect()
+    }
+    assert naive == fast

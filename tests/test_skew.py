@@ -137,6 +137,31 @@ def test_shingle_df_cap_defuses_hot_shingle_join(spark, hot_shingle_docs):
     assert len(got) < 50, f"hot shingle still exploded into {len(got)} pairs"
 
 
+def test_token_budget_plan_windows_only_the_boundary_bucket(spark):
+    """The scale property of token_budget_select: the keep-whole branch is a
+    pure semi-join filter (no sort), and the single Window in the plan runs
+    only over the boundary-bucket subset — no group is ever sorted whole."""
+    from market_data_mining_project_spark.operators import text as TXT
+
+    rows = [(i, "en", (i % 100) / 100.0, 50) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, score DOUBLE, tokens LONG")
+    # budget = 10 whole buckets (10000 tokens) + 25 spare, so the walk keeps
+    # ten buckets as pure filters and opens ONE boundary bucket for the rest
+    kept = TXT.token_budget_select(
+        df, "lang", "score", "tokens", "doc_id", budget=10_025, num_buckets=100
+    )
+    plan = kept._jdf.queryExecution().executedPlan().toString().replace("\n", " ")
+    # exactly one Window (the boundary slice), and it sits behind the
+    # boundary-bucket semi-filter join, never over the full input
+    assert plan.count("Window") == 1
+    assert "LeftSemi" in plan  # keep-whole branch is filter-only
+    # correctness of the split: 100 buckets × 20 docs × 50 tokens → the ten
+    # top buckets whole (200 docs) + one boundary doc for the 25-token tail
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert len(ids) == 201
+    assert min((i % 100) for i in ids) >= 89
+
+
 def test_uncapped_hot_shingle_really_is_a_bomb(spark, hot_shingle_docs):
     """Control: without the cap the same fixture emits the quadratic pair
     set — the thing the cap exists to prevent (run at toy scale only)."""
