@@ -164,6 +164,7 @@ def als_recommendations(
     reg: float = 0.1,
     seed: int = 42,
     ui: DataFrame | None = None,
+    max_iter: int = 10,
 ) -> DataFrame:
     """Implicit-feedback ALS — the 100 TB replacement for all-pairs cosine
     (SURVEY §7.4.10: the reference's dense pivot is fine for 2.5K households,
@@ -215,6 +216,7 @@ def als_recommendations(
         regParam=reg,
         seed=seed,
         coldStartStrategy="drop",
+        maxIter=max_iter,
     )
     model = als.fit(ui.withColumn("cnt", F.col("cnt").cast("float")))
     recs = model.recommendForAllUsers(k)
