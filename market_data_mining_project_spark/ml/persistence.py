@@ -113,6 +113,38 @@ def load_model(name: str, version: str) -> tuple[PipelineModel, dict[str, float]
     return PipelineModel.load(os.path.join(d, "model")), metrics
 
 
+def save_metrics_artifact(name: str, version: str, payload: dict) -> str:
+    """Persist a metrics-only artifact (no PipelineModel) — the cached
+    metrics surface the reference's training-status API serves without
+    refitting (``ml_models.py:583-594`` polled via ``views.py:3119-3127``).
+    Used for the 16-cell horizon grid, whose catalog output is the metrics
+    table itself: the serving *model* persists separately via
+    ``load_or_train`` and the grid's job is the surface, so caching the
+    JSON avoids paying 16 model writes for artifacts nothing loads.
+    Same atomic staging-rename contract as ``save_model``."""
+    final = model_dir(name, version)
+    staging = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(staging, exist_ok=True)
+    try:
+        with open(os.path.join(staging, "metrics.json"), "w") as fh:
+            json.dump(payload, fh, sort_keys=True)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(staging, final)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return final
+
+
+def has_cached_metrics_artifact(name: str, version: str) -> bool:
+    return os.path.isfile(os.path.join(model_dir(name, version), "metrics.json"))
+
+
+def load_metrics_artifact(name: str, version: str) -> dict:
+    with open(os.path.join(model_dir(name, version), "metrics.json")) as fh:
+        return json.load(fh)
+
+
 def load_or_train(
     name: str,
     version: str,

@@ -91,6 +91,64 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.filter(F.array_distinct(grams), lambda g: g != "")
 
 
+def span_grams(text: Column, n: int = 5) -> Column:
+    """POSITIONAL word n-grams of a document — one gram per start position,
+    duplicates preserved (unlike ``shingles``, which is the distinct set).
+    A doc shorter than ``n`` tokens yields its single partial gram; an
+    empty doc yields an empty array."""
+    toks = F.filter(F.split(F.trim(text), "\\s+"), lambda t: t != "")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n, F.lit(0)) + 1)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.filter(grams, lambda g: g != "")
+
+
+def dup_span_coverage(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Duplicated-span coverage per document: the fraction of a doc's word
+    n-gram start positions whose gram also appears in ≥ ``min_docs`` - 1
+    OTHER documents — the span-level dedup signal of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"), at word
+    n-gram grain instead of suffix-array byte spans. Docs dominated by
+    corpus-duplicated spans (boilerplate, mirrored pages, templated text)
+    are the removal candidates that document-level near-dup misses.
+
+    Shape at 100 TB: explode → groupBy(id, gram) with map-side combine
+    (bounding any later fan-out by per-doc gram multiplicity), then ONE
+    groupBy(gram) over the already-deduped (id, gram) frame for the
+    document-frequency table, a 1:1 shuffle join back on gram (the df side
+    carries one row per gram — a hot gram cannot fan out), and a final
+    groupBy(id). No all-pairs stage. If gram strings ever dominate the
+    shuffle, substitute xxhash64(gram) as the join key (counts survive;
+    collisions at 64 bits are negligible at corpus scale).
+
+    Returns (id_col, n_spans, dup_spans); docs with zero grams are omitted
+    (mirrors the SQL oracle's ``len(ts) > 0`` guard).
+    """
+    per_doc_gram = (
+        df.select(F.col(id_col), F.explode(span_grams(F.col(text_col), n)).alias("__gram"))
+        .groupBy(id_col, "__gram")
+        .agg(F.count(F.lit(1)).alias("__n_pos"))
+    )
+    shared = (
+        per_doc_gram.groupBy("__gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__gram")
+        .withColumn("__shared", F.lit(1))
+    )
+    return (
+        per_doc_gram.join(shared, "__gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n_pos").alias("n_spans"),
+            F.sum(F.when(F.col("__shared").isNotNull(), F.col("__n_pos")).otherwise(F.lit(0))).alias(
+                "dup_spans"
+            ),
+        )
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     eval_df: DataFrame,

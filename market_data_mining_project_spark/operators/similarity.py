@@ -231,6 +231,63 @@ def ivf_assign(
     return assigned, model
 
 
+def cluster_profile(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str | None = None,
+    k: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus organization by embedding clustering: seeded KMeans over the
+    embedding column, profiled per cluster — size, cohesion (mean cosine of
+    members to their centroid), and, when ``label_col`` is given, the
+    dominant label with its purity. This is the cluster-level curation view
+    LLM data pipelines use for cluster-balanced sampling and for spotting
+    junk clusters (low cohesion / no dominant label) worth dropping
+    wholesale — the corpus-map step of SemDeDup-style semantic curation
+    (Abbas et al. 2023), minus the intra-cluster pair dedup that
+    ``cosine_near_dups_blocked`` already covers.
+
+    Shape at 100 TB: MLlib KMeans is the distributed fit; the centroid
+    table is k rows (broadcast join), member cosines are one JVM expression
+    pass, and the profile is two hash aggregations (cluster×label, then
+    cluster with max_by). Nothing driver-side except the k centroids.
+    """
+    assigned, model = ivf_assign(corpus, vec_col, id_col, n_cells=k, seed=seed)
+    spark = corpus.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(ci), [float(x) for x in c]) for ci, c in enumerate(model.clusterCenters())],
+            "cell int, centroid array<double>",
+        )
+    )
+    members = assigned.join(cent_df, "cell").withColumn(
+        "__cos", cosine(F.col(vec_col), F.col("centroid"))
+    )
+    if label_col is None:
+        return members.groupBy(F.col("cell").alias("cluster")).agg(
+            F.count(F.lit(1)).alias("size"),
+            F.round(F.avg("__cos"), 6).alias("cohesion"),
+        )
+    labeled = members.join(
+        corpus.select(F.col(id_col), F.col(label_col).alias("__label")), id_col
+    )
+    per_label = labeled.groupBy("cell", "__label").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__cos").alias("__cos_sum")
+    )
+    return (
+        per_label.groupBy(F.col("cell").alias("cluster"))
+        .agg(
+            F.sum("__n").alias("size"),
+            F.round(F.sum("__cos_sum") / F.sum("__n"), 6).alias("cohesion"),
+            F.max_by("__label", F.struct("__n", "__label")).alias("top_label"),
+            F.max("__n").alias("top_label_n"),
+        )
+        .withColumn("purity", F.round(F.col("top_label_n") / F.col("size"), 6))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -806,6 +806,26 @@ FROM per_cust
 """
 
 
+def q_stats_assessment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (global corpus stats, reference basket-analyzer headline numbers)
+    × M16 (data-readiness audit) as ONE single-row frame — both are 1-row
+    audit scalars, merged with the ``repair_recompute_audit`` cross-join
+    idiom to keep the 50-slot oracle window while freeing a slot for
+    ``span_dedup``. Column sets are disjoint; both operators remain
+    hash-verified end-to-end."""
+    from market_data_mining_project_spark.plans.tpch_relational import q_global_stats
+
+    return q_global_stats(spark, sf_dir).crossJoin(q_data_assessment(spark, sf_dir))
+
+
+def _sql_stats_assessment() -> str:
+    from market_data_mining_project_spark.plans.tpch_relational import SQL_GLOBAL_STATS
+
+    return (
+        f"SELECT * FROM ({SQL_GLOBAL_STATS}) __g CROSS JOIN ({SQL_DATA_ASSESSMENT}) __a"
+    )
+
+
 # --- M11/M12: heuristic predictions (multi-window stats + scoring formulas) -------
 
 
@@ -1229,6 +1249,20 @@ def q_model_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_data_mining_project_spark.ml.pipelines import train_multi_horizon_grid
     from market_data_mining_project_spark.operators.relational import stratified_sample
 
+    grid_schema = (
+        "horizon_days int, model_kind string, accuracy double, "
+        "precision double, recall double, f1 double, auc double"
+    )
+    # the reference's has_cached_models gate covers exactly this grid
+    # (ml_models.py:197-210: serve the cached surface only when EVERY cell
+    # is present — one all-or-nothing artifact gives the same contract)
+    grid_version = PERSIST.data_version(sf_dir)
+    if PERSIST.has_cached_metrics_artifact("horizon_grid_metrics", grid_version):
+        cached = PERSIST.load_metrics_artifact("horizon_grid_metrics", grid_version)
+        return spark.createDataFrame(
+            [tuple(r) for r in cached["rows"]], grid_schema
+        )
+
     feats = _horizon_features_mat(spark, sf_dir)
     feats = (
         stratified_sample(
@@ -1271,11 +1305,10 @@ def q_model_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             grid.items(), key=lambda kv: (horizon_days[kv[0][0]], kv[0][1])
         )
     ]
-    return spark.createDataFrame(
-        rows,
-        "horizon_days int, model_kind string, accuracy double, "
-        "precision double, recall double, f1 double, auc double",
+    PERSIST.save_metrics_artifact(
+        "horizon_grid_metrics", grid_version, {"rows": [list(r) for r in rows]}
     )
+    return spark.createDataFrame(rows, grid_schema)
 
 
 # --- rows-only entries (non-SQL-expressible; pytest carries the ground truth) -----
@@ -1482,7 +1515,7 @@ QUERIES = {
     "stat_tests": q_stat_tests,
     "pivot_brand_matrices": q_pivot_brand_matrices,
     "pivot_nation_brand": q_pivot_nation_brand,
-    "data_assessment": q_data_assessment,
+    "stats_assessment": q_stats_assessment,
     "brand_predictions": q_brand_predictions,
     "fpgrowth_rules": q_fpgrowth_rules,
     "horizon_predictions": q_horizon_predictions,
@@ -1504,7 +1537,7 @@ ORACLE = {
     "stat_tests": SQL_STAT_TESTS,
     "pivot_brand_matrices": SQL_PIVOT_BRAND_MATRICES,
     "pivot_nation_brand": SQL_PIVOT_NATION_BRAND,
-    "data_assessment": SQL_DATA_ASSESSMENT,
+    "stats_assessment": _sql_stats_assessment(),
     "brand_predictions": SQL_BRAND_PREDICTIONS,
     "fpgrowth_rules": SQL_FPGROWTH_RULES,
     # als_recommendations / churn_model_scores / churn_threshold_sweep /

@@ -107,6 +107,51 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup audit (Lee et al. 2021-style): per document, the
+    fraction of word 5-gram start positions whose gram appears in ≥ 2
+    distinct documents, plus the keep/drop decision at 20% coverage — the
+    filter that catches boilerplate/templated docs document-level near-dup
+    misses. Complements ``ngram_jaccard`` (pairwise similarity) with a
+    corpus-frequency signal that needs no pair enumeration at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    cov = D.dup_span_coverage(docs, "text", "doc_id", n=5, min_docs=2)
+    return cov.select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("dup_spans").cast("long").alias("dup_spans"),
+        F.round(F.col("dup_spans") / F.col("n_spans"), 6).alias("dup_frac"),
+        (F.col("dup_spans") / F.col("n_spans") <= 0.2).cast("int").alias("kept"),
+    )
+
+
+SQL_SPAN_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ts
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest([array_to_string(ts[i:i+4], ' ')
+                 FOR i IN range(1, greatest(len(ts) - 5, 0) + 2)]) AS gram
+  FROM toks WHERE len(ts) > 0
+), pg AS (
+  SELECT doc_id, gram, COUNT(*) AS n_pos FROM g GROUP BY 1, 2
+), sh AS (
+  SELECT gram FROM pg GROUP BY gram HAVING COUNT(*) >= 2
+)
+SELECT pg.doc_id,
+       CAST(SUM(n_pos) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN sh.gram IS NOT NULL THEN n_pos ELSE 0 END) AS BIGINT) AS dup_spans,
+       ROUND(SUM(CASE WHEN sh.gram IS NOT NULL THEN n_pos ELSE 0 END) * 1.0
+             / SUM(n_pos), 6) AS dup_frac,
+       CAST(SUM(CASE WHEN sh.gram IS NOT NULL THEN n_pos ELSE 0 END) * 1.0
+            / SUM(n_pos) <= 0.2 AS INT) AS kept
+FROM pg LEFT JOIN sh USING (gram)
+GROUP BY pg.doc_id
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
@@ -249,6 +294,19 @@ SELECT lang, COUNT(*) AS docs,
        ROUND(AVG(CAST(bpe_tokens AS DOUBLE)), 4) AS avg_bpe_tokens
 FROM t GROUP BY lang
 """
+
+
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus map: seeded KMeans (k=10) over the embedding table with
+    per-cluster size / cohesion / dominant-label purity — the
+    cluster-balanced-sampling and junk-cluster view. Rows-only: KMeans
+    centroids are MLlib-internal (seeded initialization + Lloyd iterations
+    no SQL oracle reproduces); pytest gates pin k rows, size total,
+    cohesion range vs the global-centroid baseline, and purity bounds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cluster_profile(
+        emb, "embedding", "vec_id", label_col="label", k=10, seed=42
+    ).orderBy("cluster")
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,10 +622,12 @@ QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "token_stats": q_token_stats,
     "ivf_topk": q_ivf_topk,
+    "embedding_clusters": q_embedding_clusters,
     "corpus_prep": q_corpus_prep,
     "text_profile": q_text_profile,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
+    "span_dedup": q_span_dedup,
     "cosine_topk": q_cosine_topk,
     "embedding_label_centroids": q_embedding_label_centroids,
 }
@@ -585,6 +645,7 @@ ORACLE = {
     "text_profile": SQL_TEXT_PROFILE,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "span_dedup": SQL_SPAN_DEDUP,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_label_centroids": SQL_EMBEDDING_LABEL_CENTROIDS,
 }

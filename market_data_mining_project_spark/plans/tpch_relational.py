@@ -667,7 +667,8 @@ GROUP BY o_orderpriority
 
 
 QUERIES = {
-    "global_stats": q_global_stats,
+    # q_global_stats serves through analytics_domain's merged
+    # "stats_assessment" entry (A1 × M16 in one oracled single-row frame)
     "category_rollup": q_category_rollup,
     "basket_rollup_top25": q_basket_rollup_top25,
     "product_rollup_having": q_product_rollup_having,
@@ -687,7 +688,6 @@ QUERIES = {
 }
 
 ORACLE = {
-    "global_stats": SQL_GLOBAL_STATS,
     "category_rollup": SQL_CATEGORY_ROLLUP,
     "basket_rollup_top25": SQL_BASKET_ROLLUP_TOP25,
     "product_rollup_having": SQL_PRODUCT_ROLLUP_HAVING,

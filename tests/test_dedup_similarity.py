@@ -314,3 +314,84 @@ def test_redact_pii_hand_built_strings(spark):
     assert out[6][1].ip == 1 and out[6][1].phone == 0
     assert out[5][0] == rows[4][1]  # untouched
     assert out[6][0] == "mixed: <URL> <IP> <EMAIL>"
+
+
+def test_dup_span_coverage_matches_driver_recount(spark, sf_dir):
+    """Exact recount of the Lee-et-al-style span-coverage signal in pure
+    Python over the collected corpus: per-position 5-grams, shared = gram
+    in >= 2 distinct docs; Spark's (n_spans, dup_spans) must match per doc,
+    and the corpus must actually carry signal (near-dup clusters exist)."""
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r.doc_id: (r.n_spans, r.dup_spans)
+        for r in D.dup_span_coverage(docs, "text", "doc_id", n=5, min_docs=2).collect()
+    }
+
+    n = 5
+    raw = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    per_doc: dict[int, list[str]] = {}
+    for doc_id, text in raw:
+        toks = [t for t in text.strip().split() if t]
+        if not toks:
+            continue
+        grams = [
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)
+        ]
+        per_doc[doc_id] = grams
+    df_count: dict[str, int] = {}
+    for grams in per_doc.values():
+        for g in set(grams):
+            df_count[g] = df_count.get(g, 0) + 1
+    want = {
+        doc_id: (
+            len(grams),
+            sum(1 for g in grams if df_count[g] >= 2),
+        )
+        for doc_id, grams in per_doc.items()
+    }
+    assert got == want
+    assert any(d > 0 for _, d in got.values()), "corpus should contain shared spans"
+    # exact duplicate docs exist in the corpus -> full coverage on them
+    assert any(ns == ds and ds > 0 for ns, ds in got.values())
+
+
+def test_cluster_profile_gates(spark, sf_dir):
+    """Seeded KMeans corpus map: k clusters, sizes sum to the corpus, every
+    cluster coheres better around its own centroid than the corpus does
+    around the global centroid, and label purity is a valid fraction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    total = emb.count()
+    prof = SIM.cluster_profile(
+        emb, "embedding", "vec_id", label_col="label", k=10, seed=42
+    ).collect()
+    assert len(prof) == 10
+    assert sum(r.size for r in prof) == total
+    assert all(-1.0 <= r.cohesion <= 1.0 for r in prof)
+    assert all(0.0 < r.purity <= 1.0 for r in prof)
+    assert all(0 <= r.top_label <= 9 for r in prof)
+    assert all(r.top_label_n <= r.size for r in prof)
+
+    # baseline: one global centroid (k=1); per-cluster fit should beat it
+    # on average. Computed directly — MLlib KMeans requires k >= 2.
+    import math
+
+    vecs = [r.embedding for r in emb.select("embedding").collect()]
+    dim = len(vecs[0])
+    centroid = [sum(v[i] for v in vecs) / len(vecs) for i in range(dim)]
+    cnorm = math.sqrt(sum(x * x for x in centroid))
+    base_cohesion = sum(
+        sum(a * b for a, b in zip(v, centroid))
+        / (math.sqrt(sum(a * a for a in v)) * cnorm)
+        for v in vecs
+    ) / len(vecs)
+    mean_cohesion = sum(r.cohesion * r.size for r in prof) / total
+    assert mean_cohesion > base_cohesion, (
+        f"k=10 mean cohesion {mean_cohesion:.4f} should beat the "
+        f"global-centroid baseline {base_cohesion:.4f}"
+    )
+
+    # determinism: same seed, same profile
+    again = SIM.cluster_profile(
+        emb, "embedding", "vec_id", label_col="label", k=10, seed=42
+    ).collect()
+    assert sorted(map(tuple, prof)) == sorted(map(tuple, again))

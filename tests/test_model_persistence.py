@@ -114,3 +114,37 @@ def test_different_versions_are_separate_artifacts(spark, model_root):
     assert P.has_cached_model("t_ver", "v1")
     assert not P.has_cached_model("t_ver", "v2")
     assert os.path.isdir(P.model_dir("t_ver", "v1"))
+
+
+def test_metrics_artifact_roundtrip(model_root):
+    payload = {"rows": [[30, "svm", 0.8, 0.7, 0.6, 0.65, 0.9]]}
+    assert not P.has_cached_metrics_artifact("grid", "v1")
+    P.save_metrics_artifact("grid", "v1", payload)
+    assert P.has_cached_metrics_artifact("grid", "v1")
+    assert P.load_metrics_artifact("grid", "v1") == payload
+    assert not P.has_cached_metrics_artifact("grid", "v2")
+
+
+def test_grid_metrics_served_from_cached_artifact(spark, sf_dir, model_root):
+    """The reference's has_cached_models gate over the 16-cell grid
+    (ml_models.py:197-210): when the artifact for the current data version
+    exists, q_model_grid_metrics serves it without training — verified by
+    priming a sentinel artifact and observing it come back verbatim."""
+    from market_data_mining_project_spark.plans.analytics_domain import (
+        q_model_grid_metrics,
+    )
+
+    sentinel = [
+        [h, kind, 0.5, 0.5, 0.5, 0.5, 0.5]
+        for h in (30, 90, 180, 365)
+        for kind in ("gradient_boost", "neural_network", "random_forest", "svm")
+    ]
+    P.save_metrics_artifact(
+        "horizon_grid_metrics", P.data_version(sf_dir), {"rows": sentinel}
+    )
+    out = q_model_grid_metrics(spark, sf_dir)
+    rows = [
+        [r.horizon_days, r.model_kind, r.accuracy, r.precision, r.recall, r.f1, r.auc]
+        for r in out.collect()
+    ]
+    assert rows == sentinel  # served from cache, no 16-fit training pass
