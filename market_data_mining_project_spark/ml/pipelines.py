@@ -208,6 +208,61 @@ def train_multi_horizon_grid(
     return dict(zip(cells, metrics))
 
 
+def train_quality_classifier(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    num_features: int = 1 << 12,
+    train_fraction: float = 0.8,
+    with_metrics: bool = True,
+) -> TrainedModel:
+    """Model-based quality filter — the classifier step public LLM data
+    pipelines run after heuristics (GPT-3 trained LR over hashed text
+    features against a reference-vs-crawl label; CCNet/LLaMA distill
+    similar filters). Features: hashed term frequencies (HashingTF — the
+    fixed-width, shuffle-free featurizer that scales to any vocab) plus
+    the numeric profile signals; estimator: LogisticRegression, so scoring
+    the full corpus is one broadcast of the coefficient vector inside a
+    JVM map — no shuffle, no Python.
+
+    ``docs`` must carry a tokens array column ``__toks``, the numeric
+    signal columns listed in QUALITY_SIGNAL_COLS, and a 0/1 ``label_col``.
+    Training cost is one fit on (a bounded sample of) the labeled frame;
+    at 100 TB the label side is a curated reference set, so the fit input
+    stays small while transform scales linearly."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    df = docs.withColumn("label", F.col(label_col).cast("double"))
+    train, test = df.randomSplit([train_fraction, 1 - train_fraction], seed=SEED)
+    stages = [
+        HashingTF(inputCol="__toks", outputCol="__tf", numFeatures=num_features),
+        VectorAssembler(
+            inputCols=["__tf", *QUALITY_SIGNAL_COLS],
+            outputCol="features",
+            handleInvalid="keep",
+        ),
+        # 20 iterations: LBFGS plateaus well before that on a near-separable
+        # distillation target, and each extra iteration is a full pass
+        LogisticRegression(maxIter=20, regParam=0.01, featuresCol="features"),
+    ]
+    model = Pipeline(stages=stages).fit(train)
+    # serving paths skip the held-out evaluation pass (with_metrics=False):
+    # the catalog output is the scored corpus, and the AUC gate lives in
+    # pytest where it belongs
+    metrics = binary_metrics(model.transform(test)) if with_metrics else {}
+    return TrainedModel(model=model, metrics=metrics)
+
+
+QUALITY_SIGNAL_COLS = [
+    "n_tokens",
+    "punct_ratio",
+    "stopword_ratio_en",
+    "top_bigram_fraction",
+    "dup_token_ratio",
+]
+
+
 def score_with_probability(
     model: PipelineModel, df: DataFrame, out: str = "churn_probability"
 ) -> DataFrame:

@@ -210,6 +210,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     n_cells: int = 16,
     seed: int = 42,
+    max_iter: int = 20,
 ) -> tuple[DataFrame, "object"]:
     """IVF coarse quantizer: KMeans centroids; each vector assigned to its
     nearest cell. Returns (assigned corpus with ``cell`` column, kmeans model).
@@ -223,7 +224,9 @@ def ivf_assign(
     featurized = corpus.select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
     ).withColumn("features", array_to_vector("__v"))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features", predictionCol="cell"
+    )
     model = km.fit(featurized)
     assigned = model.transform(featurized).select(
         F.col("__id").alias(id_col), F.col("__v").alias(vec_col), "cell"
@@ -254,7 +257,10 @@ def cluster_profile(
     pass, and the profile is two hash aggregations (cluster×label, then
     cluster with max_by). Nothing driver-side except the k centroids.
     """
-    assigned, model = ivf_assign(corpus, vec_col, id_col, n_cells=k, seed=seed)
+    # 10 Lloyd iterations: the corpus-map clusters stabilize early, and each
+    # iteration is a full pass — the profile, not the last decimal of
+    # inertia, is the product here
+    assigned, model = ivf_assign(corpus, vec_col, id_col, n_cells=k, seed=seed, max_iter=10)
     spark = corpus.sparkSession
     cent_df = F.broadcast(
         spark.createDataFrame(

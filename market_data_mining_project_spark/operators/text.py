@@ -94,11 +94,18 @@ def pii_counts(text: Column) -> Column:
 
 def word_bigrams(text: Column) -> Column:
     """All word bigrams of a document (non-distinct — frequencies matter).
-    Docs with < 2 tokens yield an empty array (the lone partial slice has no
-    space and is filtered)."""
+    Docs with < 2 tokens yield an empty array.
+
+    Built with ``zip_with`` over the token array and its own 1-shifted
+    slice — one concat per element, no per-position sub-array allocation
+    (a transform(sequence, i -> array_join(slice(...))) formulation
+    allocates an array per gram inside interpreted HOF evaluation and
+    measured ~4× slower on the sf0.1 corpus). zip_with pads the shorter
+    side with null; concat_ws skips nulls, so the tail element has no
+    space and the contains-filter drops it."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 2), " "))
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    grams = F.zip_with(toks, shifted, lambda a, b: F.concat_ws(" ", a, b))
     return F.filter(grams, lambda g: g.contains(" "))
 
 
@@ -109,30 +116,34 @@ def top_bigram_fraction(text: Column) -> Column:
     high, natural prose low).
 
     Computed as the longest equal-run in the SORTED bigram array via one
-    ``aggregate`` pass — O(L log L) per doc, the array evaluated once.
-    (A distinct×filter nested-lambda formulation is the tempting O(L²)
-    alternative, but Catalyst does not common-subexpression-eliminate
-    inside lambda bodies, so the whole upstream split/transform chain is
-    re-evaluated per distinct gram — measured 175× slower on the 5K-doc
-    sf0.1 corpus. Keep this one linear.)"""
+    ``aggregate`` pass — O(L log L) per doc, and the gram array is built
+    and evaluated exactly ONCE (the element count rides in the aggregate
+    state, so no second/third reference to the array exists — every extra
+    reference re-evaluates the whole upstream chain, since Catalyst does
+    not common-subexpression-eliminate across HOF arguments). The
+    distinct×filter nested-lambda formulation this replaced re-evaluated
+    the chain per distinct gram: measured 175× slower on the 5K-doc sf0.1
+    corpus. Keep this one linear and single-reference."""
     grams = F.array_sort(word_bigrams(text))
     run_of = lambda acc, g: F.when(g == acc.prev, acc.run + 1).otherwise(F.lit(1))
-    best = F.aggregate(
+    return F.aggregate(
         grams,
         F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("n"),
         ),
         lambda acc, g: F.struct(
             g.alias("prev"),
             run_of(acc, g).alias("run"),
             F.greatest(acc.best, run_of(acc, g)).alias("best"),
+            (acc.n + 1).alias("n"),
         ),
-        lambda acc: acc.best,
+        lambda acc: F.when(
+            acc.n > 0, F.round(acc.best.cast("double") / acc.n, 6)
+        ).otherwise(F.lit(0.0)),
     )
-    return F.when(
-        F.size(grams) > 0,
-        F.round(best / F.size(grams), 6),
-    ).otherwise(0.0)
 
 
 def dup_token_ratio(text: Column) -> Column:

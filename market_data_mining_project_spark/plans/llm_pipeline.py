@@ -309,6 +309,55 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster")
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (the classifier step after heuristics —
+    GPT-3's LR-over-hashed-features against a reference-vs-crawl label,
+    CCNet/LLaMA-style distillation): label = top-quartile heuristic
+    quality ("reference-like"), features = hashed term frequencies + the
+    profile signals, estimator = LogisticRegression. Output: per-doc
+    probability + verdict. Rows-only: LBFGS coefficients are not
+    SQL-reproducible; pytest gates pin AUC, probability bounds and row
+    coverage (tests/test_rules_ml.py::test_quality_classifier_gates)."""
+    from market_data_mining_project_spark.ml.pipelines import (
+        score_with_probability,
+        train_quality_classifier,
+    )
+    from market_data_mining_project_spark.operators.relational import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    # only the classifier's inputs — not the full text_profile — get
+    # computed and cached: the tokens array, the numeric signals, and the
+    # heuristic score the label derives from
+    prof = docs.select(
+        "doc_id",
+        TXT.tokens(t).alias("__toks"),
+        TXT.token_count(t).alias("n_tokens"),
+        F.round(TXT.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(TXT.stopword_ratio(t, "en"), 6).alias("stopword_ratio_en"),
+        TXT.top_bigram_fraction(t).alias("top_bigram_fraction"),
+        TXT.dup_token_ratio(t).alias("dup_token_ratio"),
+        TXT.quality_score(t).alias("quality"),
+    ).cache()
+    # exact quantile of the heuristic score = the "reference set" boundary
+    thresh = prof.stat.approxQuantile("quality", [0.75], 0.0)[0]
+    labeled = prof.withColumn("label", (F.col("quality") >= thresh).cast("int"))
+    # bounded, class-balanced training set (the M8/M9 fixed-cost pattern):
+    # the fit stays O(cap) as the corpus scales; scoring stays linear
+    train_set = stratified_sample(
+        labeled, bucket=F.col("label"), per_bucket=5000, order_key=F.md5(F.col("doc_id").cast("string"))
+    )
+    trained = train_quality_classifier(train_set, "text", "label", with_metrics=False)
+    scored = score_with_probability(trained.model, labeled, out="quality_prob")
+    prof.unpersist()
+    return scored.select(
+        "doc_id",
+        F.col("label").cast("int").alias("heuristic_label"),
+        F.round("quality_prob", 6).alias("quality_prob"),
+        F.col("prediction").cast("int").alias("predicted"),
+    )
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: exact-Jaccard pairs (≥0.5) resolved to connected
     components by iterative min-label propagation — the 'keep one doc per
@@ -623,6 +672,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "ivf_topk": q_ivf_topk,
     "embedding_clusters": q_embedding_clusters,
+    "quality_classifier": q_quality_classifier,
     "corpus_prep": q_corpus_prep,
     "text_profile": q_text_profile,
     "exact_dedup": q_exact_dedup,

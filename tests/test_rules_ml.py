@@ -193,3 +193,35 @@ def test_cf_scores_exclude_purchased(spark, sf_dir):
     purchased = REC.user_item_counts(fact, "o_custkey", "p_brand").select("user", "item")
     overlap = recs.join(purchased, ["user", "item"]).count()
     assert overlap == 0
+
+
+def test_quality_classifier_gates(spark, sf_dir):
+    """The model-based quality filter must actually learn the heuristic it
+    distills: held-out AUC high, probabilities valid, every doc scored."""
+    from market_data_mining_project_spark.ml.pipelines import (
+        score_with_probability,
+        train_quality_classifier,
+    )
+    from market_data_mining_project_spark.operators import text as TXT
+    from market_data_mining_project_spark.plans.llm_pipeline import q_quality_classifier
+
+    out = q_quality_classifier(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(out) == docs.count()
+    assert all(0.0 <= r.quality_prob <= 1.0 for r in out)
+    assert all(r.predicted in (0, 1) and r.heuristic_label in (0, 1) for r in out)
+    # both classes must exist (the 0.75-quantile label is non-degenerate)
+    assert {r.heuristic_label for r in out} == {0, 1}
+
+    # held-out AUC gate on the underlying trainer
+    prof = TXT.text_profile(docs, "text").withColumn(
+        "__toks", TXT.tokens(F.col("text"))
+    )
+    thresh = prof.stat.approxQuantile("quality", [0.75], 0.0)[0]
+    labeled = prof.withColumn("label", (F.col("quality") >= thresh).cast("int"))
+    trained = train_quality_classifier(labeled, "text", "label")
+    assert trained.metrics["auc"] >= 0.85, trained.metrics
+
+    # full-corpus agreement with the heuristic label should be strong
+    agree = sum(1 for r in out if r.predicted == r.heuristic_label) / len(out)
+    assert agree >= 0.8, f"classifier agrees with heuristic on only {agree:.0%}"
