@@ -347,8 +347,17 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_set = stratified_sample(
         labeled, bucket=F.col("label"), per_bucket=5000, order_key=F.md5(F.col("doc_id").cast("string"))
     )
-    trained = train_quality_classifier(train_set, "text", "label", with_metrics=False)
-    scored = score_with_probability(trained.model, labeled, out="quality_prob")
+    # load-or-train keyed on the documents data version: a later session
+    # scores the corpus without refitting (same cache contract as the
+    # churn/horizon models)
+    from market_data_mining_project_spark.ml import persistence as PERSIST
+
+    model, _metrics, _cached = PERSIST.load_or_train(
+        "quality_lr",
+        PERSIST.data_version(sf_dir, tables=("documents",)),
+        lambda: train_quality_classifier(train_set, "text", "label", with_metrics=False),
+    )
+    scored = score_with_probability(model, labeled, out="quality_prob")
     prof.unpersist()
     return scored.select(
         "doc_id",

@@ -188,3 +188,15 @@ def test_decontamination_broadcasts_eval_grams(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_span_dedup_no_crossjoin_and_prunes_scan(spark, sf_dir):
+    """The span-coverage plan must be the inverted-frequency shape — hash
+    aggregates + a keyed join — never a pair-enumeration cross join, and
+    the documents scan must read only (doc_id, text)."""
+    plan = _plan(spark, sf_dir, "span_dedup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+    read = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "text" in read and "doc_id" in read
+    assert "lang" not in read and "source" not in read, f"unpruned scan: {read}"
