@@ -194,3 +194,74 @@ def test_token_budget_bucketed_equals_naive_property(spark, docs, budget):
         for r in TXT.token_budget_select(df, *args, budget=budget, num_buckets=16).collect()
     }
     assert naive == fast
+
+
+_texts_strategy = st.lists(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=4),  # tokens incl. spaces/empties
+        min_size=0,
+        max_size=25,
+    ).map(lambda toks: " ".join(toks)),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in text.strip().split() if t]
+
+
+def _py_grams(toks: list[str], n: int) -> list[str]:
+    if not toks:
+        return []
+    return [" ".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)]
+
+
+@given(texts=_texts_strategy, n=st.integers(min_value=1, max_value=6))
+@settings(**_SETTINGS)
+def test_gram_builders_match_python_reference(spark, texts, n):
+    """The let-bound gram construction (dedup.shingles / span_grams) and the
+    zip_with bigrams must agree with a direct Python implementation on ANY
+    whitespace mess — empty docs, runs of spaces, docs shorter than n."""
+    from market_data_mining_project_spark.operators import dedup as D
+    from market_data_mining_project_spark.operators import text as TXT
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    got = {
+        r.id: (list(r.sh), list(r.sp), list(r.bg))
+        for r in df.select(
+            "id",
+            D.shingles(F.col("text"), n).alias("sh"),
+            D.span_grams(F.col("text"), n).alias("sp"),
+            TXT.word_bigrams(F.col("text")).alias("bg"),
+        ).collect()
+    }
+    for i, text in enumerate(texts):
+        toks = _py_tokens(text)
+        grams = [g for g in _py_grams(toks, n) if g]
+        want_sh = list(dict.fromkeys(grams))  # distinct, first-seen order
+        want_bg = [" ".join(p) for p in zip(toks, toks[1:])]
+        assert got[i][0] == want_sh, f"shingles diverge on {text!r}"
+        assert got[i][1] == grams, f"span_grams diverge on {text!r}"
+        assert got[i][2] == want_bg, f"word_bigrams diverge on {text!r}"
+
+
+@given(texts=_texts_strategy)
+@settings(**_SETTINGS)
+def test_top_bigram_fraction_matches_python_reference(spark, texts):
+    from collections import Counter
+
+    from market_data_mining_project_spark.operators import text as TXT
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    got = {
+        r.id: r.f
+        for r in df.select(
+            "id", TXT.top_bigram_fraction(F.col("text")).alias("f")
+        ).collect()
+    }
+    for i, text in enumerate(texts):
+        toks = _py_tokens(text)
+        bg = [" ".join(p) for p in zip(toks, toks[1:])]
+        want = round(max(Counter(bg).values()) / len(bg), 6) if bg else 0.0
+        assert abs(got[i] - want) < 1e-9, f"top_bigram_fraction diverges on {text!r}"
