@@ -357,8 +357,11 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         PERSIST.data_version(sf_dir, tables=("documents",)),
         lambda: train_quality_classifier(train_set, "text", "label", with_metrics=False),
     )
+    # prof stays cached: the returned frame is LAZY — unpersisting here
+    # would evict the cache before the caller materializes the scores and
+    # force one more full signal recomputation (harnesses clearCache()
+    # between queries)
     scored = score_with_probability(model, labeled, out="quality_prob")
-    prof.unpersist()
     return scored.select(
         "doc_id",
         F.col("label").cast("int").alias("heuristic_label"),
