@@ -370,6 +370,24 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing audit: every document's BPE-ish token
+    count packed into 1024-token sequences (long docs chunked, remainders
+    + short docs first-fit-decreasing inside deterministic hash buckets),
+    reported per sequence as (n_pieces, fill_tokens, fill_ratio).
+    Rows-only: the assignment depends on the FFD order, which no SQL
+    oracle reproduces; pytest pins token conservation, the seq_len cap,
+    fill efficiency and determinism
+    (tests/test_dedup_similarity.py::test_sequence_packing_*)."""
+    from market_data_mining_project_spark.operators import packing as PK
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TXT.bpe_ish_token_count(F.col("text")).alias("bpe_tokens")
+    )
+    assigned = PK.pack_sequences(docs, "doc_id", "bpe_tokens", seq_len=1024)
+    return PK.packing_stats(assigned, seq_len=1024)
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: exact-Jaccard pairs (≥0.5) resolved to connected
     components by iterative min-label propagation — the 'keep one doc per
@@ -685,6 +703,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "embedding_clusters": q_embedding_clusters,
     "quality_classifier": q_quality_classifier,
+    "sequence_packing": q_sequence_packing,
     "corpus_prep": q_corpus_prep,
     "text_profile": q_text_profile,
     "exact_dedup": q_exact_dedup,

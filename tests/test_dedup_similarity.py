@@ -395,3 +395,48 @@ def test_cluster_profile_gates(spark, sf_dir):
         emb, "embedding", "vec_id", label_col="label", k=10, seed=42
     ).collect()
     assert sorted(map(tuple, prof)) == sorted(map(tuple, again))
+
+
+def test_sequence_packing_conservation_and_caps(spark, sf_dir):
+    """Packing invariants: every token of every doc lands in exactly one
+    sequence, no sequence exceeds seq_len, full-chunk sequences are exactly
+    seq_len, fill efficiency is high, and the assignment is deterministic."""
+    from market_data_mining_project_spark.operators import packing as PK
+    from market_data_mining_project_spark.operators import text as TXT
+
+    L = 256  # small seq_len so the fixture corpus exercises chunking
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TXT.bpe_ish_token_count(F.col("text")).alias("t")
+    )
+    truth = {r.doc_id: r.t for r in docs.collect() if r.t > 0}
+    assigned = PK.pack_sequences(docs, "doc_id", "t", seq_len=L).collect()
+
+    per_doc: dict = {}
+    per_seq: dict = {}
+    for r in assigned:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.piece_tokens
+        per_seq.setdefault(r.seq_id, []).append(r.piece_tokens)
+    assert per_doc == truth, "token conservation violated"
+    assert all(sum(v) <= L for v in per_seq.values()), "sequence overflow"
+    for seq_id, v in per_seq.items():
+        if seq_id.startswith("full#"):
+            assert v == [L], "full chunks must fill their sequence exactly"
+
+    # fill efficiency of the packed (non-full-chunk) sequences: FFD leaves
+    # at most a tail of under-filled bins; demand a strong mean fill
+    packed = [sum(v) for s, v in per_seq.items() if s.startswith("b")]
+    assert packed, "fixture should produce packed sequences"
+    mean_fill = sum(packed) / (L * len(packed))
+    assert mean_fill >= 0.8, f"mean fill {mean_fill:.2f} too low"
+
+    again = PK.pack_sequences(docs, "doc_id", "t", seq_len=L).collect()
+    assert sorted(map(tuple, assigned)) == sorted(map(tuple, again))
+
+
+def test_sequence_packing_stats_roundtrip(spark, sf_dir):
+    from market_data_mining_project_spark.plans.llm_pipeline import q_sequence_packing
+
+    stats = q_sequence_packing(spark, sf_dir).collect()
+    assert stats
+    assert all(0.0 < r.fill_ratio <= 1.0 for r in stats)
+    assert all(r.n_pieces >= 1 for r in stats)
