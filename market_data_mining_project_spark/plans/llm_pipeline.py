@@ -370,6 +370,44 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture plan (The Pile / LLaMA mixture step): per-source BPE
+    token volumes → sampling rates toward a uniform target mixture, budget
+    pinned by the scarcest source (no upsampling past 1 epoch). Rows-only
+    (oracle window full); an exact driver recount is pytest-gated
+    (tests/test_dedup_similarity.py::test_mixture_plan_matches_recount)."""
+    from market_data_mining_project_spark.operators import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", TXT.bpe_ish_token_count(F.col("text")).alias("bpe_tokens")
+    )
+    return C.mixture_weights(docs, "source", "bpe_tokens")
+
+
+def q_leakage_free_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware k-fold assignment (Lee et al. 2021 §6: near-dups must
+    not straddle train/valid): members of a ≥0.5-Jaccard cluster inherit
+    one fold via their cluster representative. Output: per-fold doc and
+    token counts. Rows-only; the no-pair-crosses-folds invariant is
+    pytest-gated (test_leakage_free_folds_keep_near_dups_together)."""
+    from market_data_mining_project_spark.operators import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
+    clusters = D.dup_clusters(pairs.select("doc_a", "doc_b"))
+    folded = C.leakage_free_folds(
+        docs.select("doc_id", TXT.bpe_ish_token_count(F.col("text")).alias("t")),
+        clusters,
+        "doc_id",
+        k=5,
+    )
+    return (
+        folded.groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("bpe_tokens"))
+        .orderBy("fold")
+    )
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing audit: every document's BPE-ish token
     count packed into 1024-token sequences (long docs chunked, remainders
@@ -704,6 +742,8 @@ QUERIES = {
     "embedding_clusters": q_embedding_clusters,
     "quality_classifier": q_quality_classifier,
     "sequence_packing": q_sequence_packing,
+    "mixture_plan": q_mixture_plan,
+    "leakage_free_folds": q_leakage_free_folds,
     "corpus_prep": q_corpus_prep,
     "text_profile": q_text_profile,
     "exact_dedup": q_exact_dedup,

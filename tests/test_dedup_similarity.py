@@ -440,3 +440,52 @@ def test_sequence_packing_stats_roundtrip(spark, sf_dir):
     assert stats
     assert all(0.0 < r.fill_ratio <= 1.0 for r in stats)
     assert all(r.n_pieces >= 1 for r in stats)
+
+
+def test_mixture_plan_matches_recount(spark, sf_dir):
+    """Exact driver recount of the mixture plan: uniform target, budget
+    pinned by the scarcest source, rate = w*B/tokens capped at 1 epoch."""
+    from market_data_mining_project_spark.operators import text as TXT
+    from market_data_mining_project_spark.plans.llm_pipeline import q_mixture_plan
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", TXT.bpe_ish_token_count(F.col("text")).alias("t")
+    )
+    toks: dict = {}
+    for r in docs.collect():
+        toks[r.source] = toks.get(r.source, 0) + r.t
+    w = 1.0 / len(toks)
+    budget = min(t / w for t in toks.values())
+    got = {r.source: r for r in q_mixture_plan(spark, sf_dir).collect()}
+    assert set(got) == set(toks)
+    for s, t in toks.items():
+        assert got[s].tokens == t
+        assert abs(got[s].weight - round(w, 6)) < 1e-9
+        assert abs(got[s].sample_rate - round(w * budget / t, 6)) < 1e-9
+        assert got[s].sample_rate <= 1.0 + 1e-9  # budget pinned: no upsampling
+        assert got[s].expected_tokens == int(w * budget)
+    # the scarcest source is sampled whole
+    assert any(abs(r.sample_rate - 1.0) < 1e-6 for r in got.values())
+
+
+def test_leakage_free_folds_keep_near_dups_together(spark, sf_dir):
+    """No ≥0.5-Jaccard near-dup pair may straddle folds, every doc gets
+    exactly one fold, and fold ids live in [0, k)."""
+    from market_data_mining_project_spark.operators import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
+    clusters = D.dup_clusters(pairs.select("doc_a", "doc_b"))
+    folded = C.leakage_free_folds(docs.select("doc_id"), clusters, "doc_id", k=5)
+    fold_of = {r.doc_id: r.fold for r in folded.collect()}
+    assert len(fold_of) == docs.count()
+    assert all(0 <= f < 5 for f in fold_of.values())
+    crossing = [
+        (r.doc_a, r.doc_b)
+        for r in pairs.collect()
+        if fold_of[r.doc_a] != fold_of[r.doc_b]
+    ]
+    assert not crossing, f"near-dup pairs straddle folds: {crossing[:5]}"
+    # sanity: the fixture has clusters AND multiple folds are used
+    assert clusters.count() > 0
+    assert len(set(fold_of.values())) > 1
