@@ -47,6 +47,9 @@ def mixture_weights(
     toks = {r.source: r.tokens for r in totals}
     if target is None:
         target = {s: 1.0 for s in toks}
+    unknown = set(target) - set(toks)
+    if unknown:
+        raise ValueError(f"target names sources absent from the corpus: {sorted(unknown)}")
     z = sum(target.values())
     weights = {s: w / z for s, w in target.items()}
     budget = min(toks[s] * max_epochs / w for s, w in weights.items() if w > 0)
