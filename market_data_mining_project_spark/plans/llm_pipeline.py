@@ -393,8 +393,7 @@ def q_leakage_free_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_data_mining_project_spark.operators import corpus as C
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
-    clusters = D.dup_clusters(pairs.select("doc_a", "doc_b"))
+    clusters = _dup_clusters_mat(spark, sf_dir)
     folded = C.leakage_free_folds(
         docs.select("doc_id", TXT.bpe_ish_token_count(F.col("text")).alias("t")),
         clusters,
@@ -426,13 +425,29 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PK.packing_stats(assigned, seq_len=1024)
 
 
+_DUP_CLUSTERS_PATHS: dict[str, str] = {}
+
+
+def _dup_clusters_mat(spark: SparkSession, sf_dir: str):
+    """Session-shared (doc, cluster) frame for the ≥0.5-Jaccard clusters —
+    consumed by `dup_clusters` (the audit rollup) and `leakage_free_folds`
+    (the split assignment); the pair mining + iterative closure is paid
+    once per session (same derived-table idiom as the CF/churn frames)."""
+    from market_data_mining_project_spark.sources import materialize as MAT
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
+        return D.dup_clusters(pairs.select("doc_a", "doc_b"))
+
+    return MAT.derived_table(spark, _DUP_CLUSTERS_PATHS, sf_dir, "dup_clusters_", build)
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: exact-Jaccard pairs (≥0.5) resolved to connected
     components by iterative min-label propagation — the 'keep one doc per
     dup cluster' primitive. Oracle: DuckDB recursive-CTE transitive closure."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
-    clusters = D.dup_clusters(pairs.select("doc_a", "doc_b"))
+    clusters = _dup_clusters_mat(spark, sf_dir)
     return clusters.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.max("doc").alias("max_doc"),
