@@ -358,6 +358,96 @@ def ngram_jaccard_pairs(
     )
 
 
+def cross_jaccard_flags(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup check: incoming docs whose n-gram Jaccard vs ANY
+    existing doc reaches ``threshold``. The inverted-index join keyed on
+    shingle — the incoming side is a batch (small), the existing side is
+    the corpus index (large): no all-pairs, and the hot-shingle cap is
+    computed on the EXISTING side (that's where a boilerplate shingle's
+    million-doc fan-out lives) and applied to both sides so Jaccard stays
+    internally consistent.
+
+    Returns (id_col, best_jaccard) for flagged incoming docs.
+    """
+    sh_e = ensure_parallelism(existing).select(
+        F.col(id_col).alias("old"), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    ).distinct()
+    sh_i = incoming.select(
+        F.col(id_col).alias("new"), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    ).distinct()
+    if max_shingle_df is not None:
+        hot = (
+            sh_e.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        sh_e = sh_e.join(hot, "sh", "left_anti")
+        sh_i = sh_i.join(hot, "sh", "left_anti")
+    sz_e = sh_e.groupBy("old").agg(F.count(F.lit(1)).alias("sz_old"))
+    sz_i = sh_i.groupBy("new").agg(F.count(F.lit(1)).alias("sz_new"))
+    inter = sh_i.join(sh_e, "sh").groupBy("new", "old").agg(F.count(F.lit(1)).alias("n_inter"))
+    return (
+        inter.join(sz_i, "new")
+        .join(sz_e, "old")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_new") + F.col("sz_old") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy(F.col("new").alias(id_col))
+        .agg(F.round(F.max("jaccard"), 6).alias("best_jaccard"))
+    )
+
+
+def incremental_ingest(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Admit only genuinely-new documents into a growing corpus — the
+    ingest gate every incrementally-built training set needs (re-running
+    full-corpus dedup per batch is O(corpus) per batch; this is
+    O(batch × index-probe)):
+
+    1. batch-internal exact dedup (keep min id),
+    2. drop exact matches of the existing corpus (anti-join on md5 digest
+       — 32 bytes/row shuffle, never raw text),
+    3. drop near-dups of the existing corpus (:func:`cross_jaccard_flags`),
+    4. keep one representative per batch-internal near-dup cluster.
+
+    Returns the admitted incoming rows (original columns).
+    """
+    batch = exact_dedup(incoming, text_col, id_col)
+    batch = batch.join(
+        existing.select(F.md5(F.col(text_col)).alias("__dig")).distinct(),
+        F.md5(F.col(text_col)) == F.col("__dig"),
+        "left_anti",
+    )
+    flagged = cross_jaccard_flags(
+        existing, batch, text_col, id_col, shingle_n, threshold, max_shingle_df
+    )
+    batch = batch.join(flagged.select(id_col), id_col, "left_anti")
+    pairs = ngram_jaccard_pairs(batch, text_col, id_col, shingle_n, threshold, max_shingle_df)
+    clusters = dup_clusters(pairs.select("doc_a", "doc_b"))
+    drop = clusters.filter(F.col("doc") != F.col("cluster")).select(
+        F.col("doc").alias(id_col)
+    )
+    return batch.join(drop, id_col, "left_anti")
+
+
 def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS: connected components by
     iterative min-label propagation.

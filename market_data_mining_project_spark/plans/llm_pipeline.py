@@ -370,6 +370,25 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest gate for a growing corpus: the every-10th docs replay as an
+    incoming batch against the rest as the existing corpus — admitted =
+    batch minus exact matches, near-dups of the corpus (asymmetric
+    inverted-index probe, no all-pairs), and batch-internal dup clusters.
+    Rows-only; exact admission semantics are pytest-gated on a handcrafted
+    batch (test_incremental_ingest_admission_rules)."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    admitted = D.incremental_ingest(
+        existing, incoming, "text", "doc_id", shingle_n=3, threshold=0.5
+    )
+    return admitted.agg(
+        F.count(F.lit(1)).alias("admitted_docs"),
+        F.sum("doc_id").alias("admitted_id_sum"),
+    ).crossJoin(incoming.agg(F.count(F.lit(1)).alias("incoming_docs")))
+
+
 def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain mixture plan (The Pile / LLaMA mixture step): per-source BPE
     token volumes → sampling rates toward a uniform target mixture, budget
@@ -759,6 +778,7 @@ QUERIES = {
     "sequence_packing": q_sequence_packing,
     "mixture_plan": q_mixture_plan,
     "leakage_free_folds": q_leakage_free_folds,
+    "incremental_ingest": q_incremental_ingest,
     "corpus_prep": q_corpus_prep,
     "text_profile": q_text_profile,
     "exact_dedup": q_exact_dedup,

@@ -489,3 +489,56 @@ def test_leakage_free_folds_keep_near_dups_together(spark, sf_dir):
     # sanity: the fixture has clusters AND multiple folds are used
     assert clusters.count() > 0
     assert len(set(fold_of.values())) > 1
+
+
+def test_incremental_ingest_admission_rules(spark, sf_dir):
+    """Handcrafted batch against a real corpus: exact replays and near-dup
+    replays are rejected, novel docs are admitted, and a batch-internal
+    duplicate admits exactly one representative."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs
+    some = docs.orderBy("doc_id").limit(1).collect()[0]
+    novel = "zq xv wq kj pl mn bv cx dz fw gy hk jl"  # vocabulary disjoint
+    batch_rows = [
+        (100001, some.text),                        # exact replay -> reject
+        (100002, some.text + " extrasuffixtoken"),  # near-dup replay -> reject
+        (100003, novel),                            # novel -> admit
+        (100004, novel),                            # internal exact dup -> one survives
+        (100005, "aa bb cc dd ee ff gg hh ii jj"),  # novel -> admit
+    ]
+    incoming = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+    admitted = {
+        r.doc_id
+        for r in D.incremental_ingest(
+            existing, incoming, "text", "doc_id", shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    assert 100001 not in admitted, "exact replay of the corpus must be rejected"
+    assert 100002 not in admitted, "near-dup replay of the corpus must be rejected"
+    assert 100005 in admitted
+    # internal dup: exactly the min-id representative of the novel pair
+    assert 100003 in admitted and 100004 not in admitted
+
+
+def test_cross_jaccard_matches_symmetric_metric(spark, sf_dir):
+    """The asymmetric probe must compute the SAME jaccard as the symmetric
+    pair miner: flags for a (existing, incoming) split equal the symmetric
+    pairs that straddle the split."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    flagged = {
+        r.doc_id: r.best_jaccard
+        for r in D.cross_jaccard_flags(
+            existing, incoming, "text", "doc_id", shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    sym = D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5).collect()
+    want: dict = {}
+    for r in sym:
+        for new, old in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            if new % 10 == 0 and old % 10 != 0:
+                want[new] = max(want.get(new, 0.0), r.jaccard)
+    assert set(flagged) == set(want)
+    for k, v in want.items():
+        assert abs(flagged[k] - round(v, 6)) < 1e-9
