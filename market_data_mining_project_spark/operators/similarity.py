@@ -131,6 +131,7 @@ def cosine_near_dups_blocked(
     id_col: str = "vec_id",
     threshold: float = 0.9,
     n_blocks: int = 16,
+    within_col: str | None = None,
 ) -> DataFrame:
     """Blocked all-pairs cosine near-dups — the scale path for exact O(N²).
 
@@ -140,23 +141,29 @@ def cosine_near_dups_blocked(
     ``n_blocks`` times instead of N times (the naive crossJoin), so Arrow
     transfer is O(N·B) rows and the FLOPs run vectorized. Equivalent output
     to :func:`cosine_near_dups`.
+
+    ``within_col`` (optional) restricts pairs to rows sharing that column's
+    value — the partition key joins the block-pair grouping, so a corpus
+    pre-partitioned into k cells pays ~N²/k FLOPs instead of N²
+    (:func:`semantic_dedup` passes the KMeans cell here).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     spark = corpus.sparkSession
+    keep_extra = [within_col] if within_col else []
     base = corpus.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"), *keep_extra
     ).withColumn("b", F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_blocks)))
     pairs = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], ["bi", "bj"]
     )
     left = base.join(F.broadcast(pairs), base["b"] == pairs["bi"]).select(
-        "bi", "bj", "id", "v", F.lit("L").alias("side")
+        "bi", "bj", "id", "v", F.lit("L").alias("side"), *keep_extra
     )
     right = base.join(F.broadcast(pairs), base["b"] == pairs["bj"]).select(
-        "bi", "bj", "id", "v", F.lit("R").alias("side")
+        "bi", "bj", "id", "v", F.lit("R").alias("side"), *keep_extra
     )
     both = left.unionByName(right)
 
@@ -201,7 +208,8 @@ def cosine_near_dups_blocked(
             }
         )
 
-    return both.groupBy("bi", "bj").applyInPandas(block_pairs, schema=out_schema)
+    group_cols = ([within_col] if within_col else []) + ["bi", "bj"]
+    return both.groupBy(*group_cols).applyInPandas(block_pairs, schema=out_schema)
 
 
 def ivf_assign(
@@ -291,6 +299,61 @@ def cluster_profile(
             F.max("__n").alias("top_label_n"),
         )
         .withColumn("purity", F.round(F.col("top_label_n") / F.col("size"), 6))
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_cells: int = 10,
+    seed: int = 42,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by embedding —
+    cluster the corpus with KMeans, find cosine-near-duplicate pairs ONLY
+    within each cluster, resolve pairs into connected components, keep one
+    representative (the component's min id) per group.
+
+    This is the dedup half of the SemDeDup recipe whose corpus-map half is
+    :func:`cluster_profile`: near-semantic duplicates land in the same
+    KMeans cell with high probability, so restricting the exact pair search
+    to cells cuts the FLOPs from N² to ~N²/k while keeping verification
+    exact — the same candidates-then-verify shape as MinHash dedup, with
+    the cell as the candidate generator. Within each cell the pair search
+    is the blocked BLAS matmul (``cosine_near_dups_blocked(within_col=
+    'cell')``), so no cell is ever materialized as all-pairs rows; the
+    component resolution is the shared size-gated label-propagation
+    resolver (``dedup.dup_clusters``).
+
+    Returns one row per input vector: (id, cell, rep, keep) — ``rep`` is
+    the kept representative of the vector's duplicate group (itself when
+    unique), ``keep`` False marks the semantic duplicates a curation
+    pipeline drops. Misses only cross-cell near-dups (the documented
+    SemDeDup trade-off — raise ``n_cells`` recall by lowering k or running
+    :func:`cosine_near_dups_blocked` globally when exactness matters).
+    """
+    from market_data_mining_project_spark.operators.dedup import dup_clusters
+
+    assigned, _model = ivf_assign(
+        corpus, vec_col, id_col, n_cells=n_cells, seed=seed, max_iter=10
+    )
+    pairs = cosine_near_dups_blocked(
+        assigned, vec_col, id_col, threshold, n_blocks, within_col="cell"
+    )
+    clusters = dup_clusters(
+        pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    ann = assigned.select(F.col(id_col), "cell").join(
+        clusters.withColumnRenamed("doc", id_col), id_col, "left"
+    )
+    rep = F.coalesce(F.col("cluster"), F.col(id_col))
+    return ann.select(
+        F.col(id_col),
+        "cell",
+        rep.alias("rep"),
+        (rep == F.col(id_col)).alias("keep"),
     )
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from market_data_mining_project_spark.operators import dedup as D
+from market_data_mining_project_spark.operators import retrieval as RET
 from market_data_mining_project_spark.operators import similarity as SIM
 from market_data_mining_project_spark.operators import text as TXT
 from market_data_mining_project_spark.sources.tables import load_table
@@ -296,6 +297,67 @@ FROM t GROUP BY lang
 """
 
 
+def q_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus accounting in one oracled entry (slot-merge of the former
+    ``token_stats`` + ``exact_dedup`` entries — the same no-coverage-loss
+    idiom as ``stats_assessment``): per-language token budgets with the
+    corpus-level exact-dedup audit columns appended to every row via a
+    1-row broadcast cross-join. Every cell of both former entries still
+    hash-checks."""
+    return q_token_stats(spark, sf_dir).crossJoin(
+        F.broadcast(q_exact_dedup(spark, sf_dir))
+    )
+
+
+SQL_CORPUS_AUDIT = f"""
+SELECT * FROM ({SQL_TOKEN_STATS}) t CROSS JOIN ({SQL_EXACT_DEDUP}) d
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the corpus (the curation probe every
+    training-data pipeline runs for quality audits / topical sampling):
+    top-15 docs for a 3-term query, deterministic (score desc, doc_id asc).
+    One scan — the token array is filtered to the query terms BEFORE the
+    explode, so shuffle volume is matched instances only; document
+    frequencies are a ≤|query|-row broadcast; top-k compiles to
+    TakeOrderedAndProject (plan-asserted in tests/test_plan_quality.py).
+    Oracled: SQL_BM25_SEARCH re-derives tf/df/dl/avgdl and the Robertson
+    idf in DuckDB; a pure-Python BM25 reference additionally pins the
+    operator in tests/test_retrieval.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return RET.bm25_topk(
+        docs, ["spark", "vector", "slow"], "text", "doc_id", k=15
+    )
+
+
+SQL_BM25_SEARCH = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(len(ts)) AS avgdl FROM toks
+), hits AS (
+  SELECT doc_id, len(ts) AS dl, t AS term, COUNT(*) AS tf
+  FROM toks, UNNEST(ts) AS u(t)
+  WHERE t IN ('slow', 'spark', 'vector')
+  GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM hits GROUP BY term
+)
+SELECT h.doc_id,
+       CAST(COUNT(*) AS INT) AS matched_terms,
+       ROUND(SUM(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * h.tf * (1.2 + 1)
+                 / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / s.avgdl))), 4) AS score
+FROM hits h JOIN dfreq d USING (term) CROSS JOIN stats s
+GROUP BY h.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 15
+"""
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus map: seeded KMeans (k=10) over the embedding table with
     per-cluster size / cohesion / dominant-label purity — the
@@ -307,6 +369,29 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cluster_profile(
         emb, "embedding", "vec_id", label_col="label", k=10, seed=42
     ).orderBy("cluster")
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup audit: embedding-level semantic dedup (KMeans cells →
+    within-cell blocked exact cosine → connected components → keep-one),
+    rolled up per cell (members / semantic dups dropped / dup groups).
+    Threshold 0.4 matches the embedding_near_dups calibration for this
+    synthetic table. Rows-only: KMeans cell assignment is MLlib-internal;
+    the equivalence, subset and planted-duplicate contracts are
+    pytest-gated (tests/test_dedup_similarity.py::test_semantic_dedup_*)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = SIM.semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.4, n_cells=8, seed=42, n_blocks=4
+    )
+    return (
+        ann.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("members"),
+            F.sum((~F.col("keep")).cast("long")).alias("dropped"),
+            F.countDistinct(F.when(~F.col("keep"), F.col("rep"))).alias("dup_groups"),
+        )
+        .orderBy("cell")
+    )
 
 
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -771,9 +856,11 @@ QUERIES = {
     "pii_redaction": q_pii_redaction,
     "lsh_topk": q_lsh_topk,
     "embedding_near_dups": q_embedding_near_dups,
-    "token_stats": q_token_stats,
+    "corpus_audit": q_corpus_audit,
+    "bm25_search": q_bm25_search,
     "ivf_topk": q_ivf_topk,
     "embedding_clusters": q_embedding_clusters,
+    "semantic_dedup": q_semantic_dedup,
     "quality_classifier": q_quality_classifier,
     "sequence_packing": q_sequence_packing,
     "mixture_plan": q_mixture_plan,
@@ -781,7 +868,6 @@ QUERIES = {
     "incremental_ingest": q_incremental_ingest,
     "corpus_prep": q_corpus_prep,
     "text_profile": q_text_profile,
-    "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "span_dedup": q_span_dedup,
     "cosine_topk": q_cosine_topk,
@@ -791,7 +877,10 @@ QUERIES = {
 ORACLE = {
     "dup_clusters": SQL_DUP_CLUSTERS,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
-    "token_stats": SQL_TOKEN_STATS,
+    # corpus_audit carries the former token_stats + exact_dedup entries
+    # (slot merge — both operators remain fully hash-verified)
+    "corpus_audit": SQL_CORPUS_AUDIT,
+    "bm25_search": SQL_BM25_SEARCH,
     "corpus_prep": SQL_CORPUS_PREP,
     "decontamination": SQL_DECONTAMINATION,
     # ivf_topk: rows-only (KMeans cells; pytest recall gate)
@@ -799,7 +888,6 @@ ORACLE = {
     # pii_redaction: rows-only (regex semantics pytest-pinned on hand-built
     # strings; DuckDB's regex engine differs on lookarounds)
     "text_profile": SQL_TEXT_PROFILE,
-    "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "span_dedup": SQL_SPAN_DEDUP,
     "cosine_topk": SQL_COSINE_TOPK,

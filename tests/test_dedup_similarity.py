@@ -542,3 +542,110 @@ def test_cross_jaccard_matches_symmetric_metric(spark, sf_dir):
     assert set(flagged) == set(want)
     for k, v in want.items():
         assert abs(flagged[k] - round(v, 6)) < 1e-9
+
+
+# --- SemDeDup (semantic_dedup) ---------------------------------------------------
+
+
+def _planted_vectors(spark):
+    """12 deterministic 8-dim vectors: ids 0/5/9 identical (one dup group),
+    ids 2/3 identical (a second group), the rest pseudo-random distinct."""
+    import math
+
+    rows = []
+    for i in range(12):
+        base = 9 if i in (0, 5, 9) else (3 if i in (2, 3) else i)
+        v = [math.sin(0.7 * base * (d + 1)) + 0.1 * base for d in range(8)]
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    emb = _planted_vectors(spark)
+    ann = {
+        r.vec_id: (r.rep, r.keep)
+        for r in SIM.semantic_dedup(
+            emb, "embedding", "vec_id", threshold=0.999, n_cells=3, seed=42, n_blocks=2
+        ).collect()
+    }
+    assert len(ann) == 12
+    # identical vectors land in the same KMeans cell, so each planted group
+    # keeps exactly its min id
+    assert ann[0] == (0, True) and ann[5] == (0, False) and ann[9] == (0, False)
+    assert ann[2] == (2, True) and ann[3] == (2, False)
+    singles = set(range(12)) - {0, 5, 9, 2, 3}
+    for i in singles:
+        assert ann[i] == (i, True)
+
+
+def test_semantic_dedup_one_cell_equals_global_components(spark, sf_dir):
+    """With a single cell, semantic_dedup must reproduce the global
+    blocked-cosine components exactly (reps = component min ids)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = SIM.semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.4, n_cells=2, seed=42, n_blocks=4
+    )
+    # global ground truth: all >=0.4 pairs -> components -> min-id reps,
+    # restricted to same-cell pairs (the operator's contract)
+    cells = {r.vec_id: r.cell for r in ann.collect()}
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in SIM.cosine_near_dups(emb, "embedding", "vec_id", threshold=0.4).collect()
+        if cells[r.id_a] == cells[r.id_b]
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_dropped = {x for x in parent if find(x) != x}
+    got_dropped = {r.vec_id for r in ann.filter(~F.col("keep")).collect()}
+    assert got_dropped == want_dropped
+    for r in ann.collect():
+        want_rep = find(r.vec_id) if r.vec_id in parent else r.vec_id
+        assert r.rep == want_rep, f"vec {r.vec_id}: rep {r.rep} != {want_rep}"
+
+
+def test_semantic_dedup_is_subset_of_global_threshold_dedup(spark, sf_dir):
+    """Cell partitioning can only MISS pairs, never invent them: the drop
+    set under k cells is a subset of the global-threshold drop set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    celled = {
+        r.vec_id
+        for r in SIM.semantic_dedup(
+            emb, "embedding", "vec_id", threshold=0.4, n_cells=8, seed=42, n_blocks=4
+        )
+        .filter(~F.col("keep"))
+        .collect()
+    }
+    pairs = SIM.cosine_near_dups(emb, "embedding", "vec_id", threshold=0.4).collect()
+    non_minimal = set()
+    neighbors: dict = {}
+    for r in pairs:
+        neighbors.setdefault(r.id_a, set()).add(r.id_b)
+        neighbors.setdefault(r.id_b, set()).add(r.id_a)
+    # global drop set = every vec with a smaller id reachable in its component
+    seen = set()
+    for start in neighbors:
+        if start in seen:
+            continue
+        comp = {start}
+        stack = [start]
+        while stack:
+            x = stack.pop()
+            for y in neighbors.get(x, ()):
+                if y not in comp:
+                    comp.add(y)
+                    stack.append(y)
+        seen |= comp
+        m = min(comp)
+        non_minimal |= comp - {m}
+    assert celled <= non_minimal
+    assert celled, "expected at least one same-cell near-dup at threshold 0.4"

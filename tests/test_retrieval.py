@@ -1,0 +1,78 @@
+"""BM25 retrieval: pure-Python reference parity, scan/index equivalence,
+and the top-k plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.operators import retrieval as RET
+
+CORPUS = [
+    (1, "spark runs fast spark scales spark"),
+    (2, "vector search over a vector index"),
+    (3, "slow scans are slow and slow again slow"),
+    (4, "nothing relevant here at all"),
+    (5, "spark vector slow"),
+    (6, "a very long document " + "padding filler words " * 40 + "spark"),
+]
+QUERY = ["spark", "vector", "slow"]
+
+
+def _spark_scores(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    out = RET.bm25_topk(docs, QUERY, "text", "doc_id", k=10)
+    return {r["doc_id"]: (r["matched_terms"], r["score"]) for r in out.collect()}
+
+
+def test_bm25_matches_python_reference(spark):
+    got = _spark_scores(spark)
+    want = RET.bm25_score_py(CORPUS, QUERY)
+    assert set(got) == set(want), "matched-doc sets differ"
+    for doc, score in want.items():
+        assert abs(got[doc][1] - score) < 1e-6, f"doc {doc}: {got[doc][1]} != {score}"
+    # doc 4 has no query terms → absent; doc 5 matches all three terms
+    assert 4 not in got
+    assert got[5][0] == 3
+
+
+def test_bm25_ranking_properties(spark):
+    """tf saturation + length normalization: the short all-terms doc must
+    outrank the long doc whose single 'spark' hit is buried in filler."""
+    got = _spark_scores(spark)
+    assert got[5][1] > got[6][1]
+    # repetition raises the per-term score sublinearly: doc 1 (3× spark)
+    # beats doc 6 (1× spark, much longer), both single-term matches
+    assert got[1][1] > got[6][1]
+
+
+def test_bm25_indexed_equals_scan(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    n_docs, avgdl = RET.corpus_stats(docs, "text")
+    index = RET.build_index(docs, "text", "doc_id")
+    via_index = RET.bm25_topk_indexed(index, n_docs, avgdl, QUERY, k=10)
+    via_scan = RET.bm25_topk(docs, QUERY, "text", "doc_id", k=10)
+    assert sorted(map(tuple, via_index.collect())) == sorted(map(tuple, via_scan.collect()))
+
+
+def test_bm25_empty_and_no_match(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert RET.bm25_topk(empty, QUERY, "text", "doc_id").count() == 0
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    assert RET.bm25_topk(docs, ["zzzunseen"], "text", "doc_id").count() == 0
+
+
+def test_bm25_catalog_plan_is_take_ordered(spark, sf_dir):
+    """The catalog binding's top-k must compile to TakeOrderedAndProject
+    (per-partition heaps), never a global sort."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["bm25_search"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_monotone_in_k(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    top2 = RET.bm25_topk(docs, QUERY, "text", "doc_id", k=2).collect()
+    top5 = RET.bm25_topk(docs, QUERY, "text", "doc_id", k=5).collect()
+    assert [r["doc_id"] for r in top2] == [r["doc_id"] for r in top5][:2]
