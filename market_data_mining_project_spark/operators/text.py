@@ -5,6 +5,10 @@ engine capabilities per the build brief: language ID, quality scoring, token
 counting, document fingerprinting. All are pure Catalyst column expressions
 (no Python UDFs), so they run JVM-side inside whole-stage codegen and scale
 linearly with no shuffle at all — the ideal 100 TB shape: one scan, one map.
+The one exception is the CCNet-style char-ngram LM (:func:`char_ngram_lm` /
+:func:`lm_nll_scores`), which is inherently corpus-statistical: one bounded
+hash aggregate to estimate the (≤ charset^n)-row model, one broadcast join
+to score — still no Python in the hot path.
 """
 
 from __future__ import annotations
@@ -334,6 +338,101 @@ def fingerprint(text: Column, n: int = 8) -> Column:
     whitespace/duplication insensitive. Identical in DuckDB for oracling."""
     normalized = F.array_join(F.slice(F.array_sort(F.array_distinct(tokens(text))), 1, n), " ")
     return F.md5(normalized)
+
+
+def _let_bound(col: Column, build) -> Column:
+    """Let-bind ``col`` as a HOF lambda variable (the dedup._let_tokens
+    idiom): references inside per-element lambdas become slot lookups
+    instead of per-element re-evaluations of the upstream chain — Catalyst
+    performs no CSE across a lambda boundary."""
+    return F.get(F.transform(F.array(col), build), 0)
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Positional character n-grams of the lowercased text (duplicates
+    preserved — frequencies matter for LM estimation). Docs shorter than
+    ``n`` chars yield an empty array (the trailing short substrings are
+    length-filtered; the index sequence bottoms out at one element, never
+    a descending sequence)."""
+
+    def build(t):
+        idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+        grams = F.transform(idx, lambda i: t.substr(i, F.lit(n)))
+        return F.filter(grams, lambda g: F.length(g) == n)
+
+    return _let_bound(F.lower(text), build)
+
+
+def char_ngram_lm(ref_docs: DataFrame, text_col: str, n: int = 3) -> tuple[DataFrame, int, int]:
+    """Character n-gram language model estimated from a reference corpus —
+    the CCNet/LLaMA-style quality filter's LM half (Wenzek et al. 2020
+    train a LM on a trusted corpus and keep crawl docs whose perplexity is
+    low). Returns ``(counts, total, vocab)``: the (gram, c) count frame and
+    the scalar totals for add-one smoothing, so a gram's log-probability is
+    ``ln((c + 1) / (total + vocab))`` — the SAME formula scores unseen
+    grams with c = 0, which keeps scoring a single uniform expression.
+
+    The count frame is one explode + hash aggregate; its size is bounded by
+    the charset (≤ |alphabet|^n, ~20K for lowercase ASCII trigrams), so it
+    broadcasts at any corpus scale — the model *estimation* scans the
+    reference corpus once, the model itself is tiny."""
+    grams = ref_docs.select(F.explode(char_ngrams(F.col(text_col), n)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    row = counts.agg(F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")).collect()[0]
+    return counts, int(row["total"] or 0), int(row["v"] or 0)
+
+
+def lm_nll_scores(
+    docs: DataFrame,
+    lm_counts: DataFrame,
+    total: int,
+    vocab: int,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a
+    :func:`char_ngram_lm` — low = reference-like text, high = out-of-domain
+    / noise (the CCNet perplexity bucket signal). Shape: one explode, one
+    broadcast join against the bounded gram table, one hash aggregate.
+    Docs with no gram (shorter than ``n``) get ``lm_nll = 0.0`` and
+    ``n_lm_grams = 0``. Returns (id, n_lm_grams, lm_nll)."""
+    denom = float(total + vocab)
+    g = docs.select(
+        F.col(id_col), F.explode_outer(char_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    joined = g.join(F.broadcast(lm_counts), "gram", "left")
+    logp = F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / denom)
+    return joined.groupBy(id_col).agg(
+        F.count("gram").cast("long").alias("n_lm_grams"),
+        F.round(
+            F.coalesce(F.avg(F.when(F.col("gram").isNotNull(), -logp)), F.lit(0.0)), 4
+        ).alias("lm_nll"),
+    )
+
+
+def lm_nll_py(ref_texts: list[str], texts: list[str], n: int = 3) -> list[float]:
+    """Pure-Python reference implementation for pytest ground truth."""
+    import math
+
+    def grams(t: str):
+        t = t.lower()
+        return [t[i : i + n] for i in range(len(t) - n + 1)]
+
+    counts: dict[str, int] = {}
+    for t in ref_texts:
+        for g in grams(t):
+            counts[g] = counts.get(g, 0) + 1
+    total, vocab = sum(counts.values()), len(counts)
+    out = []
+    for t in texts:
+        gs = grams(t)
+        if not gs:
+            out.append(0.0)
+            continue
+        nll = sum(-math.log((counts.get(g, 0) + 1.0) / (total + vocab)) for g in gs)
+        out.append(round(nll / len(gs), 4))
+    return out
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:

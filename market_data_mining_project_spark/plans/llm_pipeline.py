@@ -19,23 +19,50 @@ from market_data_mining_project_spark.sources.tables import load_table
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document text analysis in one scan-and-map pass: token counts,
-    punctuation/stopword ratios, quality score, Gopher-style repetition
-    signals (top-bigram occurrence fraction + duplicate-token ratio — the
-    boilerplate/template-spam detectors), fingerprint, AND stopword-voting
-    language ID (``detected_lang``, verified per-doc against the
-    ground-truth ``lang`` column via the oracle)."""
+    """Per-document text analysis: token counts, punctuation/stopword
+    ratios, quality score, Gopher-style repetition signals (top-bigram
+    occurrence fraction + duplicate-token ratio — the boilerplate/
+    template-spam detectors), fingerprint, stopword-voting language ID
+    (``detected_lang``, verified per-doc against the ground-truth ``lang``
+    column via the oracle), AND the CCNet-style char-trigram LM signal
+    (``lm_nll``: mean NLL under a LM estimated from the ground-truth-
+    English slice — the perplexity-bucket quality filter of Wenzek et al.
+    2020). The heuristic signals are one scan-and-map pass; the LM adds
+    one bounded hash aggregate (model estimation) and a broadcast join
+    (scoring), both fully re-derived in the DuckDB oracle."""
     docs = load_table(spark, sf_dir, "documents")
     prof = TXT.text_profile(TXT.detect_language(docs, "text"), "text")
+    lm_counts, total, vocab = TXT.char_ngram_lm(
+        docs.filter(F.col("lang") == "en"), "text", n=3
+    )
+    nll = TXT.lm_nll_scores(docs, lm_counts, total, vocab, "text", "doc_id", n=3)
     return prof.select(
         "doc_id", "lang", "detected_lang", "n_tokens", "punct_ratio",
         "stopword_ratio_en", "quality", "top_bigram_fraction",
         "dup_token_ratio", "fingerprint",
-    )
+    ).join(nll, "doc_id")
 
 
 SQL_TEXT_PROFILE = """
-WITH toks AS (
+WITH lm_train AS (
+  SELECT substring(lower(text), i, 3) AS gram
+  FROM documents, UNNEST(range(1, GREATEST(length(text) - 2, 1) + 1)) AS r(i)
+  WHERE lang = 'en' AND length(substring(lower(text), i, 3)) = 3
+), lm_counts AS (
+  SELECT gram, COUNT(*) AS c FROM lm_train GROUP BY gram
+), lm_stats AS (
+  SELECT SUM(c) AS total, COUNT(*) AS v FROM lm_counts
+), doc_grams AS (
+  SELECT doc_id, substring(lower(text), i, 3) AS gram
+  FROM documents, UNNEST(range(1, GREATEST(length(text) - 2, 1) + 1)) AS r(i)
+  WHERE length(substring(lower(text), i, 3)) = 3
+), nll AS (
+  SELECT d.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lm_grams,
+         ROUND(AVG(-ln((COALESCE(c.c, 0) + 1.0) / (s.total + s.v))), 4) AS lm_nll
+  FROM doc_grams d LEFT JOIN lm_counts c USING (gram) CROSS JOIN lm_stats s
+  GROUP BY d.doc_id
+), toks AS (
   SELECT doc_id, lang, text,
          list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ts
   FROM documents
@@ -78,10 +105,13 @@ SELECT doc_id,
        CASE WHEN len(ts) > 0
             THEN ROUND(1.0 - len(list_distinct(ts)) / len(ts), 6)
             ELSE 0.0 END AS dup_token_ratio,
-       md5(array_to_string(list_sort(list_distinct(ts))[1:8], ' ')) AS fingerprint
+       md5(array_to_string(list_sort(list_distinct(ts))[1:8], ' ')) AS fingerprint,
+       COALESCE(nll.n_lm_grams, 0) AS n_lm_grams,
+       COALESCE(nll.lm_nll, 0.0) AS lm_nll
 FROM (SELECT *, list_filter([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))],
                             g -> contains(g, ' ')) AS bg
       FROM prof)
+LEFT JOIN nll USING (doc_id)
 """
 
 

@@ -1,0 +1,73 @@
+"""Char-ngram LM perplexity signal (CCNet-style): pure-Python parity,
+in-domain vs out-of-domain ordering, edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.operators import text as TXT
+
+REF = [
+    "the quick brown fox jumps over the lazy dog",
+    "the dog and the fox play in the park",
+    "a lazy afternoon in the quiet park",
+]
+SCORE = [
+    (0, "the fox and the dog in the park"),      # in-domain
+    (1, "zzzzqqqq xxxxx wwww zzzz qqq"),          # out-of-domain noise
+    (2, "the quick brown fox"),                   # in-domain substring
+    (3, "ab"),                                    # shorter than a trigram
+    (4, ""),                                      # empty
+]
+
+
+def _scores(spark):
+    ref = spark.createDataFrame([(t,) for t in REF], "text string")
+    docs = spark.createDataFrame(SCORE, "doc_id long, text string")
+    counts, total, vocab = TXT.char_ngram_lm(ref, "text", n=3)
+    out = TXT.lm_nll_scores(docs, counts, total, vocab, "text", "doc_id", n=3)
+    return {r.doc_id: (r.n_lm_grams, r.lm_nll) for r in out.collect()}, total, vocab
+
+
+def test_lm_nll_matches_python_reference(spark):
+    got, total, vocab = _scores(spark)
+    want = TXT.lm_nll_py(REF, [t for _, t in SCORE], n=3)
+    for i, (_, text) in enumerate(SCORE):
+        assert abs(got[i][1] - want[i]) < 1e-6, f"doc {i}: {got[i][1]} != {want[i]}"
+        assert got[i][0] == max(len(text) - 2, 0)
+    assert total > 0 and vocab > 0
+
+
+def test_lm_nll_orders_in_domain_below_noise(spark):
+    got, _, _ = _scores(spark)
+    assert got[0][1] < got[1][1], "in-domain text must have lower NLL than noise"
+    assert got[2][1] < got[1][1]
+
+
+def test_lm_nll_edge_docs_are_zero(spark):
+    got, _, _ = _scores(spark)
+    assert got[3] == (0, 0.0)
+    assert got[4] == (0, 0.0)
+
+
+def test_char_ngrams_positional_and_short_doc(spark):
+    df = spark.createDataFrame([("AbcAb",), ("xy",), ("",)], "text string")
+    rows = df.select(TXT.char_ngrams(F.col("text"), 3).alias("g")).collect()
+    assert rows[0].g == ["abc", "bca", "cab"]  # lowercased, positional
+    assert rows[1].g == []
+    assert rows[2].g == []
+
+
+def test_catalog_text_profile_carries_lm_signal(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["text_profile"](spark, sf_dir)
+    rows = df.collect()
+    assert {"lm_nll", "n_lm_grams"} <= set(df.columns)
+    assert all(r.lm_nll > 0 for r in rows), "every corpus doc has trigrams"
+    # the LM is trained on the ground-truth-English slice: averaged over
+    # the corpus, en docs must score at or below the non-en mean NLL
+    en = [r.lm_nll for r in rows if r.lang == "en"]
+    other = [r.lm_nll for r in rows if r.lang != "en"]
+    assert en and other
+    assert sum(en) / len(en) <= sum(other) / len(other) + 0.5
