@@ -310,6 +310,7 @@ def semantic_dedup(
     n_cells: int = 10,
     seed: int = 42,
     n_blocks: int = 4,
+    max_iter: int = 10,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by embedding —
     cluster the corpus with KMeans, find cosine-near-duplicate pairs ONLY
@@ -337,8 +338,11 @@ def semantic_dedup(
     from market_data_mining_project_spark.operators.dedup import dup_clusters
 
     assigned, _model = ivf_assign(
-        corpus, vec_col, id_col, n_cells=n_cells, seed=seed, max_iter=10
+        corpus, vec_col, id_col, n_cells=n_cells, seed=seed, max_iter=max_iter
     )
+    # two consumers (the pair search and the final annotation join) —
+    # materialize once so the KMeans transform lineage doesn't run twice
+    assigned = assigned.localCheckpoint(eager=True)
     pairs = cosine_near_dups_blocked(
         assigned, vec_col, id_col, threshold, n_blocks, within_col="cell"
     )

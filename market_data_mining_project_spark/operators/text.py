@@ -397,6 +397,14 @@ def lm_nll_scores(
     broadcast join against the bounded gram table, one hash aggregate.
     Docs with no gram (shorter than ``n``) get ``lm_nll = 0.0`` and
     ``n_lm_grams = 0``. Returns (id, n_lm_grams, lm_nll)."""
+    if total + vocab == 0:
+        # empty reference corpus: no model — every doc scores 0 with its
+        # gram count (callers see the degenerate LM rather than a div/0)
+        return docs.select(
+            F.col(id_col),
+            F.size(char_ngrams(F.col(text_col), n)).cast("long").alias("n_lm_grams"),
+            F.lit(0.0).alias("lm_nll"),
+        )
     denom = float(total + vocab)
     g = docs.select(
         F.col(id_col), F.explode_outer(char_ngrams(F.col(text_col), n)).alias("gram")

@@ -30,7 +30,8 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     2020). The heuristic signals are one scan-and-map pass; the LM adds
     one bounded hash aggregate (model estimation) and a broadcast join
     (scoring), both fully re-derived in the DuckDB oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+    # one-partition test parquet: the char-gram explode needs the cores
+    docs = D.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     prof = TXT.text_profile(TXT.detect_language(docs, "text"), "text")
     lm_counts, total, vocab = TXT.char_ngram_lm(
         docs.filter(F.col("lang") == "en"), "text", n=3
@@ -355,7 +356,9 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracled: SQL_BM25_SEARCH re-derives tf/df/dl/avgdl and the Robertson
     idf in DuckDB; a pure-Python BM25 reference additionally pins the
     operator in tests/test_retrieval.py."""
-    docs = load_table(spark, sf_dir, "documents")
+    # single-row-group test parquet arrives as ONE partition; tokenization
+    # is CPU-bound and needs the cores (same fix as lsh_topk)
+    docs = D.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return RET.bm25_topk(
         docs, ["spark", "vector", "slow"], "text", "doc_id", k=15
     )
@@ -409,9 +412,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic table. Rows-only: KMeans cell assignment is MLlib-internal;
     the equivalence, subset and planted-duplicate contracts are
     pytest-gated (tests/test_dedup_similarity.py::test_semantic_dedup_*)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = D.ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    # 5 Lloyd iterations: cells are a CANDIDATE generator here (verification
+    # is exact cosine) — assignment quality is insensitive past the first
+    # few iterations; n_blocks=2 keeps the Arrow group count (cells ×
+    # block-pairs) low where per-cell populations are small
     ann = SIM.semantic_dedup(
-        emb, "embedding", "vec_id", threshold=0.4, n_cells=8, seed=42, n_blocks=4
+        emb, "embedding", "vec_id", threshold=0.4, n_cells=8, seed=42,
+        n_blocks=2, max_iter=5,
     )
     return (
         ann.groupBy("cell")

@@ -265,3 +265,57 @@ def test_top_bigram_fraction_matches_python_reference(spark, texts):
         bg = [" ".join(p) for p in zip(toks, toks[1:])]
         want = round(max(Counter(bg).values()) / len(bg), 6) if bg else 0.0
         assert abs(got[i] - want) < 1e-9, f"top_bigram_fraction diverges on {text!r}"
+
+
+# --- retrieval / LM gram builders -----------------------------------------------
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="aB x9.", max_size=24), min_size=1, max_size=10
+    )
+)
+@settings(**_SETTINGS)
+def test_char_ngrams_match_python_slicing(spark, texts):
+    from market_data_mining_project_spark.operators import text as TXT
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", TXT.char_ngrams(F.col("text"), 3).alias("g")
+        ).collect()
+    }
+    for i, t in rows:
+        tl = t.lower()
+        want = [tl[j : j + 3] for j in range(max(len(tl) - 2, 0))]
+        assert got[i] == want, f"doc {i}: {got[i]} != {want}"
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["ape", "bee", "cow", "dog"]), max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    terms=st.lists(
+        st.sampled_from(["ape", "bee", "cow", "zzz"]), min_size=1, max_size=3
+    ),
+)
+@settings(**_SETTINGS)
+def test_bm25_matches_python_reference_any_corpus(spark, texts, terms):
+    from market_data_mining_project_spark.operators import retrieval as RET
+
+    corpus = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.doc_id: r.score
+        for r in RET.bm25_topk(df, terms, "text", "doc_id", k=len(corpus) + 1).collect()
+    }
+    want = RET.bm25_score_py(corpus, terms)
+    assert set(got) == set(want)
+    for doc, score in want.items():
+        assert abs(got[doc] - score) < 1e-6

@@ -69,6 +69,9 @@ def test_bm25_catalog_plan_is_take_ordered(spark, sf_dir):
     df = entry_mod.queries()["bm25_search"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+    # the per-term document-frequency table joins broadcast, never shuffled
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_bm25_monotone_in_k(spark):

@@ -71,3 +71,14 @@ def test_catalog_text_profile_carries_lm_signal(spark, sf_dir):
     other = [r.lm_nll for r in rows if r.lang != "en"]
     assert en and other
     assert sum(en) / len(en) <= sum(other) / len(other) + 0.5
+
+
+def test_lm_empty_reference_corpus_degenerates_to_zero(spark):
+    ref = spark.createDataFrame([], "text string")
+    docs = spark.createDataFrame(SCORE, "doc_id long, text string")
+    counts, total, vocab = TXT.char_ngram_lm(ref, "text", n=3)
+    assert (total, vocab) == (0, 0)
+    out = {r.doc_id: (r.n_lm_grams, r.lm_nll) for r in
+           TXT.lm_nll_scores(docs, counts, total, vocab, "text", "doc_id", n=3).collect()}
+    assert all(v[1] == 0.0 for v in out.values())
+    assert out[0][0] == len(SCORE[0][1]) - 2
