@@ -111,6 +111,34 @@ WHERE session_end <= (SELECT mx FROM mx) - INTERVAL 1 HOUR
 """
 
 
+def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins the broadcast
+    customer dimension (market segment) BEFORE the watermarked tumbling
+    window, so the windowed state is keyed on enriched attributes — the
+    ingest-time enrichment shape. Bounded replay, append mode (only
+    watermark-finalized windows). Rows-only (the 50-slot oracle window is
+    full); the replay is pytest-gated equal to the identical batch plan
+    with the same watermark-finalization rule
+    (tests/test_streaming_io.py::test_streaming_enrichment_equals_batch)."""
+    from market_data_mining_project_spark.sources.tables import load_table as _lt
+
+    stream = EV.read_event_stream(spark, sf_dir)
+    dim = _lt(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = EV.enrich_stream(stream, dim, "user_id", "left")
+    stats = (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start_epoch"),
+            "c_mktsegment", "events", "total_value",
+        )
+    )
+    return _bounded(stats, "enriched_stats")
+
+
 def q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op (applyInPandasWithState): running
     per-user totals. Rows-only check — grouped state is not SQL; pytest
@@ -238,6 +266,7 @@ QUERIES = {
     "streaming_window_stats": q_streaming_window_stats,
     "streaming_sessions": q_streaming_sessions,
     "running_user_totals": q_running_user_totals,
+    "streaming_enriched": q_streaming_enriched,
     "streaming_dedup": q_streaming_dedup,
     "media_pipeline": q_media_pipeline,
     "csv_roundtrip": q_csv_roundtrip,

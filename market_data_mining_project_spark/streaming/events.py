@@ -192,6 +192,24 @@ def reconcile_dedup_sink(
     return out.drop(*drop_after) if drop_after else out
 
 
+def enrich_stream(
+    stream: DataFrame, dim: DataFrame, on, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins the static
+    dimension frame — the standard ingest-time enrichment shape (attach
+    user/item/tenant attributes before windowed aggregation, so downstream
+    state is keyed on enriched columns instead of re-joining later).
+
+    Structured Streaming re-evaluates the static side per micro-batch, so a
+    dim refreshed on disk is picked up without restarting the query. The
+    dim is broadcast: stream-static joins cannot shuffle the unbounded
+    side, and dims (customers, products) are broadcast-sized; for a
+    too-big-to-broadcast static side, pre-bucket both sides on the join key
+    (``sources/materialize.py``) or use a stream-stream join with
+    watermarks instead."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def run_bounded(
     query_df: DataFrame, sink_table: str, checkpoint_dir: str, output_mode: str = "append"
 ) -> None:

@@ -378,3 +378,47 @@ def test_csv_export_caps_and_headers(spark, sf_dir, tmp_path):
     back = spark.read.option("header", True).csv(out)
     assert back.count() == 100
     assert back.columns == ["o_orderkey", "o_totalprice"]
+
+
+def test_streaming_enrichment_equals_batch(spark, sf_dir):
+    """Stream-static enrichment replay == the identical batch plan under the
+    same watermark-finalization rule (a window is emitted iff its end <=
+    max event time - delay)."""
+    import datetime
+
+    import __spark_entry__ as entry_mod
+
+    got = sorted(
+        map(tuple, entry_mod.queries()["streaming_enriched"](spark, sf_dir).collect())
+    )
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = mx - datetime.timedelta(hours=1)
+    want = sorted(
+        map(
+            tuple,
+            (
+                ev.join(F.broadcast(dim), "user_id", "left")
+                .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
+                .agg(
+                    F.count(F.lit(1)).alias("events"),
+                    F.round(F.sum("value"), 2).alias("total_value"),
+                )
+                .filter(F.col("w.end") <= F.lit(cutoff))
+                .select(
+                    F.col("w.start").cast("long").alias("window_start_epoch"),
+                    "c_mktsegment",
+                    "events",
+                    "total_value",
+                )
+                .collect()
+            ),
+        )
+    )
+    assert want, "replay should finalize at least one enriched window"
+    assert got == want
+    # enrichment happened: every emitted row carries a real segment
+    assert all(r[1] is not None for r in got)
