@@ -79,3 +79,38 @@ def test_bm25_monotone_in_k(spark):
     top2 = RET.bm25_topk(docs, QUERY, "text", "doc_id", k=2).collect()
     top5 = RET.bm25_topk(docs, QUERY, "text", "doc_id", k=5).collect()
     assert [r["doc_id"] for r in top2] == [r["doc_id"] for r in top5][:2]
+
+
+def test_bm25_index_bucketed_by_term_aggregates_without_shuffle(spark, sf_dir):
+    """The serving-path story: a term-bucketed posting-list table computes
+    per-term document frequencies WITHOUT a shuffle (bucket-key aggregate),
+    and the query's isin filter reaches the scan. Scores must equal the
+    one-scan path."""
+    from market_data_mining_project_spark.operators.dedup import ensure_parallelism
+    from market_data_mining_project_spark.sources import materialize as MAT
+    from market_data_mining_project_spark.sources.tables import load_table
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    n_docs, avgdl = RET.corpus_stats(docs, "text")
+    MAT.write_bucketed_table(
+        RET.build_index(docs, "text", "doc_id"), "bm25_index", "term", n_buckets=8
+    )
+    try:
+        index = spark.table("bm25_index")
+        terms = ["spark", "vector", "slow"]
+        hits = index.filter(F.col("term").isin(terms))
+        dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        assert not MAT.plan_has_shuffle(dfreq), "bucket-key agg must not shuffle"
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "In(term" in plan.replace(" ", "").replace(
+            "\n", ""
+        ), "query terms must prune the posting-list scan"
+        via_index = sorted(
+            map(tuple, RET.bm25_topk_indexed(index, n_docs, avgdl, terms, k=15).collect())
+        )
+        via_scan = sorted(
+            map(tuple, RET.bm25_topk(docs, terms, "text", "doc_id", k=15).collect())
+        )
+        assert via_index == via_scan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_index")
