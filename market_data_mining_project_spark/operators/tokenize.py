@@ -1,0 +1,157 @@
+"""BPE tokenizer induction over a corpus — the vocabulary-training step
+between corpus prep and tokenized export (Sennrich et al. 2016; the GPT-2 /
+HF-tokenizers training shape).
+
+The scale structure is the standard one: BPE statistics depend only on the
+WORD FREQUENCY TABLE, not on the raw corpus — so one distributed scan
+reduces 100 TB of text to a bounded (|vocab| ≤ a few million rows) word
+table, and the merge loop runs on that table driver-side, cost independent
+of corpus size (exactly how HF tokenizers train: pre-tokenize → count →
+merge loop on counts). Applying a trained tokenizer back to the corpus is
+embarrassingly parallel: the merge ranks broadcast (they are the model,
+≤ num_merges rows) and each Arrow batch encodes independently — BPE's
+greedy merge loop is not expressible in Catalyst, so this is a legitimate
+Pandas-UDF hot path (the same justification as the blocked matmul).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: end-of-word marker (kept out of the corpus alphabet by lowercasing)
+EOW = "</w>"
+
+
+def word_freq_table(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over lowercased whitespace tokens — ONE corpus scan +
+    one hash aggregate; the frame BPE trains on."""
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), "\\s+"), lambda t: t != "")
+    return (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def train_bpe(
+    word_freqs: list[tuple[str, int]], num_merges: int, min_pair_count: int = 2
+) -> list[tuple[str, str]]:
+    """Classic BPE merge learning over a word-frequency table.
+
+    Deterministic: the best pair each round is (count desc, pair asc) — ties
+    break lexicographically, so the same table always yields the same merge
+    list. Stops early when no pair reaches ``min_pair_count``. Words are
+    symbol tuples ending in ``</w>`` so merges never cross word boundaries.
+
+    Driver-side by design (see module docstring): the input is the bounded
+    aggregate, not the corpus. Cost is O(num_merges × table size).
+    """
+    words: dict[tuple[str, ...], int] = {}
+    for w, c in word_freqs:
+        words[tuple(w) + (EOW,)] = words.get(tuple(w) + (EOW,), 0) + int(c)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b), _ = best
+        merges.append((a, b))
+        merged = a + b
+        out: dict[tuple[str, ...], int] = {}
+        for sym, c in words.items():
+            new: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(sym[i])
+                    i += 1
+            key = tuple(new)
+            out[key] = out.get(key, 0) + c
+        words = out
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE encoding of one word under trained merge ranks (lowest
+    rank merges first — the standard inference rule)."""
+    sym = list(word) + [EOW]
+    while len(sym) > 1:
+        best_i, best_rank = -1, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_i, best_rank = i, r
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def train_bpe_from_corpus(
+    docs: DataFrame, text_col: str, num_merges: int, min_pair_count: int = 2
+) -> list[tuple[str, str]]:
+    """End-to-end training: distributed word count, driver-side merge loop."""
+    rows = word_freq_table(docs, text_col).collect()
+    return train_bpe([(r.word, r.freq) for r in rows], num_merges, min_pair_count)
+
+
+def bpe_segment_words(
+    words: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """Segment each distinct word under the trained merges (Arrow-batched;
+    the merge table broadcasts as a closure constant — it IS the model).
+    Returns the input plus ``pieces array<string>`` and ``n_pieces``.
+    Corpus-wide token counts then come from joining this bounded frame back
+    to the word-frequency table — the corpus is never re-encoded row by
+    row."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def _enc(col):
+        return pd.Series([encode_word(w, ranks) for w in col])
+
+    _enc.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    enc = pandas_udf(_enc, "array<string>")
+    out = words.withColumn("pieces", enc(F.col(word_col)))
+    return out.withColumn("n_pieces", F.size("pieces"))
+
+
+def bpe_corpus_stats(
+    docs: DataFrame, text_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """One-row corpus tokenization audit under a trained BPE: total words,
+    total BPE tokens, tokens-per-word, distinct piece vocabulary actually
+    used. The encode runs over the DISTINCT-WORD table (bounded), weighted
+    back by frequency — never over the raw corpus."""
+    wf = word_freq_table(docs, text_col)
+    exploded = bpe_segment_words(wf, merges).select(
+        "freq", F.explode("pieces").alias("piece")
+    )
+    # each word's freq appears once per piece → sum(freq) IS the corpus BPE
+    # token total; the distinct-piece count stays a hash aggregate (never a
+    # single-reducer collect_list)
+    tok_stats = exploded.agg(
+        F.sum("freq").alias("total_bpe_tokens"),
+        F.countDistinct("piece").alias("pieces_in_use"),
+    )
+    word_stats = wf.agg(F.sum("freq").alias("total_words"))
+    return tok_stats.crossJoin(F.broadcast(word_stats)).select(
+        "total_words",
+        "total_bpe_tokens",
+        F.round(F.col("total_bpe_tokens") / F.col("total_words"), 4).alias(
+            "tokens_per_word"
+        ),
+        "pieces_in_use",
+    )

@@ -404,6 +404,30 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster")
 
 
+def q_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction (Sennrich et al. 2016): learn 40 merges from
+    the corpus and audit the resulting tokenization — merge table (rank,
+    left, right, merged) with the corpus stats row (total words / BPE
+    tokens / tokens-per-word / pieces in use) appended via the 1-row
+    cross-join idiom. One corpus scan reduces to the bounded word-frequency
+    table; the merge loop runs on that table driver-side (the
+    HF-tokenizers training shape — cost independent of corpus size);
+    encoding runs over DISTINCT words, weighted back by frequency.
+    Rows-only: the iterative merge loop is not SQL; a pure-Python BPE
+    reference pins the merges, the encoder and the stats
+    (tests/test_tokenize.py)."""
+    from market_data_mining_project_spark.operators import tokenize as TOK
+
+    docs = D.ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    merges = TOK.train_bpe_from_corpus(docs, "text", num_merges=40)
+    merge_df = spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    )
+    stats = TOK.bpe_corpus_stats(docs, "text", merges)
+    return merge_df.crossJoin(F.broadcast(stats))
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup audit: embedding-level semantic dedup (KMeans cells →
     within-cell blocked exact cosine → connected components → keep-one),
@@ -898,6 +922,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "ivf_topk": q_ivf_topk,
     "embedding_clusters": q_embedding_clusters,
+    "bpe_tokenizer": q_bpe_tokenizer,
     "semantic_dedup": q_semantic_dedup,
     "quality_classifier": q_quality_classifier,
     "sequence_packing": q_sequence_packing,

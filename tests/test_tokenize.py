@@ -1,0 +1,94 @@
+"""BPE tokenizer induction: the classic textbook example, encode/train
+consistency, conservation, and the distributed corpus audit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.operators import tokenize as TOK
+from market_data_mining_project_spark.sources.tables import load_table
+
+# the Sennrich et al. 2016 §3.2 toy vocabulary
+TOY = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+
+
+def test_train_bpe_textbook_example():
+    merges = TOK.train_bpe(TOY, num_merges=4)
+    # counts: (e,s)=9 and (es,t)=9 and (est,</w>)=9 dominate, then (l,o)=7
+    assert merges == [("e", "s"), ("es", "t"), ("est", TOK.EOW), ("l", "o")]
+
+
+def test_train_bpe_deterministic_and_bounded():
+    a = TOK.train_bpe(TOY, num_merges=50, min_pair_count=2)
+    b = TOK.train_bpe(list(reversed(TOY)), num_merges=50, min_pair_count=2)
+    assert a == b, "merge list must not depend on input order"
+    # early stop: merges exhaust once every surviving pair is < min count
+    assert len(a) < 50
+
+
+def test_encode_word_matches_training_segmentation():
+    """Greedy rank-ordered encoding must reproduce the segmentation the
+    training loop left each training word in."""
+    merges = TOK.train_bpe(TOY, num_merges=10)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # replay training merges directly on each word
+    for word, _ in TOY:
+        sym = list(word) + [TOK.EOW]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        assert TOK.encode_word(word, ranks) == sym, word
+    # unseen word composed of seen parts
+    assert "".join(TOK.encode_word("lowest", ranks)) == "lowest" + TOK.EOW
+
+
+def test_bpe_segment_words_conserves_and_matches_python(spark):
+    merges = TOK.train_bpe(TOY, num_merges=6)
+    ranks = {p: i for i, p in enumerate(merges)}
+    words = spark.createDataFrame(
+        [("low",), ("lowest",), ("newest",), ("unseenzz",)], "word string"
+    )
+    got = {r.word: list(r.pieces) for r in TOK.bpe_segment_words(words, merges).collect()}
+    for w, pieces in got.items():
+        assert "".join(pieces) == w + TOK.EOW, "pieces must concatenate to the word"
+        assert pieces == TOK.encode_word(w, ranks)
+
+
+def test_bpe_corpus_stats_match_python_recount(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    merges = TOK.train_bpe_from_corpus(docs, "text", num_merges=30)
+    row = TOK.bpe_corpus_stats(docs, "text", merges).collect()[0]
+    # pure-Python recount from the word table
+    wf = {r.word: r.freq for r in TOK.word_freq_table(docs, "text").collect()}
+    ranks = {p: i for i, p in enumerate(merges)}
+    enc = {w: TOK.encode_word(w, ranks) for w in wf}
+    total_words = sum(wf.values())
+    total_tokens = sum(len(enc[w]) * c for w, c in wf.items())
+    pieces = {p for ps in enc.values() for p in ps}
+    assert row.total_words == total_words
+    assert row.total_bpe_tokens == total_tokens
+    assert row.pieces_in_use == len(pieces)
+    assert abs(row.tokens_per_word - round(total_tokens / total_words, 4)) < 1e-9
+    # merging must COMPRESS: fewer tokens than the character baseline and
+    # at least one token per word
+    assert total_words <= total_tokens
+    chars = sum((len(w) + 1) * c for w, c in wf.items())
+    assert total_tokens < chars
+
+
+def test_bpe_catalog_entry_shape(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["bpe_tokenizer"](spark, sf_dir).collect()
+    assert len(rows) == 40
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(range(40))
+    for r in rows:
+        assert r.merged == r.left + r.right
+        assert r.tokens_per_word >= 1.0
