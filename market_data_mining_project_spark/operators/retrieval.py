@@ -33,13 +33,16 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from market_data_mining_project_spark.operators.text import lower_tokens
+
 
 def build_index(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Materializable posting-list frame: one row per (doc, term) with the
     term frequency and the doc length. Bucket/partition it by ``term`` when
     writing so query-time lookups prune to the query's buckets."""
-    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), "\\s+"), lambda t: t != "")
-    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__ts"))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), lower_tokens(F.col(text_col)).alias("__ts")
+    )
     return (
         base.select("doc_id", F.size("__ts").alias("dl"), F.explode("__ts").alias("term"))
         .groupBy("doc_id", "term")
@@ -49,9 +52,9 @@ def build_index(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def corpus_stats(docs: DataFrame, text_col: str) -> tuple[int, float]:
     """(N, avgdl) — one aggregate, one driver scalar row."""
-    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), "\\s+"), lambda t: t != "")
     row = docs.agg(
-        F.count(F.lit(1)).alias("n"), F.avg(F.size(toks)).alias("avgdl")
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(lower_tokens(F.col(text_col)))).alias("avgdl"),
     ).collect()[0]
     return int(row["n"]), float(row["avgdl"] or 0.0)
 
@@ -83,12 +86,14 @@ def bm25_topk(
     """
     terms = sorted({t.lower() for t in query_terms})
     n_docs, avgdl = corpus_stats(docs, text_col)
-    if n_docs == 0 or avgdl == 0.0:
-        return docs.sparkSession.createDataFrame(
-            [], "doc_id long, matched_terms int, score double"
-        )
-    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), "\\s+"), lambda t: t != "")
-    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__ts"))
+    # a degenerate corpus (no docs / no tokens) produces zero hit rows, so
+    # the normal plan already returns an empty frame with the REAL schema
+    # (a hardcoded empty-schema branch would diverge for non-long id_col);
+    # the dummy avgdl only keeps the per-row expression division-safe
+    avgdl = avgdl or 1.0
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), lower_tokens(F.col(text_col)).alias("__ts")
+    )
     hits = (
         base.select(
             "doc_id",
@@ -120,6 +125,7 @@ def bm25_topk_indexed(
     reaches the parquet scan of a term-partitioned index); no corpus scan.
     Identical scores to :func:`bm25_topk` on the same corpus."""
     terms = sorted({t.lower() for t in query_terms})
+    avgdl = avgdl or 1.0  # degenerate-corpus guard, same as bm25_topk
     hits = index.filter(F.col("term").isin(terms))
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = hits.join(F.broadcast(dfreq), "term").groupBy("doc_id").agg(

@@ -32,6 +32,13 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), "\\s+"), lambda t: t != "")
 
 
+def lower_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens — THE shared tokenizer for the
+    case-insensitive consumers (BM25 retrieval, BPE induction), so a
+    tokenizer change here propagates to every one of them."""
+    return tokens(F.lower(text))
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
@@ -377,7 +384,12 @@ def char_ngram_lm(ref_docs: DataFrame, text_col: str, n: int = 3) -> tuple[DataF
     broadcasts at any corpus scale — the model *estimation* scans the
     reference corpus once, the model itself is tiny."""
     grams = ref_docs.select(F.explode(char_ngrams(F.col(text_col), n)).alias("gram"))
-    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    # materialize the bounded count table once: the totals collect below AND
+    # the scoring join both consume it, and without this the reference-corpus
+    # gram aggregation lineage would execute twice
+    counts = (
+        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
+    )
     row = counts.agg(F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")).collect()[0]
     return counts, int(row["total"] or 0), int(row["v"] or 0)
 

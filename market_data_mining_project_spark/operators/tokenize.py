@@ -19,16 +19,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: end-of-word marker (kept out of the corpus alphabet by lowercasing)
+#: End-of-word marker. A corpus token CAN contain this literal string
+#: (markup fragments survive whitespace tokenization), and a marker that
+#: collides with corpus symbols would pool boundary-position and
+#: literal-character pair statistics into one count — so every entry point
+#: EXCLUDES marker-bearing words from training/encoding instead of
+#: silently conflating them (they are vanishingly rare and a tokenizer
+#: trained without them is still correct for them at inference: they
+#: simply stay at character granularity).
 EOW = "</w>"
 
 
 def word_freq_table(docs: DataFrame, text_col: str) -> DataFrame:
     """(word, freq) over lowercased whitespace tokens — ONE corpus scan +
-    one hash aggregate; the frame BPE trains on."""
-    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), "\\s+"), lambda t: t != "")
+    one hash aggregate; the frame BPE trains on. Words containing the
+    literal ``EOW`` marker are excluded (see the marker note above)."""
+    from market_data_mining_project_spark.operators.text import lower_tokens
+
     return (
-        docs.select(F.explode(toks).alias("word"))
+        docs.select(F.explode(lower_tokens(F.col(text_col))).alias("word"))
+        .filter(~F.col("word").contains(EOW))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -49,6 +59,8 @@ def train_bpe(
     """
     words: dict[tuple[str, ...], int] = {}
     for w, c in word_freqs:
+        if EOW in w:  # defensive twin of word_freq_table's exclusion
+            continue
         words[tuple(w) + (EOW,)] = words.get(tuple(w) + (EOW,), 0) + int(c)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -129,13 +141,20 @@ def bpe_segment_words(
 
 
 def bpe_corpus_stats(
-    docs: DataFrame, text_col: str, merges: list[tuple[str, str]]
+    docs: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """One-row corpus tokenization audit under a trained BPE: total words,
     total BPE tokens, tokens-per-word, distinct piece vocabulary actually
     used. The encode runs over the DISTINCT-WORD table (bounded), weighted
-    back by frequency — never over the raw corpus."""
-    wf = word_freq_table(docs, text_col)
+    back by frequency — never over the raw corpus. Pass ``word_freqs``
+    (an already-materialized :func:`word_freq_table` frame) to avoid
+    re-scanning the corpus — the frame is referenced twice below, so
+    callers that just trained on it should hand over the checkpointed
+    copy."""
+    wf = word_freqs if word_freqs is not None else word_freq_table(docs, text_col)
     exploded = bpe_segment_words(wf, merges).select(
         "freq", F.explode("pieces").alias("piece")
     )

@@ -46,8 +46,11 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TEXT_PROFILE = """
 WITH lm_train AS (
+  -- range over length(lower(text)): case-expanding characters make the
+  -- lowered string LONGER than the original, and Spark's char_ngrams
+  -- indexes the lowered text
   SELECT substring(lower(text), i, 3) AS gram
-  FROM documents, UNNEST(range(1, GREATEST(length(text) - 2, 1) + 1)) AS r(i)
+  FROM documents, UNNEST(range(1, GREATEST(length(lower(text)) - 2, 1) + 1)) AS r(i)
   WHERE lang = 'en' AND length(substring(lower(text), i, 3)) = 3
 ), lm_counts AS (
   SELECT gram, COUNT(*) AS c FROM lm_train GROUP BY gram
@@ -55,7 +58,7 @@ WITH lm_train AS (
   SELECT SUM(c) AS total, COUNT(*) AS v FROM lm_counts
 ), doc_grams AS (
   SELECT doc_id, substring(lower(text), i, 3) AS gram
-  FROM documents, UNNEST(range(1, GREATEST(length(text) - 2, 1) + 1)) AS r(i)
+  FROM documents, UNNEST(range(1, GREATEST(length(lower(text)) - 2, 1) + 1)) AS r(i)
   WHERE length(substring(lower(text), i, 3)) = 3
 ), nll AS (
   SELECT d.doc_id,
@@ -419,12 +422,15 @@ def q_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_data_mining_project_spark.operators import tokenize as TOK
 
     docs = D.ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    merges = TOK.train_bpe_from_corpus(docs, "text", num_merges=40)
+    # ONE corpus scan: the word table is materialized once and feeds both
+    # the driver-side merge loop and the (twice-referenced) stats audit
+    wf = TOK.word_freq_table(docs, "text").localCheckpoint(eager=True)
+    merges = TOK.train_bpe([(r.word, r.freq) for r in wf.collect()], num_merges=40)
     merge_df = spark.createDataFrame(
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string, merged string",
     )
-    stats = TOK.bpe_corpus_stats(docs, "text", merges)
+    stats = TOK.bpe_corpus_stats(docs, "text", merges, word_freqs=wf)
     return merge_df.crossJoin(F.broadcast(stats))
 
 

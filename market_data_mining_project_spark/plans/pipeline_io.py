@@ -120,10 +120,8 @@ def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     full); the replay is pytest-gated equal to the identical batch plan
     with the same watermark-finalization rule
     (tests/test_streaming_io.py::test_streaming_enrichment_equals_batch)."""
-    from market_data_mining_project_spark.sources.tables import load_table as _lt
-
     stream = EV.read_event_stream(spark, sf_dir)
-    dim = _lt(spark, sf_dir, "customer").select(
+    dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     enriched = EV.enrich_stream(stream, dim, "user_id", "left")

@@ -92,3 +92,18 @@ def test_bpe_catalog_entry_shape(spark, sf_dir):
     for r in rows:
         assert r.merged == r.left + r.right
         assert r.tokens_per_word >= 1.0
+
+
+def test_literal_eow_marker_words_are_excluded(spark):
+    """A corpus token equal to (or containing) the literal '</w>' marker
+    must not pollute training statistics — boundary-marker pair counts and
+    literal-character pair counts are different symbols."""
+    docs = spark.createDataFrame(
+        [("low low </w> x</w>y newest",)], "text string"
+    )
+    wf = {r.word: r.freq for r in TOK.word_freq_table(docs, "text").collect()}
+    assert "</w>" not in wf and "x</w>y" not in wf
+    assert wf == {"low": 2, "newest": 1}
+    # the defensive twin inside train_bpe skips them even when fed directly
+    merges = TOK.train_bpe([("</w>", 100), ("low", 5)], num_merges=3)
+    assert merges == TOK.train_bpe([("low", 5)], num_merges=3)
