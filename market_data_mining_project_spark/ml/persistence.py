@@ -17,9 +17,14 @@ way to serve a model trained on different data. Writes go through a
 temp-dir + ``os.replace`` rename so a concurrent reader never observes a
 half-written model.
 
-At scale the cache root lives on shared storage (HDFS/S3 path via
-``SPARK_GRAFT_MODEL_DIR``) — ``PipelineModel.save/load`` speak any Hadoop
-filesystem; only the local-fs fingerprint helper assumes local paths.
+This implementation is LOCAL-FILESYSTEM ONLY: the existence checks,
+sidecar writes and the atomic staging rename all use ``os``/``shutil``.
+``PipelineModel.save/load`` themselves speak any Hadoop filesystem, so a
+shared-storage deployment replaces exactly those local calls with their
+``FileSystem`` twins (exists / create / rename) — ``model_cache_root``
+rejects remote URIs loudly rather than half-working (the model directory
+would land on HDFS while the sidecar and rename silently hit a literal
+local ``hdfs:`` folder, so the cache would never hit).
 """
 
 from __future__ import annotations
@@ -37,11 +42,19 @@ from pyspark.ml import PipelineModel
 
 
 def model_cache_root() -> str:
-    """Cache root — override with SPARK_GRAFT_MODEL_DIR (shared storage in a
-    cluster deployment; a local scratch dir here)."""
-    return os.environ.get(
+    """Cache root — override with SPARK_GRAFT_MODEL_DIR. Must be a local
+    path (see the module docstring); remote URIs fail fast here instead of
+    silently splitting artifacts across two filesystems."""
+    root = os.environ.get(
         "SPARK_GRAFT_MODEL_DIR", os.path.join(tempfile.gettempdir(), "mdmp_model_cache")
     )
+    if "://" in root:
+        raise NotImplementedError(
+            f"SPARK_GRAFT_MODEL_DIR={root!r}: this cache's sidecar/rename layer "
+            "is local-fs only; mount shared storage locally or port the os/"
+            "shutil calls to the Hadoop FileSystem API"
+        )
+    return root
 
 
 def data_version(sf_dir: str, tables: tuple[str, ...] = ("lineitem", "orders", "part")) -> str:

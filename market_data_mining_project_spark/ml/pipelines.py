@@ -210,7 +210,6 @@ def train_multi_horizon_grid(
 
 def train_quality_classifier(
     docs: DataFrame,
-    text_col: str = "text",
     label_col: str = "label",
     num_features: int = 1 << 12,
     train_fraction: float = 0.8,
@@ -234,7 +233,13 @@ def train_quality_classifier(
     from pyspark.ml.feature import HashingTF
 
     df = docs.withColumn("label", F.col(label_col).cast("double"))
-    train, test = df.randomSplit([train_fraction, 1 - train_fraction], seed=SEED)
+    # the held-out split exists only to report metrics — serving callers
+    # (with_metrics=False) fit on the FULL bounded sample instead of
+    # discarding a fifth of it to a test set nothing evaluates
+    if with_metrics:
+        train, test = df.randomSplit([train_fraction, 1 - train_fraction], seed=SEED)
+    else:
+        train, test = df, None
     stages = [
         HashingTF(inputCol="__toks", outputCol="__tf", numFeatures=num_features),
         VectorAssembler(
@@ -250,7 +255,7 @@ def train_quality_classifier(
     # serving paths skip the held-out evaluation pass (with_metrics=False):
     # the catalog output is the scored corpus, and the AUC gate lives in
     # pytest where it belongs
-    metrics = binary_metrics(model.transform(test)) if with_metrics else {}
+    metrics = binary_metrics(model.transform(test)) if test is not None else {}
     return TrainedModel(model=model, metrics=metrics)
 
 

@@ -42,9 +42,11 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     partitions whenever total bytes ≥ openCostInBytes × parallelism, so a
     scan is only ever under-split when the input is BOTH few-file and small
     — exactly what file count + byte size detect without touching the RDD
-    API. Frames with no file lineage (createDataFrame fixtures) or
-    unreadable remote sizes conservatively repartition only on the few-file
-    signal.
+    API. Frames with NO file lineage (createDataFrame fixtures, post-shuffle
+    plans) pass through unchanged — their partitioning was already chosen by
+    Spark, not by a file layout; callers holding a known-single-partition
+    in-memory frame should ``repartition`` explicitly. Unreadable (remote)
+    file sizes conservatively repartition on the few-file signal alone.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
@@ -377,12 +379,14 @@ def cross_jaccard_flags(
 
     Returns (id_col, best_jaccard) for flagged incoming docs.
     """
+    # shingles() is already distinct per document, so the exploded (id, sh)
+    # frames are unique rows — no dedup shuffle needed on either side
     sh_e = ensure_parallelism(existing).select(
         F.col(id_col).alias("old"), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
-    ).distinct()
+    )
     sh_i = incoming.select(
         F.col(id_col).alias("new"), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
-    ).distinct()
+    )
     if max_shingle_df is not None:
         hot = (
             sh_e.groupBy("sh")

@@ -25,6 +25,10 @@ standard one at corpus scale:
 At 100 TB: one scan, one explode, one shuffle on the bucket key, one Arrow
 pass per bucket. No driver-side state; the FFD working set is one bucket's
 (id, tokens) pairs, bounded by choosing ``buckets`` ~ corpus_docs / 1e6.
+The default bucket count is a fixed constant — deriving it from the
+cluster's parallelism would make bucket membership (and therefore the
+packing) depend on the machine that ran the job, breaking the
+reproducible-export contract above.
 """
 
 from __future__ import annotations
@@ -50,7 +54,7 @@ def pack_sequences(
     ``sum(piece_tokens) <= seq_len`` with full-chunk sequences exactly
     ``seq_len``.
     """
-    n_buckets = buckets or df.sparkSession.sparkContext.defaultParallelism
+    n_buckets = buckets or 64  # fixed: NOT cluster-derived (see module doc)
     base = df.select(
         F.col(id_col).alias("__id"), F.col(tokens_col).cast("long").alias("__tok")
     ).filter(F.col("__tok") > 0)

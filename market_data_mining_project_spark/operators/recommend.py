@@ -23,6 +23,8 @@ AQE-coalesced; no collect, no Python loops.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -262,29 +264,53 @@ class RecommendationCache:
     def __init__(self, path: str):
         self.path = path
 
+    def _stamp_path(self) -> str:
+        # underscore prefix: Spark's file index ignores _-prefixed files,
+        # so the sidecar can live inside the parquet directory
+        return os.path.join(self.path, "_cache_stamp.json")
+
     def lookup(self, spark, alpha: float, rules_version: str) -> DataFrame | None:
-        """Cached frame for (alpha, rules_version), or None on miss/stale."""
+        """Cached frame for (alpha, rules_version), or None on miss/stale.
+
+        Validity comes from the stamp SIDECAR, not from row counts — a
+        legitimately-empty recommendation set is still a hit (the row-count
+        probe this replaces treated it as perpetually stale and recomputed
+        on every serve). The per-row stamps remain for scan pushdown."""
+        import json
+
         from pyspark.errors import AnalysisException
 
         try:
+            with open(self._stamp_path()) as fh:
+                stamp = json.load(fh)
+        except (OSError, ValueError):  # never populated / interrupted store
+            return None
+        if stamp != {"alpha": float(alpha), "rules_version": rules_version}:
+            return None
+        try:
             cached = spark.read.parquet(self.path)
-        except AnalysisException:  # never populated
+        except AnalysisException:
             return None
         hit = cached.filter(
             (F.col("alpha") == F.lit(float(alpha)))
             & (F.col("rules_version") == F.lit(rules_version))
         )
-        if not hit.limit(1).count():  # stamp mismatch = stale
-            return None
         return hit.drop("alpha", "rules_version")
 
     def store(self, recs: DataFrame, alpha: float, rules_version: str) -> None:
+        import json
+
         from market_data_mining_project_spark.sources.materialize import overwrite_table
 
         stamped = recs.withColumn("alpha", F.lit(float(alpha))).withColumn(
             "rules_version", F.lit(rules_version)
         )
+        # overwrite wipes the directory (and any previous stamp); the new
+        # stamp lands only after the data — a crash in between leaves a
+        # stampless table that reads as a miss, never as a false hit
         overwrite_table(stamped, self.path)
+        with open(self._stamp_path(), "w") as fh:
+            json.dump({"alpha": float(alpha), "rules_version": rules_version}, fh)
 
     def serve(self, spark, alpha: float, rules_version: str, compute) -> DataFrame:
         """Hit → cached rows; miss/stale → ``compute()`` + store + serve
@@ -292,8 +318,10 @@ class RecommendationCache:
         hit = self.lookup(spark, alpha, rules_version)
         if hit is not None:
             return hit
-        self.store(compute(), alpha, rules_version)
-        return self.lookup(spark, alpha, rules_version)
+        computed = compute()
+        self.store(computed, alpha, rules_version)
+        stored = self.lookup(spark, alpha, rules_version)
+        return stored if stored is not None else computed
 
 
 def hybrid_blend(

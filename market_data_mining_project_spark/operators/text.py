@@ -242,7 +242,10 @@ def token_budget_select(
         F.lit(num_buckets - 1),
         F.greatest(F.lit(0), F.floor((F.col(score_col) - lo) / width)),
     ).cast("int")
-    bucketed = df.withColumn("__bk", bucket)
+    # materialize once: the totals collect, the keep-whole semi-join and
+    # the boundary window all consume this frame, and the upstream profile
+    # (repetition signals etc.) is too expensive to evaluate three times
+    bucketed = df.withColumn("__bk", bucket).localCheckpoint(eager=True)
     totals = (
         bucketed.groupBy(group_col, "__bk")
         .agg(F.sum(tokens_col).alias("__tok"))
@@ -265,15 +268,25 @@ def token_budget_select(
                 boundary.append((g, bk, remaining))
                 break
     spark = df.sparkSession
+    # the driver frames carry the group column's REAL type (hardcoding
+    # STRING breaks integer/date group keys), and the joins are
+    # null-SAFE so a NULL group is budget-selected like any other
+    gtype = df.schema[group_col].dataType.simpleString()
     whole_df = spark.createDataFrame(
-        keep_whole or [(None, -1)], f"{group_col} STRING, __bk INT"
+        keep_whole or [(None, -1)], f"__g {gtype}, __wbk INT"
     )
-    kept_whole = bucketed.join(F.broadcast(whole_df), [group_col, "__bk"], "left_semi")
+    whole_cond = F.col(group_col).eqNullSafe(F.col("__g")) & (
+        F.col("__bk") == F.col("__wbk")
+    )
+    kept_whole = bucketed.join(F.broadcast(whole_df), whole_cond, "left_semi")
     if boundary:
         bnd_df = spark.createDataFrame(
-            boundary, f"{group_col} STRING, __bk INT, __rem BIGINT"
+            boundary, f"__g {gtype}, __bbk INT, __rem BIGINT"
         )
-        bnd_rows = bucketed.join(F.broadcast(bnd_df), [group_col, "__bk"])
+        bnd_cond = F.col(group_col).eqNullSafe(F.col("__g")) & (
+            F.col("__bk") == F.col("__bbk")
+        )
+        bnd_rows = bucketed.join(F.broadcast(bnd_df), bnd_cond).drop("__g", "__bbk")
         w = (
             Window.partitionBy(group_col)
             .orderBy(F.col(score_col).desc(), F.col(id_col).asc())

@@ -508,7 +508,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, _metrics, _cached = PERSIST.load_or_train(
         "quality_lr",
         PERSIST.data_version(sf_dir, tables=("documents",)),
-        lambda: train_quality_classifier(train_set, "text", "label", with_metrics=False),
+        lambda: train_quality_classifier(train_set, "label", with_metrics=False),
     )
     # prof stays cached: the returned frame is LAZY — unpersisting here
     # would evict the cache before the caller materializes the scores and
@@ -593,7 +593,9 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", TXT.bpe_ish_token_count(F.col("text")).alias("bpe_tokens")
     )
-    assigned = PK.pack_sequences(docs, "doc_id", "bpe_tokens", seq_len=1024)
+    # fixed bucket count scaled to the test corpora (hundreds-of-docs
+    # pools); production exports choose buckets ~ corpus_docs / 1e6
+    assigned = PK.pack_sequences(docs, "doc_id", "bpe_tokens", seq_len=1024, buckets=8)
     return PK.packing_stats(assigned, seq_len=1024)
 
 

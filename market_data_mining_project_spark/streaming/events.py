@@ -128,6 +128,18 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def _with_content_key(df: DataFrame, time_col: str) -> DataFrame:
+    """Attach the canonical payload content key (md5 over the JSON-struct
+    serialization of every non-time column). ONE definition shared by the
+    stream dedup and the batch reconciliation sweep — their correctness
+    depends on byte-identical key semantics, so the construction must not
+    exist twice. to_json(struct(...)) keeps NULLs distinguishable from
+    empty strings and no separator can collide adjacent fields (concat_ws
+    would conflate both)."""
+    payload = [c for c in df.columns if c != time_col]
+    return df.withColumn("__content_key", F.md5(F.to_json(F.struct(*payload))))
+
+
 def streaming_dedup(
     stream: DataFrame,
     keys: list[str] | None = None,
@@ -148,13 +160,7 @@ def streaming_dedup(
     """
     drop_after = []
     if keys is None:
-        payload = [c for c in stream.columns if c != time_col]
-        # to_json(struct(...)) is an unambiguous serialization: NULLs stay
-        # distinguishable from empty strings and no separator character can
-        # collide adjacent fields (concat_ws would conflate both)
-        stream = stream.withColumn(
-            "__content_key", F.md5(F.to_json(F.struct(*payload)))
-        )
+        stream = _with_content_key(stream, time_col)
         keys = drop_after = ["__content_key"]
     out = stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
     return out.drop(*drop_after) if drop_after else out
@@ -180,8 +186,7 @@ def reconcile_dedup_sink(
 
     drop_after = []
     if keys is None:
-        payload = [c for c in sink.columns if c != time_col]
-        sink = sink.withColumn("__content_key", F.md5(F.to_json(F.struct(*payload))))
+        sink = _with_content_key(sink, time_col)
         keys = drop_after = ["__content_key"]
     w = Window.partitionBy(*keys).orderBy(F.col(time_col).asc())
     out = (

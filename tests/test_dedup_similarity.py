@@ -409,7 +409,10 @@ def test_sequence_packing_conservation_and_caps(spark, sf_dir):
         "doc_id", TXT.bpe_ish_token_count(F.col("text")).alias("t")
     )
     truth = {r.doc_id: r.t for r in docs.collect() if r.t > 0}
-    assigned = PK.pack_sequences(docs, "doc_id", "t", seq_len=L).collect()
+    # buckets sized to the fixture (~50 docs): the operator's guidance is
+    # buckets ~ docs/1e6 — the 64-bucket default is for real corpora, and
+    # one-doc buckets cannot pack
+    assigned = PK.pack_sequences(docs, "doc_id", "t", seq_len=L, buckets=4).collect()
 
     per_doc: dict = {}
     per_seq: dict = {}
@@ -429,7 +432,7 @@ def test_sequence_packing_conservation_and_caps(spark, sf_dir):
     mean_fill = sum(packed) / (L * len(packed))
     assert mean_fill >= 0.8, f"mean fill {mean_fill:.2f} too low"
 
-    again = PK.pack_sequences(docs, "doc_id", "t", seq_len=L).collect()
+    again = PK.pack_sequences(docs, "doc_id", "t", seq_len=L, buckets=4).collect()
     assert sorted(map(tuple, assigned)) == sorted(map(tuple, again))
 
 

@@ -126,3 +126,28 @@ def test_cf_capped_plan_adds_windowed_prune(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "__nr" in capped_plan and "__nr" not in exact_plan
+
+
+def test_empty_result_is_a_hit_not_a_perpetual_miss(spark, tmp_path):
+    """A legitimately-empty recommendation set must cache like any other:
+    validity lives in the stamp sidecar, not in row counts — the row-count
+    probe this replaced recomputed (and crashed the caller on None) every
+    serve whenever compute() produced zero rows."""
+    cache = RecommendationCache(str(tmp_path / "recs"))
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return spark.createDataFrame(
+            [], "user LONG, item STRING, hybrid_score DOUBLE, rec_rank INT"
+        )
+
+    out1 = cache.serve(spark, 0.5, "v1", compute)
+    assert out1 is not None and out1.count() == 0
+    assert calls == [1]
+    out2 = cache.serve(spark, 0.5, "v1", compute)
+    assert out2 is not None and out2.count() == 0
+    assert calls == [1], "empty cached result must not trigger recompute"
+    # a version bump still invalidates
+    cache.serve(spark, 0.5, "v2", compute)
+    assert calls == [1, 1]

@@ -219,7 +219,7 @@ def test_quality_classifier_gates(spark, sf_dir):
     )
     thresh = prof.stat.approxQuantile("quality", [0.75], 0.0)[0]
     labeled = prof.withColumn("label", (F.col("quality") >= thresh).cast("int"))
-    trained = train_quality_classifier(labeled, "text", "label")
+    trained = train_quality_classifier(labeled, "label")
     assert trained.metrics["auc"] >= 0.85, trained.metrics
 
     # full-corpus agreement with the heuristic label should be strong
