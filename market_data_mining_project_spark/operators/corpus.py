@@ -69,6 +69,52 @@ def mixture_weights(
     )
 
 
+def apply_mixture(
+    docs: DataFrame,
+    plan: DataFrame,
+    source_col: str,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Execute a :func:`mixture_weights` plan: per-source deterministic
+    sampling at ``sample_rate`` — rates < 1 keep a hash-selected subset,
+    rates > 1 REPEAT documents (epoch-style upsampling, the LLaMA/Pile
+    recipe), with the fractional part resolved per document so the
+    expected kept-token mass equals ``rate × source_tokens`` exactly.
+
+    Deterministic, not random: each doc gets ``floor(rate)`` full copies
+    plus one more iff ``hash_frac(id, seed) < frac(rate)`` — a seeded
+    xxhash64 uniform in [0,1), so the sample is reproducible across runs,
+    machines and partitionings (``rand()`` is none of those), and a
+    driver recount can verify it exactly. Shape: one broadcast join of
+    the |sources|-row plan + one bounded ``explode(sequence)`` — no
+    shuffle beyond the plan broadcast. Output adds ``copy`` (0-based
+    repetition index) so downstream packing can distinguish epochs.
+    """
+    rates = plan.select(
+        F.col("source").alias(source_col), F.col("sample_rate").alias("__rate")
+    )
+    joined = docs.join(F.broadcast(rates), source_col)
+    frac_hash = (
+        F.pmod(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(1_000_000)
+        )
+        / 1_000_000.0
+    )
+    n_copies = (
+        F.floor(F.col("__rate"))
+        + (frac_hash < (F.col("__rate") - F.floor(F.col("__rate")))).cast("long")
+    ).cast("int")
+    return (
+        joined.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "copy", F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
+        )
+        .drop("__rate", "__n")
+    )
+
+
 def leakage_free_folds(
     docs: DataFrame,
     clusters: DataFrame,

@@ -556,6 +556,41 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.mixture_weights(docs, "source", "bpe_tokens")
 
 
+def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute a mixture plan (the sampling step after q_mixture_plan):
+    deterministic per-source sampling at the planned rates, under a
+    SKEWED target (src0 weighted 4:1:1 against src1/src2; every other
+    source weight 0) with ``max_epochs=2.5`` — so one branch of every
+    rate regime runs: src0 repeats (integer copies + hash-resolved
+    fractional epoch), src1/src2 downsample, the rest drop entirely.
+    Per-source audit over the FULL plan (left join — dropped sources show
+    zero): kept docs / emitted rows (copies included) / kept tokens vs
+    the plan's expectation. Rows-only; an exact per-document copy-count
+    recount and the expected-mass tolerance are pytest-gated
+    (tests/test_dedup_similarity.py::test_apply_mixture_*)."""
+    from market_data_mining_project_spark.operators import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", TXT.bpe_ish_token_count(F.col("text")).alias("bpe_tokens")
+    )
+    plan = C.mixture_weights(
+        docs, "source", "bpe_tokens",
+        target={"src0": 4.0, "src1": 1.0, "src2": 1.0}, max_epochs=2.5,
+    )
+    sampled = C.apply_mixture(docs, plan, "source", "doc_id", seed=42)
+    audit = sampled.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("docs_kept"),
+        F.count(F.lit(1)).alias("rows_emitted"),
+        F.sum("bpe_tokens").alias("tokens_kept"),
+    )
+    return (
+        plan.select("source", "sample_rate", "expected_tokens")
+        .join(audit, "source", "left")
+        .fillna({"docs_kept": 0, "rows_emitted": 0, "tokens_kept": 0})
+        .orderBy("source")
+    )
+
+
 def q_leakage_free_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware k-fold assignment (Lee et al. 2021 §6: near-dups must
     not straddle train/valid): members of a ≥0.5-Jaccard cluster inherit
@@ -935,6 +970,7 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "sequence_packing": q_sequence_packing,
     "mixture_plan": q_mixture_plan,
+    "mixture_apply": q_mixture_apply,
     "leakage_free_folds": q_leakage_free_folds,
     "incremental_ingest": q_incremental_ingest,
     "corpus_prep": q_corpus_prep,

@@ -652,3 +652,83 @@ def test_semantic_dedup_is_subset_of_global_threshold_dedup(spark, sf_dir):
         non_minimal |= comp - {m}
     assert celled <= non_minimal
     assert celled, "expected at least one same-cell near-dup at threshold 0.4"
+
+
+# --- apply_mixture ---------------------------------------------------------------
+
+
+def test_apply_mixture_matches_exact_recount(spark, sf_dir):
+    """Copy counts are deterministic, so a driver-side recount from the
+    per-doc hash fraction must match the operator exactly — floor(rate)
+    copies plus one iff hash_frac < frac(rate)."""
+    import math
+
+    from market_data_mining_project_spark.operators import corpus as C
+    from market_data_mining_project_spark.operators import text as TXT
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", TXT.bpe_ish_token_count(F.col("text")).alias("t")
+    )
+    plan = C.mixture_weights(
+        docs, "source", "t", target={"src0": 4.0, "src1": 1.0, "src2": 1.0},
+        max_epochs=2.5,
+    )
+    rates = {r.source: r.sample_rate for r in plan.collect()}
+    assert any(r > 1.0 for r in rates.values()), "fixture must exercise repetition"
+    assert any(0.0 < r < 1.0 for r in rates.values()), "fixture must exercise downsampling"
+    assert any(r == 0.0 for r in rates.values()), "fixture must exercise dropping"
+
+    sampled = C.apply_mixture(docs, plan, "source", "doc_id", seed=42)
+    got: dict = {}
+    for r in sampled.collect():
+        got[r.doc_id] = got.get(r.doc_id, 0) + 1
+    # independent recount: same hash expression evaluated standalone
+    fr = {
+        r.doc_id: r.f
+        for r in docs.select(
+            "doc_id",
+            (
+                F.pmod(F.xxhash64(F.col("doc_id").cast("string"), F.lit(42)), F.lit(1_000_000))
+                / 1_000_000.0
+            ).alias("f"),
+        ).collect()
+    }
+    src = {r.doc_id: r.source for r in docs.collect()}
+    for d, s in src.items():
+        rate = rates[s]
+        want = math.floor(rate) + (1 if fr[d] < rate - math.floor(rate) else 0)
+        assert got.get(d, 0) == want, f"doc {d}: {got.get(d, 0)} copies != {want}"
+    # copy indices are 0..n-1 per doc
+    per_doc_copies: dict = {}
+    for r in sampled.collect():
+        per_doc_copies.setdefault(r.doc_id, []).append(r.copy)
+    for d, cps in per_doc_copies.items():
+        assert sorted(cps) == list(range(len(cps)))
+
+
+def test_apply_mixture_hits_expected_token_mass(spark, sf_dir):
+    from market_data_mining_project_spark.operators import corpus as C
+    from market_data_mining_project_spark.operators import text as TXT
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", TXT.bpe_ish_token_count(F.col("text")).alias("t")
+    )
+    plan = C.mixture_weights(
+        docs, "source", "t", target={"src0": 4.0, "src1": 1.0, "src2": 1.0},
+        max_epochs=2.5,
+    )
+    sampled = C.apply_mixture(docs, plan, "source", "doc_id", seed=42)
+    kept = {
+        r.source: r.k
+        for r in sampled.groupBy("source").agg(F.sum("t").alias("k")).collect()
+    }
+    for p in plan.collect():
+        if p.expected_tokens == 0:
+            continue
+        # hash-resolved fractional epochs: kept mass within 35% of the plan
+        # on the small fixture (uniformity tightens with corpus size)
+        assert abs(kept.get(p.source, 0) - p.expected_tokens) <= 0.35 * p.expected_tokens, (
+            p.source, kept.get(p.source, 0), p.expected_tokens,
+        )
+    again = C.apply_mixture(docs, plan, "source", "doc_id", seed=42)
+    assert sorted(map(tuple, sampled.collect())) == sorted(map(tuple, again.collect()))
