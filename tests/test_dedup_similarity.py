@@ -581,9 +581,10 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
         assert ann[i] == (i, True)
 
 
-def test_semantic_dedup_one_cell_equals_global_components(spark, sf_dir):
-    """With a single cell, semantic_dedup must reproduce the global
-    blocked-cosine components exactly (reps = component min ids)."""
+def test_semantic_dedup_equals_components_within_cells(spark, sf_dir):
+    """semantic_dedup must reproduce EXACTLY the components of the global
+    pair set restricted to same-cell pairs (reps = component min ids) —
+    the operator's contract at any k."""
     emb = load_table(spark, sf_dir, "embeddings")
     ann = SIM.semantic_dedup(
         emb, "embedding", "vec_id", threshold=0.4, n_cells=2, seed=42, n_blocks=4
