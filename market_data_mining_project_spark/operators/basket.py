@@ -101,5 +101,9 @@ def department_mix(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct(F.col(category), F.col("cnt"))))
         ).alias("department_mix"),
-        F.countDistinct(category).alias("unique_departments"),
+        # per_cat is grouped by (basket, category), so category is already
+        # unique within each basket group — count(category) gives the same
+        # value (NULL group contributes 0, matching countDistinct) without
+        # the distinct-aggregate expand path
+        F.count(F.col(category)).alias("unique_departments"),
     )

@@ -23,6 +23,8 @@ Statistic identities (all SQL-expressible, so DuckDB can oracle-check them):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -85,6 +87,8 @@ def chi2_test(df: DataFrame, row: str, col: str, weight: str | None = None) -> d
         F.countDistinct(col).alias("c"),
         F.sum("observed").alias("n"),
     ).collect()[0]
+    if agg.chi2 is None:  # zero contingency cells: nothing to test
+        raise ValueError(f"chi2_test: no rows for ({row!r}, {col!r})")
     dof = (agg.r - 1) * (agg.c - 1)
     p = ST.chi2_sf(agg.chi2, dof) if dof > 0 else 1.0
     k = min(agg.r, agg.c)
@@ -122,12 +126,21 @@ def welch_t_test(df: DataFrame, group: str, value: str, g1, g2) -> dict:
         raise ValueError(f"welch_t_test: group(s) {small!r} need n >= 2 samples")
     a, b = rows[g1], rows[g2]
     se2 = a["var"] / a["n"] + b["var"] / b["n"]
-    t = (a["mean"] - b["mean"]) / se2**0.5
-    # Welch–Satterthwaite degrees of freedom
-    dof = se2**2 / (
-        (a["var"] / a["n"]) ** 2 / (a["n"] - 1) + (b["var"] / b["n"]) ** 2 / (b["n"] - 1)
-    )
-    p = 2.0 * ST.t_sf(abs(t), dof)
+    if se2 == 0:
+        # both groups constant: scipy's convention — nan when the (constant)
+        # means are equal, signed infinity otherwise, never a ZeroDivisionError
+        diff = a["mean"] - b["mean"]
+        t = float("nan") if diff == 0 else math.copysign(float("inf"), diff)
+        dof = float("nan")
+        p = float("nan") if diff == 0 else 0.0
+    else:
+        t = (a["mean"] - b["mean"]) / se2**0.5
+        # Welch–Satterthwaite degrees of freedom
+        dof = se2**2 / (
+            (a["var"] / a["n"]) ** 2 / (a["n"] - 1)
+            + (b["var"] / b["n"]) ** 2 / (b["n"] - 1)
+        )
+        p = 2.0 * ST.t_sf(abs(t), dof)
     pooled = (((a["n"] - 1) * a["var"] + (b["n"] - 1) * b["var"]) / (a["n"] + b["n"] - 2)) ** 0.5
     cohens_d = (a["mean"] - b["mean"]) / pooled if pooled > 0 else 0.0
     return {
@@ -225,18 +238,37 @@ def ks_statistic(df: DataFrame, group: str, value: str, g1, g2) -> DataFrame:
         "c2", F.sum("t2").over(w)
     )
     totals = per_v.agg(F.sum("t1").alias("n1"), F.sum("t2").alias("n2"))
+    # try_divide: an empty group must surface as a NULL statistic for the
+    # caller's absent-group ValueError, not as an ANSI ArithmeticException
     return cdf.crossJoin(F.broadcast(totals)).select(
-        F.max(F.abs(F.col("c1") / F.col("n1") - F.col("c2") / F.col("n2"))).alias("ks_d")
+        F.max(
+            F.abs(
+                F.try_divide(F.col("c1"), F.col("n1"))
+                - F.try_divide(F.col("c2"), F.col("n2"))
+            )
+        ).alias("ks_d"),
+        # group sizes ride along from the totals frame this plan already
+        # computed — callers need them for the p-value, and a separate
+        # count aggregation would be a redundant pass over the fact table
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
     )
 
 
 def ks_test(df: DataFrame, group: str, value: str, g1, g2) -> dict:
-    """Two-sample KS test (reference views.py:1919-1934); asymptotic p-value."""
-    sub = df.filter(F.col(group).isin([g1, g2]))
-    d = ks_statistic(df, group, value, g1, g2).collect()[0]["ks_d"]
-    ns = {r[group]: r["cnt"] for r in sub.groupBy(group).agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    p = ST.ks_sf(d, int(ns[g1]), int(ns[g2]))
-    return {"statistic": float(d), "p_value": float(p), "n1": int(ns[g1]), "n2": int(ns[g2])}
+    """Two-sample KS test (reference views.py:1919-1934); asymptotic p-value.
+
+    Raises ValueError when either group is empty/absent (the same contract
+    as welch_t_test / mann_whitney_u — an absent group is caller error,
+    not a NULL statistic)."""
+    row = ks_statistic(df, group, value, g1, g2).collect()[0]
+    n1 = int(row["n1"] or 0)
+    n2 = int(row["n2"] or 0)
+    if n1 == 0 or n2 == 0:
+        missing = [g for g, n in ((g1, n1), (g2, n2)) if n == 0]
+        raise ValueError(f"ks_test: group(s) {missing!r} absent from {group!r}")
+    p = ST.ks_sf(row["ks_d"], n1, n2)
+    return {"statistic": float(row["ks_d"]), "p_value": float(p), "n1": n1, "n2": n2}
 
 
 def data_assessment(df: DataFrame, day: str, customer: str, basket: str) -> DataFrame:

@@ -64,11 +64,15 @@ def search(df: DataFrame, needle: str, columns: Sequence[str]) -> DataFrame:
         numeric = float(needle)
     except ValueError:
         pass
+    numeric_prefixes = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
     types = dict(df.dtypes)
     for col in columns:
         if types.get(col) in ("string",):
             preds.append(icontains(F.col(col), needle))
-        elif numeric is not None:
+        elif numeric is not None and types.get(col, "").startswith(numeric_prefixes):
+            # only NUMERIC columns take the equality branch — comparing a
+            # float needle against date/timestamp/boolean columns has no
+            # coercion and fails analysis
             preds.append(F.col(col) == numeric)
     if not preds:
         return df.limit(0)

@@ -137,7 +137,10 @@ def quantile_edge_scores(
             .drop(*[f"__e_{c}_{i}" for c in cols for i in range(len(probs))])
         )
 
-    edges = {col: rfm.approxQuantile(col, probs, relative_error) for col in cols}
+    # ONE approxQuantile call for all columns — the list form computes every
+    # edge in a single pass (per-column calls would each re-run the whole
+    # upstream rfm aggregate, 3× the promised cost)
+    edges = dict(zip(cols, rfm.approxQuantile(list(cols), probs, relative_error)))
 
     def score(col: str, invert: bool) -> Column:
         expr = None

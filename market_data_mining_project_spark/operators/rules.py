@@ -74,18 +74,28 @@ def pair_counts(
     min_count: int,
     item_cap: int | None = None,
     ib: DataFrame | None = None,
+    freq: DataFrame | None = None,
 ) -> DataFrame:
     """Co-occurrence pair counts via self-join (J4; reference views.py:199-235).
 
     Apriori pruning first: only frequent items enter the self-join, so the
     shuffle is |frequent items' baskets|², not |all baskets|². The join keys
-    on ``basket`` — a co-partitioned shuffle both sides reuse.
+    on ``basket`` — a co-partitioned shuffle both sides reuse. Pass a
+    prebuilt ``freq`` (the frequent_items frame a caller already built for
+    its rule metrics) so the aggregate isn't planned twice — the DataFrame
+    API does not dedupe identical subtrees.
+
+    The semi-join prune is FORCED broadcast only under ``item_cap`` (the
+    frame is then ≤ cap rows by construction); an uncapped frequent set is
+    unbounded, so Spark's size-based auto-broadcast decides there.
     """
     if ib is None:
         ib = item_baskets(fact, basket, item)
-    freq = frequent_items(None, basket, item, min_count, item_cap, ib=ib)
+    if freq is None:
+        freq = frequent_items(None, basket, item, min_count, item_cap, ib=ib)
+    freq_sel = freq.select(item)
     ib = ib.join(
-        F.broadcast(freq.select(item)), item, "left_semi"
+        F.broadcast(freq_sel) if item_cap is not None else freq_sel, item, "left_semi"
     )
     a = ib.select(F.col(basket).alias("__b"), F.col(item).alias("item_a"))
     b = ib.select(F.col(basket).alias("__b"), F.col(item).alias("item_b"))
@@ -125,7 +135,7 @@ def pairwise_rules(
     min_count = max(1, int(total * min_support))
 
     freq = frequent_items(None, basket, item, min_count, item_cap, ib=ib)
-    pairs = pair_counts(None, basket, item, min_count, item_cap, ib=ib)
+    pairs = pair_counts(None, basket, item, min_count, item_cap, ib=ib, freq=freq)
 
     counts_a = freq.select(F.col(item).alias("antecedent"), F.col("item_baskets").alias("antecedent_baskets"))
     counts_b = freq.select(F.col(item).alias("consequent"), F.col("item_baskets").alias("consequent_baskets"))
@@ -137,9 +147,13 @@ def pairwise_rules(
         pairs.selectExpr("item_b as antecedent", "item_a as consequent", "pair_baskets")
     )
 
+    # same broadcast policy as pair_counts: force it only when item_cap
+    # bounds the frame; otherwise let size-based auto-broadcast decide
+    if item_cap is not None:
+        counts_a, counts_b = F.broadcast(counts_a), F.broadcast(counts_b)
     rules = (
-        directed.join(F.broadcast(counts_a), "antecedent")
-        .join(F.broadcast(counts_b), "consequent")
+        directed.join(counts_a, "antecedent")
+        .join(counts_b, "consequent")
         .withColumn("support", F.round(F.col("pair_baskets") / F.lit(total), 6))
         .withColumn("confidence", F.round(F.col("pair_baskets") / F.col("antecedent_baskets"), 6))
         .withColumn(

@@ -142,3 +142,54 @@ def test_seeded_noise_deterministic(spark):
     assert [r.n for r in a] == [r.n for r in b]
     assert all(-0.03 <= r.n <= 0.03 for r in a)
     assert len({round(r.n, 9) for r in a}) > 10  # actually varies
+
+
+def test_ks_test_absent_group_raises(spark):
+    from market_data_mining_project_spark.operators import diff as DIFF
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 3.0)], "g string, v double")
+    with pytest.raises(ValueError, match="absent"):
+        DIFF.ks_test(df, "g", "v", "a", "zzz")
+
+
+def test_welch_constant_groups_follow_scipy_convention(spark):
+    """Two zero-variance groups: nan when the means agree, signed infinity
+    when they differ — never a ZeroDivisionError."""
+    import math
+
+    from market_data_mining_project_spark.operators import diff as DIFF
+
+    same = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)], "g string, v double"
+    )
+    r = DIFF.welch_t_test(same, "g", "v", "a", "b")
+    assert math.isnan(r["statistic"]) and math.isnan(r["p_value"])
+    diff = spark.createDataFrame(
+        [("a", 9.0), ("a", 9.0), ("b", 5.0), ("b", 5.0)], "g string, v double"
+    )
+    r2 = DIFF.welch_t_test(diff, "g", "v", "a", "b")
+    assert math.isinf(r2["statistic"]) and r2["statistic"] > 0
+    assert r2["p_value"] == 0.0
+
+
+def test_chi2_empty_input_raises(spark):
+    from market_data_mining_project_spark.operators import diff as DIFF
+
+    df = spark.createDataFrame([], "r string, c string")
+    with pytest.raises(ValueError, match="no rows"):
+        DIFF.chi2_test(df, "r", "c")
+
+
+def test_search_numeric_needle_skips_nonnumeric_columns(spark):
+    import datetime
+
+    from market_data_mining_project_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [("seven", 7, datetime.date(2020, 1, 7)), ("other", 9, datetime.date(2020, 1, 9))],
+        "name string, n int, d date",
+    )
+    got = R.search(df, "7", ["name", "n", "d"]).collect()
+    # matches the numeric column by equality and skips the date column
+    # instead of failing analysis
+    assert {r.name for r in got} == {"seven"}
