@@ -152,8 +152,13 @@ def norm_sf(z: float) -> float:
 def ks_sf(d: float, n: int, m: int) -> float:
     """Two-sample KS asymptotic p-value (Kolmogorov distribution tail).
 
-    Uses the Smirnov asymptotic series with the effective sample size
-    en = n*m/(n+m), as scipy's ``ks_2samp(mode='asymp')`` does.
+    Uses the Smirnov series with the Numerical-Recipes small-sample
+    correction ``(en + 0.12 + 0.11/en)·d`` on the effective sample size
+    en = sqrt(n·m/(n+m)). NOTE: modern scipy's ``ks_2samp(mode='asymp')``
+    evaluates the plain ``en·d`` tail WITHOUT that additive correction, so
+    small-sample p-values differ slightly from scipy's (the correction
+    improves accuracy vs the exact distribution; the pytest gates pin this
+    function against hand-computed values, not scipy).
     """
     if d <= 0:
         return 1.0

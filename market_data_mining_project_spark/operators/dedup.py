@@ -260,7 +260,20 @@ def minhash_lsh_candidates(
     rows = bands × rows_per_band; docs sharing ANY band's full slice collide.
     The band bucket join shuffles on (band_id, slice-hash) — bucket sizes are
     tiny for non-duplicate corpora, so the join is near-linear.
+
+    Docs with an EMPTY shingle set are excluded before banding: their
+    signature is all-null (``array_min`` of nothing), every band slice
+    would serialize to the same constant bucket, and m empty docs would
+    emit m(m−1)/2 zero-Jaccard candidate pairs — the quadratic bucket bomb
+    this operator exists to avoid (web crawls carry millions of
+    empty/whitespace docs).
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must divide into bands={bands}: the "
+            "trailing hash functions would be computed but never banded, "
+            "silently changing the (rows, bands) S-curve the caller tuned"
+        )
     rows_per_band = num_hashes // bands
     df = ensure_parallelism(df)
     # materialize the shingle array ONCE before fanning out to 32 hash
@@ -269,6 +282,7 @@ def minhash_lsh_candidates(
     sig = (
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
         .withColumn("__sh", shingles(F.col("__text"), shingle_n))
+        .filter(F.size("__sh") > 0)
         .select("doc", minhash_signature(F.col("__sh"), num_hashes).alias("sig"))
     )
     banded = sig.select(
@@ -326,9 +340,12 @@ def ngram_jaccard_pairs(
     shingles shrinks |A∪B| too) — the regression test bounds both the lost-
     pair and admitted-pair sides.
     """
+    # shingles() is already distinct per document — the exploded (doc, sh)
+    # rows are unique, and a .distinct() here would re-shuffle the job's
+    # largest intermediate for no semantic effect
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
-    ).distinct()
+    )
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -517,6 +534,17 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         labels = updated
         if changed == 0:
             break
+    else:
+        # exhausting the iteration cap with labels still moving means some
+        # component's diameter exceeds max_iterations — returning would
+        # silently SPLIT that duplicate group (multiple "representatives"
+        # survive dedup). Long chains are real (incrementally edited
+        # boilerplate); fail loudly so the caller raises the cap.
+        raise RuntimeError(
+            f"dup_clusters: labels still changing after {max_iterations} "
+            "rounds — a component's diameter exceeds the cap; raise "
+            "max_iterations (propagation needs ~longest-path rounds)"
+        )
     return labels
 
 

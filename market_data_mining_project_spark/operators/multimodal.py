@@ -101,10 +101,12 @@ def media_features(media: DataFrame, chunk_size: int = 256) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
+            # a NULL payload (attach_media over a null source value) arrives
+            # as None — treat as zero bytes rather than crashing the task
             content = pdf["content"]
-            n_bytes = content.map(len).astype("int64")
+            n_bytes = content.map(lambda b: len(b) if b is not None else 0).astype("int64")
             mean_byte = content.map(
-                lambda b: float(np.frombuffer(b, dtype=np.uint8).mean()) if len(b) else 0.0
+                lambda b: float(np.frombuffer(b, dtype=np.uint8).mean()) if b else 0.0
             )
             yield pd.DataFrame(
                 {
@@ -137,6 +139,8 @@ def frame_sample(media: DataFrame, every_n_chunks: int = 4, chunk_size: int = 25
         for pdf in batches:
             ids, idxs, chunks = [], [], []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:  # null payload: no chunks (matches n_bytes=0)
+                    continue
                 for ci in range(0, (len(blob) + chunk_size - 1) // chunk_size, every_n_chunks):
                     ids.append(mid)
                     idxs.append(ci)

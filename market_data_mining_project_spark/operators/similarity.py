@@ -140,7 +140,9 @@ def cosine_near_dups_blocked(
     numpy matmul (BLAS) over its two blocks. Each vector is replicated
     ``n_blocks`` times instead of N times (the naive crossJoin), so Arrow
     transfer is O(N·B) rows and the FLOPs run vectorized. Equivalent output
-    to :func:`cosine_near_dups`.
+    to :func:`cosine_near_dups` for INTEGER id columns (enforced — the
+    numpy pair matrices are int64; non-integer ids take the naive path or
+    a long mapping first).
 
     ``within_col`` (optional) restricts pairs to rows sharing that column's
     value — the partition key joins the block-pair grouping, so a corpus
@@ -151,6 +153,14 @@ def cosine_near_dups_blocked(
     import pandas as pd
     from pyspark.sql import types as T
 
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"cosine_near_dups_blocked: {id_col!r} is {id_type}; the blocked "
+            "path emits int64 ids (the numpy pair matrices are integer-"
+            "typed) — use cosine_near_dups for non-integer id columns or "
+            "map ids to longs first"
+        )
     spark = corpus.sparkSession
     keep_extra = [within_col] if within_col else []
     base = corpus.select(
@@ -386,10 +396,23 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    # rank cells per query by centroid distance, keep nprobe
+    # rank cells per query by SQUARED EUCLIDEAN distance to the centroid —
+    # the same metric KMeans used for membership assignment. Ranking probes
+    # by cosine while cells were formed by Euclidean distance silently
+    # degrades recall for unnormalized embeddings: the cell holding a
+    # query's true neighbors can fall below the nprobe cut.
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("centroid").cast("array<double>"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     qc = (
         q.crossJoin(F.broadcast(cent_df))
-        .withColumn("cdist", -cosine(F.col("qv"), F.col("centroid").cast("array<double>")))
+        .withColumn("cdist", sqdist)
         .withColumn(
             "__rk",
             F.row_number().over(

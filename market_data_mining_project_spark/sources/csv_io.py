@@ -35,6 +35,26 @@ class ValidatedLoad:
     fk_orphans: DataFrame | None = None
 
 
+def split_validated(raw: DataFrame, fk: tuple[str, DataFrame] | None = None) -> ValidatedLoad:
+    """Quarantine + FK split shared by every validated reader (CSV here,
+    JSONL in ``jsonl_io``) — ONE definition, so a change to the corrupt-row
+    or orphan semantics cannot silently diverge between formats.
+
+    Caching is required for the corrupt-record split: the ``_corrupt_record``
+    column is only populated while the same scan materializes both branches.
+    """
+    raw = raw.cache()
+    valid = raw.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    rejected = raw.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT)
+    orphans = None
+    if fk is not None:
+        col, dim = fk
+        dim_keys = dim.select(col).distinct()
+        orphans = valid.join(F.broadcast(dim_keys), col, "left_anti")
+        valid = valid.join(F.broadcast(dim_keys), col, "left_semi")
+    return ValidatedLoad(valid=valid, rejected=rejected, fk_orphans=orphans)
+
+
 def read_csv_validated(
     spark: SparkSession,
     path: str,
@@ -60,18 +80,7 @@ def read_csv_validated(
         mode="PERMISSIVE",
         columnNameOfCorruptRecord=_CORRUPT,
     )
-    # caching is required for the corrupt-record split: the column is only
-    # populated while the same scan materializes both branches
-    raw = raw.cache()
-    valid = raw.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
-    rejected = raw.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT)
-    orphans = None
-    if fk is not None:
-        col, dim = fk
-        dim_keys = dim.select(col).distinct()
-        orphans = valid.join(F.broadcast(dim_keys), col, "left_anti")
-        valid = valid.join(F.broadcast(dim_keys), col, "left_semi")
-    return ValidatedLoad(valid=valid, rejected=rejected, fk_orphans=orphans)
+    return split_validated(raw, fk)
 
 
 def export_csv(df: DataFrame, path: str, columns: list[str] | None = None, limit: int | None = 1000) -> None:

@@ -15,10 +15,13 @@ exists for interchange with downstream tooling (tokenizers, labelers).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from market_data_mining_project_spark.sources.csv_io import _CORRUPT, ValidatedLoad
+from market_data_mining_project_spark.sources.csv_io import (
+    _CORRUPT,
+    ValidatedLoad,
+    split_validated,
+)
 
 
 def read_jsonl_validated(
@@ -42,18 +45,7 @@ def read_jsonl_validated(
         mode="PERMISSIVE",
         columnNameOfCorruptRecord=_CORRUPT,
     )
-    # same caching requirement as the CSV path: the corrupt column is only
-    # populated while one scan materializes both branches
-    raw = raw.cache()
-    valid = raw.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
-    rejected = raw.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT)
-    orphans = None
-    if fk is not None:
-        col, dim = fk
-        dim_keys = dim.select(col).distinct()
-        orphans = valid.join(F.broadcast(dim_keys), col, "left_anti")
-        valid = valid.join(F.broadcast(dim_keys), col, "left_semi")
-    return ValidatedLoad(valid=valid, rejected=rejected, fk_orphans=orphans)
+    return split_validated(raw, fk)
 
 
 def export_jsonl(

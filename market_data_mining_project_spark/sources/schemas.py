@@ -21,10 +21,15 @@ from pyspark.sql import types as T
 TRANSACTIONS = T.StructType(
     [
         T.StructField("id", T.LongType(), False),
-        T.StructField("household_key", T.IntegerType(), False),
+        # FK columns carry the SAME type as their dimension's key (LongType,
+        # matching HOUSEHOLD.household_key / PRODUCT.product_id): an
+        # int-vs-bigint join key needs an implicit cast, which disables
+        # bucketed-scan co-location on one side and silently reintroduces
+        # the Exchange the bucketing layer exists to eliminate
+        T.StructField("household_key", T.LongType(), False),
         T.StructField("basket_id", T.LongType(), False),
         T.StructField("day", T.IntegerType(), False),  # integer day 1..711, NOT a date
-        T.StructField("product_id", T.IntegerType(), False),
+        T.StructField("product_id", T.LongType(), False),
         T.StructField("quantity", T.IntegerType(), True),
         T.StructField("sales_value", T.DecimalType(10, 2), False),
         T.StructField("store_id", T.IntegerType(), True),

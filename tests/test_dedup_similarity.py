@@ -733,3 +733,66 @@ def test_apply_mixture_hits_expected_token_mass(spark, sf_dir):
         )
     again = C.apply_mixture(docs, plan, "source", "doc_id", seed=42)
     assert sorted(map(tuple, sampled.collect())) == sorted(map(tuple, again.collect()))
+
+
+# --- review-pass regression guards ----------------------------------------------
+
+
+def test_minhash_excludes_empty_docs_from_banding(spark):
+    """Empty/whitespace docs have all-null signatures — banding them would
+    put every empty doc in one constant bucket per band (m²/2 zero-Jaccard
+    candidate pairs). They must be excluded; real dups must still pair."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\t\n"),
+         (4, "alpha beta gamma delta epsilon zeta"),
+         (5, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_candidates(
+            docs, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3
+        ).collect()
+    }
+    assert (4, 5) in pairs
+    empty_ids = {1, 2, 3}
+    assert not any(a in empty_ids or b in empty_ids for a, b in pairs)
+
+
+def test_minhash_rejects_indivisible_bands(spark):
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must divide"):
+        D.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=30, bands=8)
+
+
+def test_dup_clusters_raises_when_chain_exceeds_iteration_cap(spark):
+    """A chain component needs ~diameter rounds; exhausting the cap with
+    labels still moving must fail loudly, not silently split the group."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="still changing"):
+        D.dup_clusters(chain, max_iterations=2)
+    ok = {(r.doc, r.cluster) for r in D.dup_clusters(chain, max_iterations=20).collect()}
+    assert ok == {(i, 0) for i in range(9)}
+
+
+def test_blocked_cosine_rejects_non_integer_ids(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(TypeError, match="non-integer"):
+        SIM.cosine_near_dups_blocked(df, "embedding", "vec_id")
+
+
+def test_media_pipeline_survives_null_payload(spark):
+    from market_data_mining_project_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame([(1, "hello bytes"), (2, None)], "doc_id long, text string")
+    media = MM.attach_media(df, "doc_id", "text")
+    feats = {r.media_id: (r.n_bytes, r.mean_byte) for r in MM.media_features(media).collect()}
+    assert feats[1][0] == len("hello bytes") and feats[1][1] > 0
+    assert feats[2] == (0, 0.0)
+    frames = MM.frame_sample(media, every_n_chunks=1, chunk_size=4).collect()
+    assert all(r.media_id != 2 for r in frames)
+    assert any(r.media_id == 1 for r in frames)
