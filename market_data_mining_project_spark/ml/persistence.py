@@ -112,7 +112,14 @@ def save_model(model: PipelineModel, metrics: dict[str, float], name: str, versi
         with open(os.path.join(staging, "metrics.json"), "w") as fh:
             json.dump(metrics, fh, sort_keys=True)
         shutil.rmtree(final, ignore_errors=True)
-        os.replace(staging, final)
+        try:
+            os.replace(staging, final)
+        except OSError:
+            # a concurrent writer renamed its own complete artifact into
+            # place between our rmtree and replace (ENOTEMPTY): both
+            # trained on the same (name, version) inputs, so keep theirs
+            # rather than crashing — first-wins, content-equivalent
+            shutil.rmtree(staging, ignore_errors=True)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
@@ -142,7 +149,10 @@ def save_metrics_artifact(name: str, version: str, payload: dict) -> str:
         with open(os.path.join(staging, "metrics.json"), "w") as fh:
             json.dump(payload, fh, sort_keys=True)
         shutil.rmtree(final, ignore_errors=True)
-        os.replace(staging, final)
+        try:
+            os.replace(staging, final)
+        except OSError:  # concurrent writer won — same policy as save_model
+            shutil.rmtree(staging, ignore_errors=True)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise

@@ -262,6 +262,15 @@ class RecommendationCache:
     atomic-swap the reference approximates with row deletes."""
 
     def __init__(self, path: str):
+        if "://" in path:
+            # same hazard (and same loud guard) as ml.persistence: Spark
+            # would write the parquet remotely while the stamp sidecar's
+            # local open() hit a bogus path — the cache would never hit
+            raise NotImplementedError(
+                f"RecommendationCache path {path!r}: the stamp sidecar is "
+                "local-fs only; mount shared storage locally or port the "
+                "sidecar to the Hadoop FileSystem API"
+            )
         self.path = path
 
     def _stamp_path(self) -> str:

@@ -253,7 +253,9 @@ def token_budget_select(
     )
     per_group: dict = {}
     for r in totals:
-        per_group.setdefault(r[group_col], {})[r["__bk"]] = r["__tok"]
+        # a cell whose docs all have NULL token counts sums to NULL —
+        # treat as zero contribution rather than TypeError in the walk
+        per_group.setdefault(r[group_col], {})[r["__bk"]] = r["__tok"] or 0
     keep_whole: list = []  # (group, min_bucket_exclusive)
     boundary: list = []  # (group, bucket, remaining_budget)
     for g, buckets in per_group.items():
@@ -322,8 +324,12 @@ def lang_scores(text: Column) -> list[Column]:
 
 def detect_language(df: DataFrame, text_col: str = "text", out: str = "detected_lang") -> DataFrame:
     """Stopword-voting language ID: argmax over per-language hit counts,
-    'und' (undetermined) when no stopwords hit. Ties break by language-code
-    order for determinism."""
+    'und' (undetermined) when no stopwords hit. Hit-count ties break toward
+    the lexicographically LARGEST language code (``array_max`` compares the
+    (hits, lang) struct fieldwise, falling through to ``lang``) — the array
+    order is irrelevant to ``array_max``, so the precedence lives entirely
+    in that struct comparison and MUST stay in sync with the SQL oracles'
+    fr ≥ es ≥ en ≥ de cascade."""
     words = tokens(F.col(text_col))
     scored = F.array(
         *[
@@ -331,7 +337,7 @@ def detect_language(df: DataFrame, text_col: str = "text", out: str = "detected_
                 F.size(F.filter(words, _isin_pred(sw))).alias("hits"),
                 F.lit(lg).alias("lang"),
             )
-            for lg, sw in sorted(STOPWORDS.items(), reverse=True)
+            for lg, sw in sorted(STOPWORDS.items())
         ]
     )
     best = F.array_max(scored)

@@ -215,7 +215,11 @@ def q_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         MAT._DERIVED_DIRS.append(tmp)
         path = _REC_CACHE_PATHS[key] = tmp + "/recs"
     cache = REC.RecommendationCache(path)
-    rules_version = PERSIST.data_version(sf_dir, ("lineitem", "part"))
+    # the blend depends on orders too (the CF leg / purchased set / query
+    # users all come from lineitem JOIN orders JOIN part) — every mining
+    # input must be in the fingerprint or a re-import of orders alone
+    # would serve stale cached blends as fresh
+    rules_version = PERSIST.data_version(sf_dir, ("lineitem", "orders", "part"))
     return (
         cache.serve(spark, 0.6, rules_version, lambda: _hybrid_blend_live(spark, sf_dir))
         .withColumnRenamed("user", "o_custkey")
@@ -1299,7 +1303,9 @@ def q_model_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             round(float(m["weightedPrecision"]), 4),
             round(float(m["weightedRecall"]), 4),
             round(float(m["f1"]), 4),
-            round(float(m["auc"]), 4),
+            # binary_metrics omits 'auc' when the evaluator fails on a
+            # degenerate eval split — surface nan, not a KeyError
+            round(float(m.get("auc", float("nan"))), 4),
         )
         for (label, kind), m in sorted(
             grid.items(), key=lambda kv: (horizon_days[kv[0][0]], kv[0][1])

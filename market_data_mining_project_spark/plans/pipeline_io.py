@@ -22,10 +22,21 @@ from market_data_mining_project_spark.streaming import events as EV
 _RUN_COUNTER = itertools.count()
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp registered with materialize's atexit cleanup so repeated
+    catalog sweeps (bench-style long-lived processes) don't accumulate
+    orphaned checkpoint/export dirs in /tmp."""
+    from market_data_mining_project_spark.sources import materialize as MAT
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    MAT._DERIVED_DIRS.append(d)
+    return d
+
+
 def _bounded(df: DataFrame, prefix: str, output_mode: str = "append") -> DataFrame:
     """Run a streaming plan to completion into a uniquely-named memory sink."""
     name = f"{prefix}_{next(_RUN_COUNTER)}"
-    EV.run_bounded(df, name, tempfile.mkdtemp(prefix=f"ck_{name}_"), output_mode)
+    EV.run_bounded(df, name, _scratch_dir(f"ck_{name}_"), output_mode)
     return df.sparkSession.table(name)
 
 
@@ -226,7 +237,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
     customer = load_table(spark, sf_dir, "customer")
-    tmp = tempfile.mkdtemp(prefix="csv_rt_")
+    tmp = _scratch_dir("csv_rt_")
     csv_path = f"{tmp}/orders_csv"
     csv_io.export_csv(
         orders.orderBy("o_orderkey"),

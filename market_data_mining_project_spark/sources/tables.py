@@ -60,9 +60,14 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
 
 @_functools.lru_cache(maxsize=None)
 def events_ts_is_nanos(path: str) -> bool:
-    """True when the parquet footer declares `ts` as int64 or nanosecond
-    timestamps (needs the forced-long + div-1000 workaround); False for the
-    directly-readable micro/millisecond encodings. Footer-only — no data read."""
+    """True when the parquet footer declares `ts` with PHYSICAL int64 in a
+    nanosecond (or raw int64) encoding — the vintages that need the
+    forced-long + div-1000 workaround because Spark cannot read
+    INT64/TIMESTAMP(NANOS) natively. False for the directly-readable
+    encodings, INCLUDING physical INT96: pyarrow also reports INT96 as
+    timestamp[ns], but Spark reads INT96 natively and a forced-long schema
+    on it fails the scan — so the physical type must break the tie.
+    Footer-only — no data read."""
     import glob as _glob
 
     import pyarrow as pa
@@ -78,10 +83,14 @@ def events_ts_is_nanos(path: str) -> bool:
         if not files:
             raise FileNotFoundError(f"no .parquet footer file found under {path}")
         probe = files[0]
-    ts_type = pq.ParquetFile(probe).schema_arrow.field("ts").type
-    return pa.types.is_int64(ts_type) or (
-        pa.types.is_timestamp(ts_type) and ts_type.unit == "ns"
-    )
+    pf = pq.ParquetFile(probe)
+    ts_type = pf.schema_arrow.field("ts").type
+    if pa.types.is_int64(ts_type):
+        return True
+    if pa.types.is_timestamp(ts_type) and ts_type.unit == "ns":
+        idx = pf.schema_arrow.get_field_index("ts")
+        return pf.schema.column(idx).physical_type == "INT64"
+    return False
 
 
 def events_read_schema(path: str) -> tuple[T.StructType, bool]:

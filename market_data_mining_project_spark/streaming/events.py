@@ -36,12 +36,24 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch loader, sources/tables.py) to read `ts` with its real physical
     type — int64-nanos files get the forced-long + div-1000 workaround,
     timestamp[us] files are read natively."""
-    schema, nanos = events_read_schema(table_path(sf_dir, "events"))
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    import os
+
+    p = table_path(sf_dir, "events")
+    schema, nanos = events_read_schema(p)
+    if os.path.isdir(p):
+        # directory-layout dataset (what any Spark writer produces): stream
+        # the directory itself. A pathGlobFilter='events.parquet' here
+        # would match LEAF file names — part-*.parquet never matches — and
+        # the stream would silently read zero rows.
+        raw = spark.readStream.schema(schema).parquet(p)
+    else:
+        # single-file layout: the glob filter picks the one file out of the
+        # sf_dir without treating it as a directory source
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return raw.withColumn("ts", nanos_to_micros_ts("ts")) if nanos else raw
 
 

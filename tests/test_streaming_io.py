@@ -422,3 +422,21 @@ def test_streaming_enrichment_equals_batch(spark, sf_dir):
     assert got == want
     # enrichment happened: every emitted row carries a real segment
     assert all(r[1] is not None for r in got)
+
+
+def test_event_stream_reads_directory_layout(spark, sf_dir, tmp_path):
+    """events.parquet written as a DIRECTORY dataset (what any Spark writer
+    produces) must stream every row — the leaf-name glob filter that
+    single-file layouts need would silently match nothing here."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.count()
+    root = str(tmp_path / "dir_layout_sf")
+    os.makedirs(root)
+    ev.write.parquet(os.path.join(root, "events.parquet"))
+    stream = EV.read_event_stream(spark, root)
+    ck = tempfile.mkdtemp(prefix="ck_dirlayout_")
+    EV.run_bounded(stream, "dirlayout_events", ck, "append")
+    got = spark.table("dirlayout_events").count()
+    assert got == want, f"directory-layout stream read {got} of {want} rows"
