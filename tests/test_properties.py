@@ -319,3 +319,73 @@ def test_bm25_matches_python_reference_any_corpus(spark, texts, terms):
     assert set(got) == set(want)
     for doc, score in want.items():
         assert abs(got[doc] - score) < 1e-6
+
+
+# --- packing / mixture invariants ------------------------------------------------
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # doc id (deduped below)
+            st.integers(min_value=1, max_value=900),  # token count
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    seq_len=st.sampled_from([64, 128, 256]),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_invariants_any_corpus(spark, docs, seq_len):
+    """For ANY corpus: token conservation per doc, no sequence overflow,
+    full-chunk sequences exactly full, and machine-independent determinism
+    (explicit bucket count)."""
+    from market_data_mining_project_spark.operators import packing as PK
+
+    df = spark.createDataFrame(docs, "doc_id long, t long")
+    rows = PK.pack_sequences(df, "doc_id", "t", seq_len=seq_len, buckets=3).collect()
+    per_doc: dict = {}
+    per_seq: dict = {}
+    for r in rows:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.piece_tokens
+        per_seq.setdefault(r.seq_id, 0)
+        per_seq[r.seq_id] += r.piece_tokens
+    assert per_doc == dict(docs)
+    assert all(v <= seq_len for v in per_seq.values())
+    for r in rows:
+        if r.seq_id.startswith("full#"):
+            assert r.piece_tokens == seq_len
+
+
+@given(
+    rates=st.dictionaries(
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.floats(min_value=0.0, max_value=3.0, allow_nan=False),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(**_SETTINGS)
+def test_apply_mixture_copy_bounds_any_rates(spark, rates):
+    """Every doc of a rate-r source appears floor(r) or ceil(r) times."""
+    import math
+
+    from market_data_mining_project_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", 10 + i) for i in range(12)], "doc_id long, source string, t long"
+    )
+    plan = spark.createDataFrame(
+        [(s, r) for s, r in rates.items()], "source string, sample_rate double"
+    )
+    out: dict = {}
+    for r in C.apply_mixture(docs, plan, "source", "doc_id", seed=7).collect():
+        out[r.doc_id] = out.get(r.doc_id, 0) + 1
+    for i in range(12):
+        s = f"s{i % 3}"
+        if s not in rates:
+            assert i not in out  # unplanned source: dropped entirely
+            continue
+        lo, hi = math.floor(rates[s]), math.ceil(rates[s])
+        assert lo <= out.get(i, 0) <= hi, (i, s, rates[s], out.get(i, 0))
