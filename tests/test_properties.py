@@ -339,23 +339,32 @@ def test_bm25_matches_python_reference_any_corpus(spark, texts, terms):
 @settings(**_SETTINGS)
 def test_pack_sequences_invariants_any_corpus(spark, docs, seq_len):
     """For ANY corpus: token conservation per doc, no sequence overflow,
-    full-chunk sequences exactly full, and machine-independent determinism
-    (explicit bucket count)."""
+    full-chunk sequences exactly full, and determinism (the same corpus
+    packs identically on repeat — the machine-independence contract the
+    fixed bucket count exists for)."""
+    from collections import Counter
+
     from market_data_mining_project_spark.operators import packing as PK
 
     df = spark.createDataFrame(docs, "doc_id long, t long")
     rows = PK.pack_sequences(df, "doc_id", "t", seq_len=seq_len, buckets=3).collect()
-    per_doc: dict = {}
-    per_seq: dict = {}
+    per_doc = Counter()
+    per_seq = Counter()
     for r in rows:
-        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.piece_tokens
-        per_seq.setdefault(r.seq_id, 0)
+        per_doc[r.doc_id] += r.piece_tokens
         per_seq[r.seq_id] += r.piece_tokens
-    assert per_doc == dict(docs)
+    assert dict(per_doc) == dict(docs)
     assert all(v <= seq_len for v in per_seq.values())
     for r in rows:
         if r.seq_id.startswith("full#"):
             assert r.piece_tokens == seq_len
+    # determinism: repeat run produces the identical assignment (a
+    # partition-dependent bucketing would shuffle seq_ids between runs of
+    # a repartitioned input)
+    again = PK.pack_sequences(
+        df.repartition(5), "doc_id", "t", seq_len=seq_len, buckets=3
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
 @given(
@@ -368,8 +377,13 @@ def test_pack_sequences_invariants_any_corpus(spark, docs, seq_len):
 )
 @settings(**_SETTINGS)
 def test_apply_mixture_copy_bounds_any_rates(spark, rates):
-    """Every doc of a rate-r source appears floor(r) or ceil(r) times."""
+    """Every doc of a rate-r source appears EXACTLY floor(r) + (hash_frac <
+    frac(r)) times — recomputed independently from the per-doc hash
+    fraction, so an implementation that always ceils/floors (ignoring the
+    fractional-epoch resolution) fails. Copy indices must be 0-based and
+    dense; unplanned sources drop entirely."""
     import math
+    from collections import Counter
 
     from market_data_mining_project_spark.operators import corpus as C
 
@@ -379,13 +393,28 @@ def test_apply_mixture_copy_bounds_any_rates(spark, rates):
     plan = spark.createDataFrame(
         [(s, r) for s, r in rates.items()], "source string, sample_rate double"
     )
-    out: dict = {}
-    for r in C.apply_mixture(docs, plan, "source", "doc_id", seed=7).collect():
-        out[r.doc_id] = out.get(r.doc_id, 0) + 1
+    sampled = C.apply_mixture(docs, plan, "source", "doc_id", seed=7).collect()
+    out = Counter(r.doc_id for r in sampled)
+    fr = {
+        r.doc_id: r.f
+        for r in docs.select(
+            "doc_id",
+            (
+                F.pmod(F.xxhash64(F.col("doc_id").cast("string"), F.lit(7)), F.lit(1_000_000))
+                / 1_000_000.0
+            ).alias("f"),
+        ).collect()
+    }
     for i in range(12):
         s = f"s{i % 3}"
         if s not in rates:
             assert i not in out  # unplanned source: dropped entirely
             continue
-        lo, hi = math.floor(rates[s]), math.ceil(rates[s])
-        assert lo <= out.get(i, 0) <= hi, (i, s, rates[s], out.get(i, 0))
+        rate = rates[s]
+        want = math.floor(rate) + (1 if fr[i] < rate - math.floor(rate) else 0)
+        assert out.get(i, 0) == want, (i, s, rate, fr[i], out.get(i, 0))
+    per_doc_copies: dict = {}
+    for r in sampled:
+        per_doc_copies.setdefault(r.doc_id, []).append(r.copy)
+    for d, cps in per_doc_copies.items():
+        assert sorted(cps) == list(range(len(cps)))
