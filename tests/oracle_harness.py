@@ -77,6 +77,12 @@ def compare(name: str, spark_df, duck_rel) -> list[str]:
         for a, b in zip(sr, dr):
             if a is None and b is None:
                 continue
+            if a is None or b is None:
+                # one-sided NULL is a real value mismatch — report it as
+                # such instead of crashing float(None) into an EXCEPTION
+                errors.append(f"{name}: row {i} value {a!r} != {b!r} ({sr} vs {dr})")
+                bad += 1
+                break
             if isinstance(a, float) or isinstance(b, float):
                 fa, fb = float(a), float(b)
                 if not math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9):

@@ -27,16 +27,31 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
 
 
 def test_ivf_probes_scan_fraction(spark, sf_dir):
-    """nprobe/n_cells bounds the scanned fraction: candidate count per query
-    must be well below the corpus size."""
+    """nprobe/n_cells bounds the scanned fraction: the candidates a query
+    actually compares against must be well below the corpus — measured by
+    running ivf_topk with k = corpus size, where every scanned candidate
+    surfaces as an output row (an implementation probing all cells would
+    emit ~n rows per query)."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     queries = emb.filter(F.col("vec_id") < 3)
-    assigned, model = SIM.ivf_assign(emb, "embedding", "vec_id", n_cells=16, seed=42)
+    assigned, _model = SIM.ivf_assign(emb, "embedding", "vec_id", n_cells=16, seed=42)
     sizes = assigned.groupBy("cell").count().collect()
     assert len(sizes) > 8  # KMeans actually split the space
-    biggest4 = sum(sorted((r["count"] for r in sizes), reverse=True)[:4])
-    assert biggest4 < n  # probing 4 cells cannot touch the whole corpus
+    scanned = (
+        SIM.ivf_topk(
+            emb, queries, "embedding", "vec_id", k=n, n_cells=16, nprobe=4, seed=42
+        )
+        .groupBy("query_id")
+        .count()
+        .collect()
+    )
+    assert len(scanned) == 3
+    for r in scanned:
+        assert 0 < r["count"] <= 0.6 * n, (
+            f"query {r['query_id']} compared against {r['count']}/{n} vectors — "
+            "nprobe=4/16 should bound the scan to a fraction of the corpus"
+        )
 
 
 def test_horizon_grid_trains_all_kinds(spark, sf_dir):

@@ -64,13 +64,22 @@ def test_ngram_jaccard_df_cap_keeps_recall(spark, sf_dir):
 
 
 def test_simhash_flags_exact_dups(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    """Identical texts have identical simhashes (hamming 0) and must always
+    pair. The sf fixture carries no exact text dups (the former corpus-only
+    version of this test was vacuous), so copies of the first three docs
+    are PLANTED under new ids."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(planted)
     exact_pairs = (
         docs.alias("a")
         .join(docs.alias("b"), F.expr("md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .collect()
     )
+    assert len(exact_pairs) >= 3, "planted duplicates missing"
     near = {
         (r.doc_a, r.doc_b)
         for r in D.simhash_near_dups(docs, "text", "doc_id", max_hamming=3).collect()

@@ -36,9 +36,15 @@ def test_category_rollup_broadcasts_dim_and_takeordered(spark, sf_dir):
 
 def test_category_rollup_prunes_columns(spark, sf_dir):
     plan = _plan(spark, sf_dir, "category_rollup")
-    # lineitem has 11 columns; the rollup needs 4 — ReadSchema must be pruned
-    read = [seg for seg in plan.split("ReadSchema: ")[1:] if "l_orderkey" in seg][0]
-    schema = read.split("\n")[0]
+    # lineitem has 11 columns; the rollup needs 4 — ReadSchema must be pruned.
+    # Match on the schema LINE itself: a whole post-split segment runs all
+    # the way to the NEXT scan's text, so a preceding table's segment could
+    # contain 'l_orderkey' in that other scan's column list and make the
+    # pruning check latch onto the wrong struct.
+    schemas = [seg.split("\n")[0] for seg in plan.split("ReadSchema: ")[1:]]
+    lineitem_schemas = [s for s in schemas if "l_orderkey" in s]
+    assert lineitem_schemas, "no lineitem scan schema found in the plan"
+    schema = lineitem_schemas[0]
     assert "l_shipdate" not in schema and "l_tax" not in schema, schema
 
 
@@ -52,8 +58,16 @@ def test_pairwise_rules_prunes_before_self_join(spark, sf_dir):
     pair self-join (filter-then-join, not join-then-filter)."""
     plan = _plan(spark, sf_dir, "pairwise_rules_brand")
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
-    # the semi-join against frequent items feeds the pair join
-    assert "LeftSemi" in plan
+    # ORDERING, not mere presence: the plan prints root-first, so the pair
+    # self-join (the first node mentioning its __b basket key) must appear
+    # BEFORE the LeftSemi frequent-item prune that feeds it — a plan that
+    # pruned AFTER the pair join would print the semi join first
+    flat = plan.replace("\n", " ")
+    assert "LeftSemi" in flat
+    assert "__b" in flat, "pair self-join key missing from the plan"
+    assert flat.index("__b") < flat.index("LeftSemi"), (
+        "frequent-item semi-join sits above the pair join — join-then-filter"
+    )
 
 
 def test_monthly_sales_salts_the_aggregation(spark, sf_dir):
@@ -104,7 +118,11 @@ def test_lsh_topk_single_scan_no_wide_dedup(spark, sf_dir):
     plan = _plan(spark, sf_dir, "lsh_topk")
     corpus_scans = plan.count("Scan parquet")
     assert corpus_scans <= 2, f"{corpus_scans} scans (corpus + broadcast queries expected)"
-    assert "ArrowEvalPython" in plan or "BatchEvalPython" not in plan, "bucket UDF not Arrow"
+    # BOTH conditions: the Arrow node must be present AND no row-at-a-time
+    # Python eval may appear anywhere in the plan (the old disjunction
+    # passed when a non-Arrow udf rode alongside the Arrow one)
+    assert "ArrowEvalPython" in plan, "bucket UDF not Arrow"
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python eval in the plan"
 
 
 def test_pivot_matrix_explicit_values_pin_schema(spark):

@@ -190,6 +190,8 @@ def test_cf_scores_exclude_purchased(spark, sf_dir):
     )
     qu = fact.select(F.col("o_custkey").alias("user")).filter(F.col("user") % 100 == 0).distinct()
     recs = REC.cosine_cf_scores(fact, "o_custkey", "p_brand", qu, k=5)
+    assert qu.count() > 0, "fixture must contain query users"
+    assert recs.count() > 0, "CF must produce recommendations for the fixture"
     purchased = REC.user_item_counts(fact, "o_custkey", "p_brand").select("user", "item")
     overlap = recs.join(purchased, ["user", "item"]).count()
     assert overlap == 0

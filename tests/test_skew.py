@@ -60,9 +60,21 @@ def test_salted_agg_plan_shuffles_on_salt_first(spark, hot_month_df):
     flat = plan.replace("\n", " ")
     assert flat.count("HashAggregate") >= 4, "expected partial+final pairs for two phases"
     assert "__salt" in flat, "salt column missing from the physical plan"
-    first_exchange = flat[flat.index("Exchange hashpartitioning"):]
-    assert "__salt" in first_exchange.split("Exchange")[1], (
-        "first shuffle is not keyed on the salt — hot key lands on one reducer"
+    # the plan prints ROOT-first, so the DEEPEST (data-splitting, phase-1)
+    # exchange is the LAST one printed. Its partitioning key list — the text
+    # inside hashpartitioning(...) — must contain the salt; checking "after
+    # the first Exchange" would match the phase-2 month-only shuffle's
+    # segment, which merely CONTAINS a salt-keyed aggregate below it.
+    keylists = [
+        seg.split(")", 1)[0]
+        for seg in flat.split("Exchange hashpartitioning(")[1:]
+    ]
+    assert keylists, "no hash-partitioned exchange in the plan"
+    assert "__salt" in keylists[-1], (
+        "deepest shuffle is not keyed on the salt — hot key lands on one reducer"
+    )
+    assert "__salt" not in keylists[0], (
+        "final shuffle must re-key on the bare group key, not the salt"
     )
 
 

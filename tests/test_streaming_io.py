@@ -24,7 +24,14 @@ def test_running_user_totals_match_batch(spark, sf_dir):
     totals = EV.running_user_totals(stream)
     name = "t_user_totals"
     EV.run_bounded(totals, name, tempfile.mkdtemp(), output_mode="update")
-    streamed = {r.user_id: (r.events_seen, r.value_total) for r in spark.table(name).collect()}
+    sink_rows = spark.table(name).collect()
+    # totals are monotone per user — keep each user's LARGEST update so the
+    # check is order-independent even if several micro-batches emitted
+    streamed: dict = {}
+    for r in sink_rows:
+        cur = streamed.get(r.user_id)
+        if cur is None or r.events_seen > cur[0]:
+            streamed[r.user_id] = (r.events_seen, r.value_total)
 
     batch = (
         load_table(spark, sf_dir, "events")
@@ -33,6 +40,8 @@ def test_running_user_totals_match_batch(spark, sf_dir):
         .collect()
     )
     assert streamed
+    # BOTH directions: every batch user streamed, and no phantom users
+    assert set(streamed) == {r.user_id for r in batch}
     for r in batch:
         assert streamed[r.user_id][0] == r.n, r.user_id
         assert abs(streamed[r.user_id][1] - r.v) < 0.02, r.user_id

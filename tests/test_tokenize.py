@@ -56,6 +56,7 @@ def test_bpe_segment_words_conserves_and_matches_python(spark):
         [("low",), ("lowest",), ("newest",), ("unseenzz",)], "word string"
     )
     got = {r.word: list(r.pieces) for r in TOK.bpe_segment_words(words, merges).collect()}
+    assert set(got) == {"low", "lowest", "newest", "unseenzz"}, "no word may be dropped"
     for w, pieces in got.items():
         assert "".join(pieces) == w + TOK.EOW, "pieces must concatenate to the word"
         assert pieces == TOK.encode_word(w, ranks)
