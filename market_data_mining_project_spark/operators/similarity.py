@@ -222,6 +222,44 @@ def cosine_near_dups_blocked(
     return both.groupBy(*group_cols).applyInPandas(block_pairs, schema=out_schema)
 
 
+class CentroidModel:
+    """Centroid-only stand-in for a fitted KMeans model — what every
+    consumer here actually needs (``clusterCenters()``); JSON-serializable
+    for the load-or-fit centroid cache."""
+
+    def __init__(self, centers: list[list[float]]):
+        self._centers = centers
+
+    def clusterCenters(self) -> list[list[float]]:
+        return self._centers
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment as a pure column expression: per vector,
+    argmin over squared Euclidean distances to the (driver-literal, tiny)
+    centroid list; ties break to the lowest cell index via struct-min. One
+    scan, one map — no MLlib transform, so assignment is identical whether
+    centroids came from a fresh fit or the cache."""
+    entries = []
+    for i, c in enumerate(centroids):
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col("__v"), cvec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(d.alias("d"), F.lit(i).alias("cell")))
+    best = F.array_min(F.array(*entries))
+    return corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    ).select(id_col, F.col("__v").alias(vec_col), best["cell"].alias("cell"))
+
+
 def ivf_assign(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -229,27 +267,47 @@ def ivf_assign(
     n_cells: int = 16,
     seed: int = 42,
     max_iter: int = 20,
-) -> tuple[DataFrame, "object"]:
+    cache_version: str | None = None,
+) -> tuple[DataFrame, CentroidModel]:
     """IVF coarse quantizer: KMeans centroids; each vector assigned to its
-    nearest cell. Returns (assigned corpus with ``cell`` column, kmeans model).
+    nearest cell. Returns (assigned corpus with ``cell`` column, centroid
+    model).
 
     The inverted-file structure: at query time only ``nprobe`` cells are
     scanned instead of the whole corpus.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    featurized = corpus.select(
-        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("features", array_to_vector("__v"))
-    km = KMeans(
-        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features", predictionCol="cell"
-    )
-    model = km.fit(featurized)
-    assigned = model.transform(featurized).select(
-        F.col("__id").alias(id_col), F.col("__v").alias(vec_col), "cell"
-    )
-    return assigned, model
+    ``cache_version`` (a ``ml.persistence.data_version`` fingerprint)
+    enables load-or-fit for the centroids — the k×dim table is the whole
+    trained state of the quantizer, so a second session skips the Lloyd
+    iterations entirely (the same serving contract the classifier models
+    get from ``load_or_train``). Assignment ALWAYS runs through
+    :func:`assign_cells`, so fit-path and cache-path assignments are
+    bit-identical.
+    """
+    from market_data_mining_project_spark.ml import persistence as PERSIST
+
+    name = f"ivf_centroids_k{n_cells}_seed{seed}_iter{max_iter}"
+    centers: list[list[float]] | None = None
+    if cache_version is not None and PERSIST.has_cached_metrics_artifact(
+        name, cache_version
+    ):
+        centers = PERSIST.load_metrics_artifact(name, cache_version)["centroids"]
+    if centers is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        featurized = corpus.select(
+            _as_double(F.col(vec_col)).alias("__v")
+        ).withColumn("features", array_to_vector("__v"))
+        km = KMeans(
+            k=n_cells, seed=seed, maxIter=max_iter,
+            featuresCol="features", predictionCol="cell",
+        )
+        centers = [[float(x) for x in c] for c in km.fit(featurized).clusterCenters()]
+        if cache_version is not None:
+            PERSIST.save_metrics_artifact(name, cache_version, {"centroids": centers})
+    model = CentroidModel(centers)
+    return assign_cells(corpus, centers, vec_col, id_col), model
 
 
 def cluster_profile(
@@ -259,6 +317,7 @@ def cluster_profile(
     label_col: str | None = None,
     k: int = 10,
     seed: int = 42,
+    cache_version: str | None = None,
 ) -> DataFrame:
     """Corpus organization by embedding clustering: seeded KMeans over the
     embedding column, profiled per cluster — size, cohesion (mean cosine of
@@ -278,7 +337,10 @@ def cluster_profile(
     # 10 Lloyd iterations: the corpus-map clusters stabilize early, and each
     # iteration is a full pass — the profile, not the last decimal of
     # inertia, is the product here
-    assigned, model = ivf_assign(corpus, vec_col, id_col, n_cells=k, seed=seed, max_iter=10)
+    assigned, model = ivf_assign(
+        corpus, vec_col, id_col, n_cells=k, seed=seed, max_iter=10,
+        cache_version=cache_version,
+    )
     spark = corpus.sparkSession
     cent_df = F.broadcast(
         spark.createDataFrame(
@@ -321,6 +383,7 @@ def semantic_dedup(
     seed: int = 42,
     n_blocks: int = 4,
     max_iter: int = 10,
+    cache_version: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by embedding —
     cluster the corpus with KMeans, find cosine-near-duplicate pairs ONLY
@@ -348,7 +411,8 @@ def semantic_dedup(
     from market_data_mining_project_spark.operators.dedup import dup_clusters
 
     assigned, _model = ivf_assign(
-        corpus, vec_col, id_col, n_cells=n_cells, seed=seed, max_iter=max_iter
+        corpus, vec_col, id_col, n_cells=n_cells, seed=seed, max_iter=max_iter,
+        cache_version=cache_version,
     )
     # two consumers (the pair search and the final annotation join) —
     # materialize once so the KMeans transform lineage doesn't run twice
@@ -380,12 +444,15 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    cache_version: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest cells per query,
     exact cosine within. Scans ~nprobe/n_cells of the corpus per query —
     the standard ANN recall/throughput dial (FAISS-style IVF-Flat shape).
     """
-    assigned, model = ivf_assign(corpus, vec_col, id_col, n_cells, seed)
+    assigned, model = ivf_assign(
+        corpus, vec_col, id_col, n_cells, seed, cache_version=cache_version
+    )
     centroids = [
         (int(ci), [float(x) for x in c]) for ci, c in enumerate(model.clusterCenters())
     ]

@@ -401,9 +401,12 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids are MLlib-internal (seeded initialization + Lloyd iterations
     no SQL oracle reproduces); pytest gates pin k rows, size total,
     cohesion range vs the global-centroid baseline, and purity bounds."""
+    from market_data_mining_project_spark.ml import persistence as PERSIST
+
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.cluster_profile(
-        emb, "embedding", "vec_id", label_col="label", k=10, seed=42
+        emb, "embedding", "vec_id", label_col="label", k=10, seed=42,
+        cache_version=PERSIST.data_version(sf_dir, ("embeddings",)),
     ).orderBy("cluster")
 
 
@@ -447,9 +450,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is exact cosine) — assignment quality is insensitive past the first
     # few iterations; n_blocks=2 keeps the Arrow group count (cells ×
     # block-pairs) low where per-cell populations are small
+    from market_data_mining_project_spark.ml import persistence as PERSIST
+
     ann = SIM.semantic_dedup(
         emb, "embedding", "vec_id", threshold=0.4, n_cells=8, seed=42,
         n_blocks=2, max_iter=5,
+        cache_version=PERSIST.data_version(sf_dir, ("embeddings",)),
     )
     return (
         ann.groupBy("cell")
@@ -830,9 +836,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate nearest neighbors (KMeans cells + nprobe scan) —
     rows-only: KMeans cell assignment is not SQL; recall vs exact cosine is
     pytest-gated (tests/test_dedup_similarity.py)."""
+    from market_data_mining_project_spark.ml import persistence as PERSIST
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return SIM.ivf_topk(emb, queries, "embedding", "vec_id", k=5, n_cells=16, nprobe=4)
+    # centroids load-or-fit keyed on the embeddings data version: a second
+    # session serves ANN queries without re-running the KMeans fit (the
+    # k-by-dim centroid table IS the quantizer's trained state)
+    return SIM.ivf_topk(
+        emb, queries, "embedding", "vec_id", k=5, n_cells=16, nprobe=4,
+        cache_version=PERSIST.data_version(sf_dir, ("embeddings",)),
+    )
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
