@@ -477,11 +477,12 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     Each doc's cluster id converges to the minimum doc id reachable through
     the dup graph — the canonical representative a dedup pipeline keeps.
 
-    Per iteration: one join + one groupBy-min (both shuffle on ``doc``), and
-    a checkpoint-style localCheckpoint every few rounds to cut the lineage.
-    Near-dup graphs have tiny components (pairs, triples), so convergence is
-    fast — iterations needed = the longest path in any component (≈ log₂ for
-    star-shaped dup clusters). Returns (doc, cluster).
+    Per iteration: a neighbor-min join + groupBy (shuffles on ``doc``), a
+    pointer-doubling join (adopt the label of the current label), and a
+    localCheckpoint to keep lineage flat. The doubling step makes
+    convergence ~log(diameter) rounds instead of linear, so even long
+    chain-shaped components (incrementally edited boilerplate) finish well
+    inside the default cap. Returns (doc, cluster).
     """
     # checkpoint the edge set ONCE — it sits inside every iteration's
     # lineage, and without this the (possibly expensive) pair-detection
@@ -512,14 +513,31 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
+        stepped = labels.join(
+            hint(neighbor_min), labels["doc"] == neighbor_min["src"], "left"
+        ).select(
+            "doc",
+            F.least(
+                F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
+            ).alias("cluster"),
+        )
+        # pointer doubling: additionally adopt the label OF the current
+        # label (cluster ids are doc ids, so they resolve in this same
+        # frame). One extra join per round turns linear-diameter
+        # convergence into ~log-diameter — a 200-doc chain of
+        # incrementally edited boilerplate converges in ~8 rounds instead
+        # of 200.
+        jump_src = stepped.select(
+            F.col("doc").alias("__jd"), F.col("cluster").alias("__jc")
+        )
         # checkpoint each round: keeps lineage flat so iteration i+1 reads
         # materialized labels instead of replaying i rounds of joins
         updated = (
-            labels.join(hint(neighbor_min), labels["doc"] == neighbor_min["src"], "left")
+            stepped.join(hint(jump_src), stepped["cluster"] == F.col("__jd"), "left")
             .select(
                 "doc",
                 F.least(
-                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
+                    F.col("cluster"), F.coalesce("__jc", F.col("cluster"))
                 ).alias("cluster"),
             )
             .localCheckpoint(eager=True)

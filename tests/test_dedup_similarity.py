@@ -805,3 +805,13 @@ def test_media_pipeline_survives_null_payload(spark):
     frames = MM.frame_sample(media, every_n_chunks=1, chunk_size=4).collect()
     assert all(r.media_id != 2 for r in frames)
     assert any(r.media_id == 1 for r in frames)
+
+
+def test_dup_clusters_pointer_doubling_converges_on_long_chains(spark):
+    """Pointer doubling gives ~log-diameter convergence: a 200-edge chain
+    resolves well inside 10 rounds (linear propagation would need 200)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    got = {(r.doc, r.cluster) for r in D.dup_clusters(chain, max_iterations=10).collect()}
+    assert got == {(i, 0) for i in range(201)}
