@@ -68,6 +68,7 @@ def _ui_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "ui_matrix_",
         lambda: REC.user_item_counts(_brand_fact(spark, sf_dir), "o_custkey", "p_brand"),
+        persist_version=PERSIST.data_version(sf_dir),
     )
 
 
@@ -93,7 +94,10 @@ def _basket_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    return MAT.derived_table(spark, _BASKET_BRANDS_PATHS, sf_dir, "basket_brands_", build)
+    return MAT.derived_table(
+        spark, _BASKET_BRANDS_PATHS, sf_dir, "basket_brands_", build,
+        persist_version=PERSIST.data_version(sf_dir),
+    )
 
 
 # --- M13: user-user cosine CF -------------------------------------------------
@@ -116,7 +120,10 @@ def _cf_candidates(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
         query_users = ui.select("user").filter(F.col("user") % 100 == 0).distinct()
         return REC.cosine_cf_scores(None, "o_custkey", "p_brand", query_users, k=k, ui=ui)
 
-    return MAT.derived_table(spark, _CF_CANDIDATES_PATHS, sf_dir, "cf_cand_", build)
+    return MAT.derived_table(
+        spark, _CF_CANDIDATES_PATHS, sf_dir, "cf_cand_", build,
+        persist_version=PERSIST.data_version(sf_dir),
+    )
 
 
 def q_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,16 +211,19 @@ def q_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     versioned RecommendationCache (reference customers/views.py:203-224):
     the blend recomputes only when (alpha, rules_version) miss — a rules
     re-mine on changed data flips the version token and invalidates."""
-    import tempfile
+    import hashlib
 
-    from market_data_mining_project_spark.sources import materialize as MAT
-
+    # the reference's cache is a persistent DB table — ours lives under the
+    # model-cache root and survives the process; the (alpha, rules_version)
+    # stamp guards validity, so location stability is all the key needs
     key = os.path.realpath(sf_dir)
     path = _REC_CACHE_PATHS.get(key)
     if path is None:
-        tmp = tempfile.mkdtemp(prefix="rec_cache_")
-        MAT._DERIVED_DIRS.append(tmp)
-        path = _REC_CACHE_PATHS[key] = tmp + "/recs"
+        tag = hashlib.md5(key.encode()).hexdigest()[:12]
+        path = _REC_CACHE_PATHS[key] = os.path.join(
+            PERSIST.model_cache_root(), f"rec_cache_{tag}", "recs"
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
     cache = REC.RecommendationCache(path)
     # the blend depends on orders too (the CF leg / purchased set / query
     # users all come from lineitem JOIN orders JOIN part) — every mining
@@ -1070,6 +1080,7 @@ def _horizon_features_mat(
         sf_dir,
         "horizon_feats_",
         lambda: feats if feats is not None else q_horizon_features(spark, sf_dir),
+        persist_version=PERSIST.data_version(sf_dir),
     )
 
 
@@ -1473,7 +1484,10 @@ def _churn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.unpersist()
         return scored
 
-    return MAT.derived_table(spark, _CHURN_SCORES_PATHS, sf_dir, "churn_scores_", build)
+    return MAT.derived_table(
+        spark, _CHURN_SCORES_PATHS, sf_dir, "churn_scores_", build,
+        persist_version=PERSIST.data_version(sf_dir),
+    )
 
 
 def q_churn_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -655,7 +655,12 @@ def _dup_clusters_mat(spark: SparkSession, sf_dir: str):
         pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
         return D.dup_clusters(pairs.select("doc_a", "doc_b"))
 
-    return MAT.derived_table(spark, _DUP_CLUSTERS_PATHS, sf_dir, "dup_clusters_", build)
+    from market_data_mining_project_spark.ml import persistence as PERSIST
+
+    return MAT.derived_table(
+        spark, _DUP_CLUSTERS_PATHS, sf_dir, "dup_clusters_", build,
+        persist_version=PERSIST.data_version(sf_dir, ("documents",)),
+    )
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

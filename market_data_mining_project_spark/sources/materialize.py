@@ -43,24 +43,58 @@ def derived_table(
     sf_dir: str,
     prefix: str,
     build: Callable[[], DataFrame],
+    persist_version: str | None = None,
 ) -> DataFrame:
-    """Session-scoped shared derived table (the reference's SQL-Server-side
-    result caches, views.py:85-121): build once per (realpath'd) sf_dir,
-    overwrite to a temp parquet, serve every later consumer one columnar
-    scan. Keys normalize through ``os.path.realpath`` so '/x' and '/x/' (or
-    a symlink) share one materialization, and every temp dir is registered
-    for atexit cleanup — long-lived processes don't leak parquet. The cache
-    is deliberately session-scoped: data rewritten on disk mid-process needs
-    a new session (or a ``cache.clear()``), the same contract as Spark's own
-    ``DataFrame.cache``."""
+    """Shared derived table (the reference's SQL-Server-side result caches,
+    views.py:85-121): build once per (realpath'd) sf_dir, overwrite to
+    parquet, serve every later consumer one columnar scan. Keys normalize
+    through ``os.path.realpath`` so '/x' and '/x/' (or a symlink) share one
+    materialization.
+
+    Without ``persist_version`` the materialization is SESSION-scoped: a
+    temp dir registered for atexit cleanup (data rewritten on disk
+    mid-process needs a new session or ``cache.clear()`` — the same
+    contract as Spark's own ``DataFrame.cache``).
+
+    With ``persist_version`` (a ``ml.persistence.data_version`` fingerprint
+    of the table's inputs) the materialization lands in the model-cache
+    root keyed on (name, version) and SURVIVES the process — a later
+    session serves the frame without re-running the build, and a data
+    rewrite changes the version so staleness is impossible (the same
+    load-or-train contract the classifier models have). Writes use the
+    staging-dir + atomic-rename pattern; a concurrent builder losing the
+    rename race adopts the winner's (input-identical) artifact.
+    """
     key = os.path.realpath(sf_dir)
     path = cache.get(key)
-    if path is None:
-        tmp = tempfile.mkdtemp(prefix=prefix)
-        _DERIVED_DIRS.append(tmp)
-        path = os.path.join(tmp, "t")
-        overwrite_table(build(), path)
-        cache[key] = path
+    if path is not None:
+        return spark.read.parquet(path)
+    if persist_version is not None:
+        import uuid
+
+        from market_data_mining_project_spark.ml import persistence as PERSIST
+
+        final = PERSIST.model_dir(f"derived_{prefix.rstrip('_')}", persist_version)
+        data_path = os.path.join(final, "t")
+        if not os.path.isdir(data_path):
+            staging = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+            try:
+                overwrite_table(build(), os.path.join(staging, "t"))
+                shutil.rmtree(final, ignore_errors=True)
+                try:
+                    os.replace(staging, final)
+                except OSError:  # concurrent builder won — adopt theirs
+                    shutil.rmtree(staging, ignore_errors=True)
+            except BaseException:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
+        cache[key] = data_path
+        return spark.read.parquet(data_path)
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    _DERIVED_DIRS.append(tmp)
+    path = os.path.join(tmp, "t")
+    overwrite_table(build(), path)
+    cache[key] = path
     return spark.read.parquet(path)
 
 
