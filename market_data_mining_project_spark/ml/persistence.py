@@ -83,6 +83,51 @@ def model_dir(name: str, version: str) -> str:
     return os.path.join(model_cache_root(), f"{name}-{version}")
 
 
+def atomic_publish(staging: str, final: str, overwrite: bool) -> None:
+    """Publish a fully-written staging directory to its final path — THE
+    one rename dance every cache here uses (models, metrics artifacts,
+    persisted derived tables, recommendation-cache slots), so the
+    concurrency contract lives in one place.
+
+    ``overwrite=False`` (content-addressed caches, where ``final`` is keyed
+    by its inputs' version and can only ever exist COMPLETE): plain
+    ``os.replace``; losing the rename race to a concurrent builder means
+    their input-identical artifact is already in place — adopt it, delete
+    our staging. No pre-delete, so a reader of the winner never sees files
+    vanish.
+
+    ``overwrite=True`` (force-retrain semantics): delete-then-rename,
+    last-wins; a concurrent reader of the old artifact can observe the
+    swap — the documented force trade-off.
+    """
+    if overwrite:
+        shutil.rmtree(final, ignore_errors=True)
+        try:
+            os.replace(staging, final)
+        except OSError:  # concurrent writer slipped in between — adopt theirs
+            shutil.rmtree(staging, ignore_errors=True)
+        return
+    try:
+        os.replace(staging, final)
+    except OSError:  # first-wins: the winner's artifact is input-identical
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+_DATA_VERSION_MEMO: dict[tuple[str, tuple[str, ...]], str] = {}
+
+
+def data_version_cached(sf_dir: str, tables: tuple[str, ...] = ("lineitem", "orders", "part")) -> str:
+    """Process-memoized :func:`data_version` — for fast paths that would
+    otherwise re-stat every source file on every call (the session-scoped
+    derived-table caches already freeze their materialization for the
+    process, so memoizing the fingerprint alongside them loses nothing)."""
+    key = (os.path.realpath(sf_dir), tables)
+    v = _DATA_VERSION_MEMO.get(key)
+    if v is None:
+        v = _DATA_VERSION_MEMO[key] = data_version(sf_dir, tables)
+    return v
+
+
 def has_cached_model(name: str, version: str) -> bool:
     """The reference's ``has_cached_models`` check (ml_models.py:197-210):
     a usable artifact is a completed save — metrics sidecar present (it is
@@ -111,15 +156,9 @@ def save_model(model: PipelineModel, metrics: dict[str, float], name: str, versi
         model.write().overwrite().save(os.path.join(staging, "model"))
         with open(os.path.join(staging, "metrics.json"), "w") as fh:
             json.dump(metrics, fh, sort_keys=True)
-        shutil.rmtree(final, ignore_errors=True)
-        try:
-            os.replace(staging, final)
-        except OSError:
-            # a concurrent writer renamed its own complete artifact into
-            # place between our rmtree and replace (ENOTEMPTY): both
-            # trained on the same (name, version) inputs, so keep theirs
-            # rather than crashing — first-wins, content-equivalent
-            shutil.rmtree(staging, ignore_errors=True)
+        # overwrite=True: save_model is also the force-retrain path, so a
+        # newer artifact must replace an existing same-version one
+        atomic_publish(staging, final, overwrite=True)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
@@ -148,11 +187,7 @@ def save_metrics_artifact(name: str, version: str, payload: dict) -> str:
     try:
         with open(os.path.join(staging, "metrics.json"), "w") as fh:
             json.dump(payload, fh, sort_keys=True)
-        shutil.rmtree(final, ignore_errors=True)
-        try:
-            os.replace(staging, final)
-        except OSError:  # concurrent writer won — same policy as save_model
-            shutil.rmtree(staging, ignore_errors=True)
+        atomic_publish(staging, final, overwrite=True)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise

@@ -513,13 +513,18 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
-        stepped = labels.join(
-            hint(neighbor_min), labels["doc"] == neighbor_min["src"], "left"
-        ).select(
-            "doc",
-            F.least(
-                F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
-            ).alias("cluster"),
+        stepped = (
+            labels.join(hint(neighbor_min), labels["doc"] == neighbor_min["src"], "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            # materialize before the self-join below: DataFrames have no
+            # subtree sharing, so an unmaterialized `stepped` would replay
+            # the neighbor-min join+aggregate on BOTH sides of the jump
+            .localCheckpoint(eager=True)
         )
         # pointer doubling: additionally adopt the label OF the current
         # label (cluster ids are doc ids, so they resolve in this same

@@ -250,16 +250,18 @@ class RecommendationCache:
     ``rules_version`` with the staleness check at
     ``customers/views.py:203-224``: stale or missing → recompute + store).
 
-    Storage is ONE parquet table holding the recommendation rows stamped
-    with the (``alpha``, ``rules_version``) they were computed under — the
-    S5 derived-table refresh idiom (``materialize.overwrite_table``), so a
-    lookup is a columnar scan with both stamp predicates pushed down.
-    ``rules_version`` is any token that changes when the rule store does;
+    Storage is one parquet SLOT per (``alpha``, ``rules_version``) key,
+    each holding the stamped recommendation rows, published with the
+    shared staging + atomic-rename contract (``persistence.
+    atomic_publish``, first-wins) — a slot is content-addressed by its
+    key, so it can only ever exist complete, concurrent sessions cannot
+    corrupt it mid-write, and a reader never sees a slot's files vanish.
+    The stamp sidecar rides INSIDE the slot (Spark ignores _-prefixed
+    files), so its presence implies the data landed. ``rules_version`` is
+    any token that changes when the rule store does;
     ``ml.persistence.data_version`` over the mining inputs is the natural
     choice (a re-import/re-mine produces a new token, invalidating every
-    cached blend — the reference's ``rules_version`` datetime semantics).
-    At scale the path lives on shared storage and the overwrite is the
-    atomic-swap the reference approximates with row deletes."""
+    cached blend — the reference's ``rules_version`` datetime semantics)."""
 
     def __init__(self, path: str):
         if "://" in path:
@@ -273,31 +275,29 @@ class RecommendationCache:
             )
         self.path = path
 
-    def _stamp_path(self) -> str:
-        # underscore prefix: Spark's file index ignores _-prefixed files,
-        # so the sidecar can live inside the parquet directory
-        return os.path.join(self.path, "_cache_stamp.json")
+    def _slot(self, alpha: float, rules_version: str) -> str:
+        return os.path.join(self.path, f"v{rules_version}_a{float(alpha):g}")
 
     def lookup(self, spark, alpha: float, rules_version: str) -> DataFrame | None:
         """Cached frame for (alpha, rules_version), or None on miss/stale.
 
-        Validity comes from the stamp SIDECAR, not from row counts — a
-        legitimately-empty recommendation set is still a hit (the row-count
-        probe this replaces treated it as perpetually stale and recomputed
-        on every serve). The per-row stamps remain for scan pushdown."""
+        Validity comes from the slot's stamp SIDECAR, not from row counts —
+        a legitimately-empty recommendation set is still a hit. The per-row
+        stamps remain for scan pushdown."""
         import json
 
         from pyspark.errors import AnalysisException
 
+        slot = self._slot(alpha, rules_version)
         try:
-            with open(self._stamp_path()) as fh:
+            with open(os.path.join(slot, "_cache_stamp.json")) as fh:
                 stamp = json.load(fh)
         except (OSError, ValueError):  # never populated / interrupted store
             return None
         if stamp != {"alpha": float(alpha), "rules_version": rules_version}:
             return None
         try:
-            cached = spark.read.parquet(self.path)
+            cached = spark.read.parquet(slot)
         except AnalysisException:
             return None
         hit = cached.filter(
@@ -308,18 +308,29 @@ class RecommendationCache:
 
     def store(self, recs: DataFrame, alpha: float, rules_version: str) -> None:
         import json
+        import uuid
 
+        from market_data_mining_project_spark.ml.persistence import atomic_publish
         from market_data_mining_project_spark.sources.materialize import overwrite_table
 
         stamped = recs.withColumn("alpha", F.lit(float(alpha))).withColumn(
             "rules_version", F.lit(rules_version)
         )
-        # overwrite wipes the directory (and any previous stamp); the new
-        # stamp lands only after the data — a crash in between leaves a
-        # stampless table that reads as a miss, never as a false hit
-        overwrite_table(stamped, self.path)
-        with open(self._stamp_path(), "w") as fh:
-            json.dump({"alpha": float(alpha), "rules_version": rules_version}, fh)
+        slot = self._slot(alpha, rules_version)
+        staging = f"{slot}.tmp-{uuid.uuid4().hex[:8]}"
+        try:
+            overwrite_table(stamped, staging)
+            # stamp INSIDE the staging dir: the atomic rename publishes data
+            # and validity marker together — no window where a stamped slot
+            # holds partial data
+            with open(os.path.join(staging, "_cache_stamp.json"), "w") as fh:
+                json.dump({"alpha": float(alpha), "rules_version": rules_version}, fh)
+            atomic_publish(staging, slot, overwrite=False)
+        except BaseException:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
 
     def serve(self, spark, alpha: float, rules_version: str, compute) -> DataFrame:
         """Hit → cached rows; miss/stale → ``compute()`` + store + serve

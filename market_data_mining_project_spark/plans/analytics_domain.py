@@ -68,7 +68,7 @@ def _ui_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "ui_matrix_",
         lambda: REC.user_item_counts(_brand_fact(spark, sf_dir), "o_custkey", "p_brand"),
-        persist_version=PERSIST.data_version(sf_dir),
+        persist_version=PERSIST.data_version_cached(sf_dir),
     )
 
 
@@ -96,7 +96,7 @@ def _basket_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return MAT.derived_table(
         spark, _BASKET_BRANDS_PATHS, sf_dir, "basket_brands_", build,
-        persist_version=PERSIST.data_version(sf_dir),
+        persist_version=PERSIST.data_version_cached(sf_dir),
     )
 
 
@@ -122,7 +122,7 @@ def _cf_candidates(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
 
     return MAT.derived_table(
         spark, _CF_CANDIDATES_PATHS, sf_dir, "cf_cand_", build,
-        persist_version=PERSIST.data_version(sf_dir),
+        persist_version=PERSIST.data_version_cached(sf_dir),
     )
 
 
@@ -200,7 +200,6 @@ FROM ranked WHERE rec_rank <= 5
 # --- M14: hybrid rules + CF blend ----------------------------------------------
 
 
-_REC_CACHE_PATHS: dict[str, str] = {}
 
 
 def q_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,22 +213,19 @@ def q_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     # the reference's cache is a persistent DB table — ours lives under the
-    # model-cache root and survives the process; the (alpha, rules_version)
-    # stamp guards validity, so location stability is all the key needs
-    key = os.path.realpath(sf_dir)
-    path = _REC_CACHE_PATHS.get(key)
-    if path is None:
-        tag = hashlib.md5(key.encode()).hexdigest()[:12]
-        path = _REC_CACHE_PATHS[key] = os.path.join(
-            PERSIST.model_cache_root(), f"rec_cache_{tag}", "recs"
-        )
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+    # model-cache root and survives the process; per-(alpha, rules_version)
+    # slots inside it are published atomically. Resolved per call (not
+    # memoized) so SPARK_GRAFT_MODEL_DIR changes — e.g. test sandboxes —
+    # take effect like every other persistence entry point
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(PERSIST.model_cache_root(), f"rec_cache_{tag}")
+    os.makedirs(path, exist_ok=True)
     cache = REC.RecommendationCache(path)
     # the blend depends on orders too (the CF leg / purchased set / query
     # users all come from lineitem JOIN orders JOIN part) — every mining
     # input must be in the fingerprint or a re-import of orders alone
     # would serve stale cached blends as fresh
-    rules_version = PERSIST.data_version(sf_dir, ("lineitem", "orders", "part"))
+    rules_version = PERSIST.data_version_cached(sf_dir, ("lineitem", "orders", "part"))
     return (
         cache.serve(spark, 0.6, rules_version, lambda: _hybrid_blend_live(spark, sf_dir))
         .withColumnRenamed("user", "o_custkey")
@@ -1080,7 +1076,7 @@ def _horizon_features_mat(
         sf_dir,
         "horizon_feats_",
         lambda: feats if feats is not None else q_horizon_features(spark, sf_dir),
-        persist_version=PERSIST.data_version(sf_dir),
+        persist_version=PERSIST.data_version_cached(sf_dir),
     )
 
 
@@ -1486,7 +1482,7 @@ def _churn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return MAT.derived_table(
         spark, _CHURN_SCORES_PATHS, sf_dir, "churn_scores_", build,
-        persist_version=PERSIST.data_version(sf_dir),
+        persist_version=PERSIST.data_version_cached(sf_dir),
     )
 
 

@@ -659,7 +659,7 @@ def _dup_clusters_mat(spark: SparkSession, sf_dir: str):
 
     return MAT.derived_table(
         spark, _DUP_CLUSTERS_PATHS, sf_dir, "dup_clusters_", build,
-        persist_version=PERSIST.data_version(sf_dir, ("documents",)),
+        persist_version=PERSIST.data_version_cached(sf_dir, ("documents",)),
     )
 
 

@@ -80,11 +80,11 @@ def derived_table(
             staging = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
             try:
                 overwrite_table(build(), os.path.join(staging, "t"))
-                shutil.rmtree(final, ignore_errors=True)
-                try:
-                    os.replace(staging, final)
-                except OSError:  # concurrent builder won — adopt theirs
-                    shutil.rmtree(staging, ignore_errors=True)
+                # first-wins, no pre-delete: `final` only ever appears via
+                # this atomic rename, so it can only exist COMPLETE — and a
+                # concurrent session already reading the winner's files
+                # must never see them vanish under its scan
+                PERSIST.atomic_publish(staging, final, overwrite=False)
             except BaseException:
                 shutil.rmtree(staging, ignore_errors=True)
                 raise

@@ -69,8 +69,11 @@ def test_simhash_flags_exact_dups(spark, sf_dir):
     version of this test was vacuous), so copies of the first three docs
     are PLANTED under new ids."""
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # offset derived from the real max id — a fixed offset would collide
+    # with genuine doc_ids at larger scale factors
+    offset = base.agg(F.max("doc_id")).collect()[0][0] + 1
     planted = base.filter(F.col("doc_id") < 3).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (F.col("doc_id") + offset).alias("doc_id"), "text"
     )
     docs = base.unionByName(planted)
     exact_pairs = (

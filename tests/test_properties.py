@@ -378,10 +378,12 @@ def test_pack_sequences_invariants_any_corpus(spark, docs, seq_len):
 @settings(**_SETTINGS)
 def test_apply_mixture_copy_bounds_any_rates(spark, rates):
     """Every doc of a rate-r source appears EXACTLY floor(r) + (hash_frac <
-    frac(r)) times — recomputed independently from the per-doc hash
-    fraction, so an implementation that always ceils/floors (ignoring the
-    fractional-epoch resolution) fails. Copy indices must be 0-based and
-    dense; unplanned sources drop entirely."""
+    frac(r)) times. The fraction is recomputed from the same Spark hash
+    expression — which pins the floor/fractional arithmetic and the
+    join/explode shape; the hash expression ITSELF is pinned separately
+    below against hardcoded xxhash64 reference values, so the two checks
+    together are independent of the implementation. Copy indices must be
+    0-based and dense; unplanned sources drop entirely."""
     import math
     from collections import Counter
 
@@ -405,6 +407,12 @@ def test_apply_mixture_copy_bounds_any_rates(spark, rates):
             ).alias("f"),
         ).collect()
     }
+    # pin the hash expression against fixed xxhash64 reference values —
+    # a silently changed seed/modulus/cast would otherwise corrupt BOTH
+    # the operator and this recount identically
+    assert round(fr[0] * 1_000_000) == 480965
+    assert round(fr[5] * 1_000_000) == 708033
+    assert round(fr[11] * 1_000_000) == 206699
     for i in range(12):
         s = f"s{i % 3}"
         if s not in rates:

@@ -39,13 +39,21 @@ def test_hit_invalidate_recompute_cycle(spark, tmp_path):
     assert calls == [10]
     assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
 
-    # rules refresh: version token changes → stale → recompute + overwrite
+    # rules refresh: version token changes → stale → recompute into a NEW
+    # per-version slot
     out3 = cache.serve(spark, 0.6, "v2", compute(20))
     assert calls == [10, 20]
     assert {r.item for r in out3.filter(F.col("user") == 1).collect()} == {"Brand#20", "Brand#21"}
 
-    # the old version is gone (single-slot overwrite, reference semantics)
-    assert cache.lookup(spark, 0.6, "v1") is None
+    # slots are per-version (published atomically, never destroyed by a
+    # later version): the old blend stays addressable, but the serving path
+    # keys on the CURRENT rules_version so stale versions are never
+    # consulted — serving v2 again must not recompute
+    old = cache.lookup(spark, 0.6, "v1")
+    assert old is not None
+    assert {r.item for r in old.filter(F.col("user") == 1).collect()} == {"Brand#10", "Brand#11"}
+    cache.serve(spark, 0.6, "v2", compute(99))
+    assert calls == [10, 20]
 
     # alpha is part of the key too (reference caches per-alpha blends)
     cache.serve(spark, 0.3, "v2", compute(30))
