@@ -106,11 +106,19 @@ def atomic_publish(staging: str, final: str, overwrite: bool) -> None:
             os.replace(staging, final)
         except OSError:  # concurrent writer slipped in between — adopt theirs
             shutil.rmtree(staging, ignore_errors=True)
+            # adoption is only valid if a winner actually exists: an
+            # unrelated rename failure (EXDEV across mounts, EACCES) after
+            # final was already deleted would otherwise silently discard
+            # the fresh artifact and leave NOTHING behind
+            if not os.path.isdir(final):
+                raise
         return
     try:
         os.replace(staging, final)
     except OSError:  # first-wins: the winner's artifact is input-identical
         shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.isdir(final):  # no winner ⇒ the failure was real
+            raise
 
 
 _DATA_VERSION_MEMO: dict[tuple[str, tuple[str, ...]], str] = {}

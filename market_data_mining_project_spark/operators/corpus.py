@@ -92,9 +92,15 @@ def apply_mixture(
     repetition index) so downstream packing can distinguish epochs.
     """
     rates = plan.select(
-        F.col("source").alias(source_col), F.col("sample_rate").alias("__rate")
+        F.col("source").alias("__src"), F.col("sample_rate").alias("__rate")
     )
-    joined = docs.join(F.broadcast(rates), source_col)
+    # null-SAFE plan join: mixture_weights emits a plan row for a NULL
+    # source group, and a plain equi-join would silently drop every
+    # NULL-source document (NULL never equi-joins NULL) — token mass would
+    # vanish with no audit signal
+    joined = docs.join(
+        F.broadcast(rates), F.col(source_col).eqNullSafe(F.col("__src"))
+    ).drop("__src")
     frac_hash = (
         F.pmod(
             F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(1_000_000)

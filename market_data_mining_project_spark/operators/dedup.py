@@ -507,7 +507,10 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     # joins on doc ids, with AQE free to re-plan per round.
     small_graph = labels.count() <= 2_000_000
     hint = F.broadcast if small_graph else (lambda df: df)
-    for _ in range(max_iterations):
+
+    def _round(labels: DataFrame) -> tuple[DataFrame, int]:
+        """One propagation round: neighbor-min + pointer doubling. Returns
+        (updated labels, whether any label moved)."""
         neighbor_min = (
             edges.join(hint(labels), edges["dst"] == labels["doc"])
             .groupBy("src")
@@ -554,20 +557,29 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels = updated
+        return updated, changed
+
+    for _ in range(max_iterations):
+        labels, changed = _round(labels)
         if changed == 0:
             break
     else:
-        # exhausting the iteration cap with labels still moving means some
-        # component's diameter exceeds max_iterations — returning would
-        # silently SPLIT that duplicate group (multiple "representatives"
-        # survive dedup). Long chains are real (incrementally edited
-        # boilerplate); fail loudly so the caller raises the cap.
-        raise RuntimeError(
-            f"dup_clusters: labels still changing after {max_iterations} "
-            "rounds — a component's diameter exceeds the cap; raise "
-            "max_iterations (propagation needs ~longest-path rounds)"
-        )
+        # the cap round may itself have COMPLETED convergence (detection
+        # needs one extra confirming round), so a component whose diameter
+        # lands exactly at the cap must not fail spuriously: run one
+        # label-stationary confirm round before deciding.
+        labels, changed = _round(labels)
+        if changed != 0:
+            # labels still moving past the cap: some component's diameter
+            # exceeds max_iterations — returning would silently SPLIT that
+            # duplicate group (multiple "representatives" survive dedup).
+            # Long chains are real (incrementally edited boilerplate);
+            # fail loudly so the caller raises the cap.
+            raise RuntimeError(
+                f"dup_clusters: labels still changing after {max_iterations} "
+                "rounds — a component's diameter exceeds the cap; raise "
+                "max_iterations (propagation needs ~longest-path rounds)"
+            )
     return labels
 
 

@@ -276,7 +276,11 @@ class RecommendationCache:
         self.path = path
 
     def _slot(self, alpha: float, rules_version: str) -> str:
-        return os.path.join(self.path, f"v{rules_version}_a{float(alpha):g}")
+        # slot identity must match STAMP identity exactly: '%g' (6 sig
+        # digits) would map 0.3 and 0.3000001 to one directory whose stamp
+        # then mismatches the second alpha forever (correct results, but
+        # every serve silently recomputes). repr() round-trips any double.
+        return os.path.join(self.path, f"v{rules_version}_a{repr(float(alpha))}")
 
     def lookup(self, spark, alpha: float, rules_version: str) -> DataFrame | None:
         """Cached frame for (alpha, rules_version), or None on miss/stale.

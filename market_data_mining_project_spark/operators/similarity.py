@@ -234,30 +234,76 @@ class CentroidModel:
         return self._centers
 
 
+#: Above this many centroids, :func:`assign_cells` switches from the
+#: unrolled-expression path to one Arrow matmul: per-centroid struct
+#: expressions won't compile at real IVF widths (10⁴–10⁵ cells), while the
+#: matmul is one pass whatever k is.
+ASSIGN_EXPR_MAX_CELLS = 32
+
+
 def assign_cells(
     corpus: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Nearest-centroid assignment as a pure column expression: per vector,
-    argmin over squared Euclidean distances to the (driver-literal, tiny)
-    centroid list; ties break to the lowest cell index via struct-min. One
-    scan, one map — no MLlib transform, so assignment is identical whether
-    centroids came from a fresh fit or the cache."""
-    entries = []
-    for i, c in enumerate(centroids):
-        cvec = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(F.col("__v"), cvec, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        entries.append(F.struct(d.alias("d"), F.lit(i).alias("cell")))
-    best = F.array_min(F.array(*entries))
-    return corpus.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
-    ).select(id_col, F.col("__v").alias(vec_col), best["cell"].alias("cell"))
+    """Nearest-centroid assignment (squared Euclidean argmin, ties to the
+    lowest cell index). One scan, one map — no MLlib transform, so
+    assignment is identical whether centroids came from a fresh fit or the
+    cache.
+
+    Two physical paths with the same semantics, picked by centroid count:
+
+    - ``k ≤ ASSIGN_EXPR_MAX_CELLS``: pure column expressions — per-centroid
+      distance structs reduced by ``array_min`` (struct-min tie-breaks to
+      the lowest cell). All-JVM, zero Python, ideal for the handful-of-cells
+      profiles the catalog runs.
+    - larger ``k``: ONE Arrow-batched matmul — ``argmin(|c|² − 2·X·Cᵀ)``
+      over the stacked batch (the ``lsh_topk`` machinery), since an
+      expression per centroid would not compile at 10⁴–10⁵ cells. The
+      |x|² term is constant per row and dropped; ``np.argmin`` returns the
+      FIRST minimum, matching the struct-min tie rule. The centroid matrix
+      rides as a closure constant (fine to ~10³×10³ doubles); a 10⁵-cell
+      deployment should ship it as an explicit Spark broadcast variable
+      instead.
+
+    The two paths may disagree only on exact distance TIES broken
+    differently by float summation order (fold vs BLAS) — measure-zero for
+    real embeddings; the equivalence is pytest-pinned on the fixture.
+    """
+    base = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    if len(centroids) <= ASSIGN_EXPR_MAX_CELLS:
+        entries = []
+        for i, c in enumerate(centroids):
+            cvec = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(F.col("__v"), cvec, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            entries.append(F.struct(d.alias("d"), F.lit(i).alias("cell")))
+        best = F.array_min(F.array(*entries))
+        return base.select(id_col, F.col("__v").alias(vec_col), best["cell"].alias("cell"))
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype="float64")  # (k, dim)
+    c2 = (cmat * cmat).sum(axis=1)  # |c|² per centroid
+
+    def _nearest(vecs):
+        m = np.stack(vecs.to_numpy()).astype("float64")  # (batch, dim)
+        scores = c2[None, :] - 2.0 * (m @ cmat.T)  # ∝ squared distance
+        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+
+    # real class annotations: the module-wide `from __future__ import
+    # annotations` stringifies inline hints (same note as lsh_topk)
+    _nearest.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    nearest = pandas_udf(_nearest, "int")
+    return base.select(
+        id_col, F.col("__v").alias(vec_col), nearest(F.col("__v")).alias("cell")
+    )
 
 
 def ivf_assign(

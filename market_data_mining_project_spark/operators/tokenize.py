@@ -30,33 +30,63 @@ from pyspark.sql import functions as F
 EOW = "</w>"
 
 
-def word_freq_table(docs: DataFrame, text_col: str) -> DataFrame:
+def word_freq_table(
+    docs: DataFrame,
+    text_col: str,
+    min_count: int = 1,
+    top_v: int | None = None,
+) -> DataFrame:
     """(word, freq) over lowercased whitespace tokens — ONE corpus scan +
     one hash aggregate; the frame BPE trains on. Words containing the
-    literal ``EOW`` marker are excluded (see the marker note above)."""
+    literal ``EOW`` marker are excluded (see the marker note above).
+
+    ``min_count``/``top_v`` bound the table BEFORE it ever reaches the
+    driver — the cap that makes driver-side training safe at web scale,
+    where distinct whitespace tokens run 10⁸–10⁹ (URLs, numbers, typos)
+    and an uncapped collect OOMs the driver. ``min_count`` filters the
+    aggregate (a long tail of hapax tokens contributes ~nothing to pair
+    statistics; HF tokenizers expose the same dial); ``top_v`` keeps the
+    V highest-frequency words via a TakeOrderedAndProject (freq desc,
+    word asc — deterministic), never a global sort."""
     from market_data_mining_project_spark.operators.text import lower_tokens
 
-    return (
+    wf = (
         docs.select(F.explode(lower_tokens(F.col(text_col))).alias("word"))
         .filter(~F.col("word").contains(EOW))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    if min_count > 1:
+        wf = wf.filter(F.col("freq") >= min_count)
+    if top_v is not None:
+        wf = wf.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(top_v)
+    return wf
 
 
-def train_bpe(
+def _merge_word(sym: list[str], a: str, b: str) -> list[str]:
+    """Left-to-right non-overlapping replacement of adjacent (a, b) with
+    their concatenation — THE segmentation-update rule, shared by the naive
+    and incremental trainers so their counts can never diverge."""
+    merged = a + b
+    new: list[str] = []
+    i = 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+            new.append(merged)
+            i += 2
+        else:
+            new.append(sym[i])
+            i += 1
+    return new
+
+
+def train_bpe_naive(
     word_freqs: list[tuple[str, int]], num_merges: int, min_pair_count: int = 2
 ) -> list[tuple[str, str]]:
-    """Classic BPE merge learning over a word-frequency table.
-
-    Deterministic: the best pair each round is (count desc, pair asc) — ties
-    break lexicographically, so the same table always yields the same merge
-    list. Stops early when no pair reaches ``min_pair_count``. Words are
-    symbol tuples ending in ``</w>`` so merges never cross word boundaries.
-
-    Driver-side by design (see module docstring): the input is the bounded
-    aggregate, not the corpus. Cost is O(num_merges × table size).
-    """
+    """Textbook BPE merge learning: recount EVERY pair over EVERY word per
+    round — O(num_merges × table size). The exact ground truth
+    :func:`train_bpe` is pytest-pinned against; too slow for a real 32K
+    merge budget, which is why the incremental trainer exists."""
     words: dict[tuple[str, ...], int] = {}
     for w, c in word_freqs:
         if EOW in w:  # defensive twin of word_freq_table's exclusion
@@ -75,21 +105,100 @@ def train_bpe(
             break
         (a, b), _ = best
         merges.append((a, b))
-        merged = a + b
         out: dict[tuple[str, ...], int] = {}
         for sym, c in words.items():
-            new: list[str] = []
-            i = 0
-            while i < len(sym):
-                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
-                    new.append(merged)
-                    i += 2
-                else:
-                    new.append(sym[i])
-                    i += 1
-            key = tuple(new)
+            key = tuple(_merge_word(list(sym), a, b))
             out[key] = out.get(key, 0) + c
         words = out
+    return merges
+
+
+def train_bpe(
+    word_freqs: list[tuple[str, int]], num_merges: int, min_pair_count: int = 2
+) -> list[tuple[str, str]]:
+    """Classic BPE merge learning over a word-frequency table — INCREMENTAL
+    (the HF-tokenizers trainer shape): pair counts are maintained as words
+    re-segment, so each merge touches only the words that CONTAIN the
+    merged pair instead of rescanning the whole table. The best pair comes
+    off a lazy-deletion max-heap keyed (count desc, pair asc) — identical
+    selection order to :func:`train_bpe_naive` (pytest-pinned), at
+    O(updates × log heap) instead of O(num_merges × table size); a real
+    32K-merge budget over a million-word table is minutes, not days.
+
+    Deterministic: integer pair counts are exactly the naive recount (the
+    per-word delta is subtract-old-adjacencies / add-new-adjacencies under
+    the shared :func:`_merge_word` rule), ties break lexicographically.
+    Stops early when no pair reaches ``min_pair_count``. Words are symbol
+    tuples ending in ``</w>`` so merges never cross word boundaries.
+
+    Driver-side by design (see module docstring): the input is the bounded
+    (``min_count``/``top_v``-capped) aggregate, not the corpus.
+    """
+    import heapq
+
+    agg: dict[tuple[str, ...], int] = {}
+    for w, c in word_freqs:
+        if EOW in w:  # defensive twin of word_freq_table's exclusion
+            continue
+        key = tuple(w) + (EOW,)
+        agg[key] = agg.get(key, 0) + int(c)
+    syms: list[list[str]] = [list(k) for k in agg]
+    freqs: list[int] = list(agg.values())
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    # word ids whose segmentation has EVER contained the pair — cleaned
+    # lazily (a stale id is skipped by the contains-check at merge time),
+    # so decrements never need to know whether other occurrences remain
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wid, sym in enumerate(syms):
+        c = freqs[wid]
+        for p in zip(sym, sym[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(wid)
+
+    # lazy-deletion heap: every count CHANGE pushes a fresh entry; a popped
+    # entry is acted on only if it matches the pair's current count, so the
+    # first valid pop is the true (count desc, pair asc) maximum
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-c, p) for p, c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges and heap:
+        negc, best = heapq.heappop(heap)
+        cur = pair_counts.get(best, 0)
+        if cur != -negc or cur <= 0:
+            continue  # stale entry — the pair's count has moved since push
+        if cur < min_pair_count:
+            break
+        a, b = best
+        merges.append(best)
+        touched: dict[tuple[str, str], int] = {}
+        for wid in pair_words.pop(best, ()):  # only words containing the pair
+            sym = syms[wid]
+            has = any(
+                sym[i] == a and sym[i + 1] == b for i in range(len(sym) - 1)
+            )
+            if not has:  # stale membership from an earlier re-segmentation
+                continue
+            new = _merge_word(sym, a, b)
+            c = freqs[wid]
+            for p in zip(sym, sym[1:]):
+                pair_counts[p] -= c
+                touched[p] = pair_counts[p]
+            for p in zip(new, new[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                touched[p] = pair_counts[p]
+                pair_words.setdefault(p, set()).add(wid)
+            syms[wid] = new
+        pair_counts.pop(best, None)  # every adjacency was just consumed
+        touched.pop(best, None)
+        for p, c in touched.items():
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
+            else:
+                pair_counts.pop(p, None)
     return merges
 
 
@@ -110,10 +219,17 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 
 
 def train_bpe_from_corpus(
-    docs: DataFrame, text_col: str, num_merges: int, min_pair_count: int = 2
+    docs: DataFrame,
+    text_col: str,
+    num_merges: int,
+    min_pair_count: int = 2,
+    min_count: int = 1,
+    top_v: int | None = 1_000_000,
 ) -> list[tuple[str, str]]:
-    """End-to-end training: distributed word count, driver-side merge loop."""
-    rows = word_freq_table(docs, text_col).collect()
+    """End-to-end training: distributed word count (capped inside the
+    aggregation — the driver only ever sees ≤ ``top_v`` rows, whatever the
+    corpus size), driver-side incremental merge loop."""
+    rows = word_freq_table(docs, text_col, min_count=min_count, top_v=top_v).collect()
     return train_bpe([(r.word, r.freq) for r in rows], num_merges, min_pair_count)
 
 

@@ -224,7 +224,11 @@ def q_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the blend depends on orders too (the CF leg / purchased set / query
     # users all come from lineitem JOIN orders JOIN part) — every mining
     # input must be in the fingerprint or a re-import of orders alone
-    # would serve stale cached blends as fresh
+    # would serve stale cached blends as fresh. The fingerprint is
+    # process-memoized: like the session-scoped derived tables feeding the
+    # blend, a MID-PROCESS rewrite of the data requires a new process (or
+    # the uncached data_version) to be seen — the memo and the derived
+    # tables go stale together, never out of step with each other
     rules_version = PERSIST.data_version_cached(sf_dir, ("lineitem", "orders", "part"))
     return (
         cache.serve(spark, 0.6, rules_version, lambda: _hybrid_blend_live(spark, sf_dir))

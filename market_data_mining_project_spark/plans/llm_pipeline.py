@@ -411,24 +411,34 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer induction (Sennrich et al. 2016): learn 40 merges from
-    the corpus and audit the resulting tokenization — merge table (rank,
-    left, right, merged) with the corpus stats row (total words / BPE
-    tokens / tokens-per-word / pieces in use) appended via the 1-row
-    cross-join idiom. One corpus scan reduces to the bounded word-frequency
-    table; the merge loop runs on that table driver-side (the
-    HF-tokenizers training shape — cost independent of corpus size);
-    encoding runs over DISTINCT words, weighted back by frequency.
-    Rows-only: the iterative merge loop is not SQL; a pure-Python BPE
-    reference pins the merges, the encoder and the stats
-    (tests/test_tokenize.py)."""
+    """BPE tokenizer induction (Sennrich et al. 2016): learn up to 2000
+    merges from the corpus and audit the resulting tokenization — merge
+    table (rank, left, right, merged) with the corpus stats row (total
+    words / BPE tokens / tokens-per-word / pieces in use) appended via the
+    1-row cross-join idiom. One corpus scan reduces to the word-frequency
+    table, CAPPED INSIDE THE AGGREGATION (top_v TakeOrderedAndProject) so
+    the driver only ever collects a bounded frame whatever the corpus
+    size; the merge loop is the incremental heap trainer (per merge it
+    touches only pair-containing words — a real 32K budget stays driver-
+    feasible); encoding runs over DISTINCT words, weighted back by
+    frequency. Rows-only: the iterative merge loop is not SQL; a
+    pure-Python naive BPE pins the merges, the encoder, the stats and the
+    cap's no-op on the fixture corpus (tests/test_tokenize.py)."""
     from market_data_mining_project_spark.operators import tokenize as TOK
 
     docs = D.ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    # ONE corpus scan: the word table is materialized once and feeds both
-    # the driver-side merge loop and the (twice-referenced) stats audit
+    # ONE corpus scan: the full word table is materialized once and feeds
+    # both the capped training collect and the (twice-referenced) stats
+    # audit — the stats always weigh EVERY word; only training is capped
     wf = TOK.word_freq_table(docs, "text").localCheckpoint(eager=True)
-    merges = TOK.train_bpe([(r.word, r.freq) for r in wf.collect()], num_merges=40)
+    # top-V cap only (no min_count): on any corpus whose vocabulary fits
+    # the cap — every fixture — training input is EXACTLY the full table
+    # (pytest-pinned), while at web scale the TakeOrderedAndProject bound
+    # alone keeps the driver safe
+    capped = wf.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(200_000)
+    merges = TOK.train_bpe(
+        [(r.word, r.freq) for r in capped.collect()], num_merges=2000
+    )
     merge_df = spark.createDataFrame(
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string, merged string",
@@ -498,8 +508,11 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         TXT.dup_token_ratio(t).alias("dup_token_ratio"),
         TXT.quality_score(t).alias("quality"),
     ).cache()
-    # exact quantile of the heuristic score = the "reference set" boundary
-    thresh = prof.stat.approxQuantile("quality", [0.75], 0.0)[0]
+    # approximate quantile of the heuristic score = the "reference set"
+    # boundary. relativeError=0.001, NOT 0: relative error 0 forces exact
+    # (memory-unbounded) quantile computation — a cliff at corpus scale —
+    # and the boundary is a heuristic label threshold, not a contract
+    thresh = prof.stat.approxQuantile("quality", [0.75], 0.001)[0]
     labeled = prof.withColumn("label", (F.col("quality") >= thresh).cast("int"))
     # bounded, class-balanced training set (the M8/M9 fixed-cost pattern):
     # the fit stays O(cap) as the corpus scales; scoring stays linear

@@ -192,6 +192,63 @@ def test_ivf_centroid_cache_roundtrip_and_no_refit(spark, sf_dir, tmp_path, monk
     assert sentinel.count() == emb.count()
 
 
+def _exec_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_assign_cells_arrow_path_matches_expression_path(spark, sf_dir, monkeypatch):
+    """Above ASSIGN_EXPR_MAX_CELLS, assignment runs as ONE Arrow matmul
+    (per-centroid struct expressions won't compile at real IVF widths);
+    the two paths must agree cell-for-cell on the fixture."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(40).collect()
+    ]
+    arrow_df = SIM.assign_cells(emb, cents, "embedding", "vec_id")
+    arrow_plan = _exec_plan(arrow_df)
+    assert "ArrowEvalPython" in arrow_plan, "40 cells must take the Arrow path"
+    assert arrow_plan.count("ArrowEvalPython") == 1, "assignment must be ONE Arrow pass"
+    arrow = sorted((r.vec_id, r.cell) for r in arrow_df.collect())
+
+    monkeypatch.setattr(SIM, "ASSIGN_EXPR_MAX_CELLS", 64)
+    expr_df = SIM.assign_cells(emb, cents, "embedding", "vec_id")
+    assert "ArrowEvalPython" not in _exec_plan(expr_df)
+    assert sorted((r.vec_id, r.cell) for r in expr_df.collect()) == arrow
+
+
+def test_ivf_topk_recall_at_production_cell_count():
+    """The VERDICT r5 scale gate: IVF with a REAL cell count (n_cells=256,
+    nprobe=16 — the width the unrolled-expression path could never compile)
+    on the sf0.1 embeddings, recall measured against exact cosine top-k.
+    Runs its own fixed sf_dir so the gate doesn't weaken when the suite
+    runs at sf0.001."""
+    import os
+
+    import pytest
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        pytest.skip("sf0.1 fixture absent")
+    from market_data_mining_project_spark.session import get_spark
+
+    spark = get_spark("mdmp-tests", **{"spark.sql.shuffle.partitions": "8"})
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.cosine_topk(emb, queries, "embedding", "vec_id", k=5).collect()
+    }
+    approx_df = SIM.ivf_topk(
+        emb, queries, "embedding", "vec_id", k=5, n_cells=256, nprobe=16, seed=42
+    )
+    approx = {(r.query_id, r.neighbor_id) for r in approx_df.collect()}
+    recall = len(exact & approx) / len(exact)
+    # 16/256 probes scan ~6% of the corpus; the synthetic embeddings are
+    # weakly clustered, so demand meaningful-but-honest recall
+    assert recall >= 0.35, f"IVF@256/16 recall {recall:.2f}"
+
+
 def test_assign_cells_matches_python_argmin(spark, sf_dir):
     """The expression-side nearest-centroid assignment must equal a
     pure-Python argmin with lowest-index tie-breaking."""

@@ -88,11 +88,60 @@ def test_bpe_catalog_entry_shape(spark, sf_dir):
     import __spark_entry__ as entry_mod
 
     rows = entry_mod.queries()["bpe_tokenizer"](spark, sf_dir).collect()
-    assert len(rows) == 40
-    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(range(40))
+    # merge budget is 2000; tiny fixtures exhaust pairs earlier — the
+    # contract is a contiguous rank sequence, not a fixed count
+    assert 0 < len(rows) <= 2000
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(range(len(rows)))
     for r in rows:
         assert r.merged == r.left + r.right
         assert r.tokens_per_word >= 1.0
+
+
+def test_train_bpe_incremental_matches_naive_on_toy():
+    """The heap/incremental trainer must be merge-for-merge identical to
+    the textbook recount loop — same counts, same tie-breaks, same early
+    stop — on the toy vocabulary at several budgets."""
+    for budget in (1, 4, 10, 50):
+        assert TOK.train_bpe(TOY, budget) == TOK.train_bpe_naive(TOY, budget), budget
+    assert TOK.train_bpe(TOY, 50, min_pair_count=5) == TOK.train_bpe_naive(
+        TOY, 50, min_pair_count=5
+    )
+
+
+def test_train_bpe_incremental_matches_naive_on_fixture_corpus(spark, sf_dir):
+    """Merge-identity on the real fixture word table (hundreds of words,
+    deep merge chains) — the gate that the incremental pair-count
+    maintenance is exactly the naive recount."""
+    wf = [
+        (r.word, r.freq)
+        for r in TOK.word_freq_table(load_table(spark, sf_dir, "documents"), "text").collect()
+    ]
+    assert TOK.train_bpe(wf, 200) == TOK.train_bpe_naive(wf, 200)
+
+
+def test_word_freq_table_cap_is_noop_on_fixture(spark, sf_dir):
+    """top_v larger than the fixture vocabulary must change NOTHING — the
+    cap exists for web-scale tables, not to alter small-corpus training."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = {(r.word, r.freq) for r in TOK.word_freq_table(docs, "text").collect()}
+    capped = {
+        (r.word, r.freq)
+        for r in TOK.word_freq_table(docs, "text", top_v=200_000).collect()
+    }
+    assert capped == full
+    # and a binding cap keeps exactly the top-V by (freq desc, word asc)
+    k = min(10, len(full))
+    expect = sorted(full, key=lambda wf: (-wf[1], wf[0]))[:k]
+    got = TOK.word_freq_table(docs, "text", top_v=k).collect()
+    assert sorted((r.word, r.freq) for r in got) == sorted(expect)
+
+
+def test_word_freq_table_min_count_filters_inside_aggregate(spark):
+    docs = spark.createDataFrame(
+        [("a a a b b c",), ("a b d",)], "text string"
+    )
+    got = {r.word: r.freq for r in TOK.word_freq_table(docs, "text", min_count=2).collect()}
+    assert got == {"a": 4, "b": 3}
 
 
 def test_literal_eow_marker_words_are_excluded(spark):
