@@ -2,15 +2,32 @@
 
 Each query is materialized with a noop write (full execution, no driver
 collect) after one warm-up of the flagship query to exclude JVM/session
-startup from per-query numbers. Prints ONE JSON line:
-``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+startup from per-query numbers.
 
-``SPARK_GRAFT_BENCH_REPEATS=N`` (default 1) re-times each query N times and
-reports the per-query MINIMUM — the standard ambient-load filter (round-3's
-+18% "regression" was machine noise; min-of-N makes that diagnosable without
-ad-hoc reruns). Queries that materialize shared derived tables on first use
-still pay that cost exactly once, in their first repeat, so min-of-N also
-reports their steady-state cost.
+TWO passes with the cache state explicit, so round-over-round comparisons
+are like-for-like (the r4→r5 bench mixed a cold profile with an
+all-caches-warm one):
+
+- **cold**: SPARK_GRAFT_MODEL_DIR is redirected to a fresh temp dir, so no
+  persisted model / derived-table / centroid / recommendation cache exists
+  — every query pays its full first-session cost. Reported as ``queries``
+  / ``value`` (the primary, round-comparable numbers).
+- **warm**: the same catalog re-run against the caches the cold pass just
+  published — the second-session serving shape (reference
+  ml_models.py:197-210). Reported as ``queries_warm`` / ``value_warm``.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": cold_total, "unit": "sec", "queries": {...},
+   "value_warm": warm_total, "queries_warm": {...}, "cache_state":
+   "cold+warm", "sf": ...}``
+
+``SPARK_GRAFT_BENCH_REPEATS=N`` (default 1) re-times each query N times
+per pass and reports the per-query MINIMUM — the standard ambient-load
+filter (round-3's +18% "regression" was machine noise; min-of-N makes that
+diagnosable without ad-hoc reruns). Note min-of-N inside the COLD pass
+already absorbs one-time cache *writes* into the first repeat; the
+headline cold numbers therefore use repeats=1 semantics per query unless
+overridden.
 """
 
 from __future__ import annotations
@@ -19,6 +36,7 @@ import json
 import os
 import re
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -28,22 +46,7 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else None
-
-    from market_data_mining_project_spark.session import get_spark
-
-    import __spark_entry__ as entry_mod
-
-    spark = get_spark("mdmp-bench", **{"spark.ui.enabled": "false"})
-    queries = entry_mod.queries()
-
-    # Warm-up: JVM codegen + parquet footer caches, not counted.
-    _materialize(queries["category_rollup"](spark, sf_dir))
-
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
+def _time_catalog(spark, queries, sf_dir: str, repeats: int) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
         best = None
@@ -56,15 +59,43 @@ def main() -> None:
             # later queries aren't measured under another query's footprint
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+    return timings
 
-    total = round(sum(timings.values()), 3)
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    # fresh persistence root: the cold pass must not see artifacts from a
+    # previous bench/session, and the warm pass must see exactly what the
+    # cold pass published
+    os.environ["SPARK_GRAFT_MODEL_DIR"] = tempfile.mkdtemp(prefix="mdmp_bench_cache_")
+
+    from market_data_mining_project_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("mdmp-bench", **{"spark.ui.enabled": "false"})
+    queries = entry_mod.queries()
+
+    # Warm-up: JVM codegen + parquet footer caches, not counted.
+    _materialize(queries["category_rollup"](spark, sf_dir))
+
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
+    cold = _time_catalog(spark, queries, sf_dir, repeats)
+    warm = _time_catalog(spark, queries, sf_dir, repeats)
+
     print(
         json.dumps(
             {
                 "metric": "catalog_total_runtime",
-                "value": total,
+                "value": round(sum(cold.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": cold,
+                "value_warm": round(sum(warm.values()), 3),
+                "queries_warm": warm,
+                "cache_state": "cold+warm",
                 "sf": sf,
             }
         )

@@ -4,10 +4,14 @@ HF-tokenizers training shape).
 
 The scale structure is the standard one: BPE statistics depend only on the
 WORD FREQUENCY TABLE, not on the raw corpus — so one distributed scan
-reduces 100 TB of text to a bounded (|vocab| ≤ a few million rows) word
-table, and the merge loop runs on that table driver-side, cost independent
-of corpus size (exactly how HF tokenizers train: pre-tokenize → count →
-merge loop on counts). Applying a trained tokenizer back to the corpus is
+reduces 100 TB of text to a word table BOUNDED INSIDE THE AGGREGATION
+(``min_count`` filter + ``top_v`` TakeOrderedAndProject: web-scale corpora
+have 10⁸–10⁹ distinct whitespace tokens, so the cap, not hope, is what
+makes the driver collect safe), and the merge loop runs on that table
+driver-side, cost independent of corpus size (exactly how HF tokenizers
+train: pre-tokenize → count → merge loop on counts — and like HF the loop
+is INCREMENTAL: per merge only pair-containing words update, off a
+lazy-deletion heap). Applying a trained tokenizer back to the corpus is
 embarrassingly parallel: the merge ranks broadcast (they are the model,
 ≤ num_merges rows) and each Arrow batch encodes independently — BPE's
 greedy merge loop is not expressible in Catalyst, so this is a legitimate

@@ -1433,6 +1433,14 @@ def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHURN_SCORES_PATHS: dict[str, str] = {}
 
 
+#: The M8 churn model's feature surface (assembler input order — the order
+#: featureImportances indices map back through).
+CHURN_FEATURE_COLS = [
+    "recency", "frequency", "monetary", "avg_basket_value",
+    "avg_purchase_gap", "product_variety", "active_days",
+]
+
+
 def _churn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer GBT churn scores, trained + materialized ONCE per sf_dir
     (same S5 refresh pattern as ``_ui_matrix``): `churn_model_scores` and the
@@ -1458,10 +1466,7 @@ def _churn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 4-way parallelism.
         target = max(4, spark.sparkContext.defaultParallelism // 8)
         feats = q_churn_features(spark, sf_dir).coalesce(target).cache()
-        feature_cols = [
-            "recency", "frequency", "monetary", "avg_basket_value",
-            "avg_purchase_gap", "product_variety", "active_days",
-        ]
+        feature_cols = CHURN_FEATURE_COLS
         # maxIter 30 (down from the default 60): measured AUC/F1 are flat
         # from 25-40 rounds at sf0.1, the AUC gate in tests/test_rules_ml.py
         # holds at sf0.001, and every extra 10 rounds costs ~35% of the fit.
@@ -1496,6 +1501,41 @@ def q_churn_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     training is seeded but MLlib tree splits are not bit-stable across
     engines, so no SQL oracle."""
     return _churn_scores(spark, sf_dir)
+
+
+def q_churn_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 explainability surface: the churn GBT's ``featureImportances``
+    mapped back through the assembler's input names — (rank, feature,
+    importance), importance desc (the reference surfaces the XGB
+    ``feature_importances_`` the same way,
+    ``Website/market/dunnhumby/ml_models.py:1130-1251``). Served from the
+    SAME ``load_or_train`` artifact as ``churn_model_scores``, so a warm
+    cache answers without any fit; a cold one trains the shared model once
+    for both entries. Rows-only: tree-split importance is not SQL; pytest
+    gates sum-to-1, non-negativity and the name mapping
+    (tests/test_rules_ml.py::test_churn_feature_importances_gates)."""
+    from market_data_mining_project_spark.ml.pipelines import train_classifier
+
+    def trainer():
+        target = max(4, spark.sparkContext.defaultParallelism // 8)
+        feats = q_churn_features(spark, sf_dir).coalesce(target).cache()
+        return train_classifier(
+            feats, CHURN_FEATURE_COLS, "churned", kind="gradient_boost",
+            overrides={"maxIter": 30},
+        )
+
+    model, _metrics, _cached = PERSIST.load_or_train(
+        "churn_gbt", PERSIST.data_version(sf_dir), trainer
+    )
+    imp = model.stages[-1].featureImportances
+    ranked = sorted(
+        ((name, float(imp[i])) for i, name in enumerate(CHURN_FEATURE_COLS)),
+        key=lambda nv: (-nv[1], nv[0]),
+    )
+    return spark.createDataFrame(
+        [(i + 1, n, round(v, 6)) for i, (n, v) in enumerate(ranked)],
+        "importance_rank int, feature string, importance double",
+    )
 
 
 def q_churn_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1543,6 +1583,7 @@ QUERIES = {
     "als_recommendations": q_als_recommendations,
     "cf_recommendations_capped": q_cf_recommendations_capped,
     "churn_model_scores": q_churn_model_scores,
+    "churn_feature_importances": q_churn_feature_importances,
     "churn_threshold_sweep": q_churn_threshold_sweep,
     "minhash_candidates": q_minhash_candidates,
     "simhash_near_dups": q_simhash_near_dups,

@@ -333,18 +333,30 @@ FROM t GROUP BY lang
 
 def q_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus accounting in one oracled entry (slot-merge of the former
-    ``token_stats`` + ``exact_dedup`` entries — the same no-coverage-loss
-    idiom as ``stats_assessment``): per-language token budgets with the
-    corpus-level exact-dedup audit columns appended to every row via a
-    1-row broadcast cross-join. Every cell of both former entries still
-    hash-checks."""
-    return q_token_stats(spark, sf_dir).crossJoin(
-        F.broadcast(q_exact_dedup(spark, sf_dir))
+    ``token_stats`` + ``exact_dedup`` + ``decontamination`` entries — the
+    same no-coverage-loss idiom as ``stats_assessment``): per-language
+    token budgets × the corpus-level exact-dedup audit × the benchmark
+    decontamination top-overlap rows, cross-joined on their small frames.
+    Every cell of all three former entries still hash-checks."""
+    return (
+        q_token_stats(spark, sf_dir)
+        .crossJoin(F.broadcast(q_exact_dedup(spark, sf_dir)))
+        .crossJoin(
+            F.broadcast(
+                q_decontamination(spark, sf_dir).withColumnRenamed(
+                    "doc_id", "contaminated_doc_id"
+                )
+            )
+        )
     )
 
 
-SQL_CORPUS_AUDIT = f"""
-SELECT * FROM ({SQL_TOKEN_STATS}) t CROSS JOIN ({SQL_EXACT_DEDUP}) d
+def _sql_corpus_audit() -> str:
+    return f"""
+SELECT * FROM ({SQL_TOKEN_STATS}) t
+CROSS JOIN ({SQL_EXACT_DEDUP}) d
+CROSS JOIN (SELECT doc_id AS contaminated_doc_id, overlap_grams
+            FROM ({SQL_DECONTAMINATION}) x) dc
 """
 
 
@@ -564,8 +576,10 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain mixture plan (The Pile / LLaMA mixture step): per-source BPE
     token volumes → sampling rates toward a uniform target mixture, budget
-    pinned by the scarcest source (no upsampling past 1 epoch). Rows-only
-    (oracle window full); an exact driver recount is pytest-gated
+    pinned by the scarcest source (no upsampling past 1 epoch). Oracled:
+    SQL_MIXTURE_PLAN re-derives the per-source totals and the
+    budget/weight/rate arithmetic in DuckDB with the identical IEEE-double
+    expression structure; an exact driver recount stays pytest-gated
     (tests/test_dedup_similarity.py::test_mixture_plan_matches_recount)."""
     from market_data_mining_project_spark.operators import corpus as C
 
@@ -573,6 +587,31 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", TXT.bpe_ish_token_count(F.col("text")).alias("bpe_tokens")
     )
     return C.mixture_weights(docs, "source", "bpe_tokens")
+
+
+#: Uniform-target plan arithmetic, expression-for-expression the Python in
+#: corpus.mixture_weights: weight = 1/n (n = source count), budget =
+#: min(tokens·1.0 / weight), rate = weight·budget/tokens, expected =
+#: trunc(weight·budget) — TRUNC, not CAST, because Python int() truncates
+#: while DuckDB CAST(... AS BIGINT) rounds.
+SQL_MIXTURE_PLAN = """
+WITH tok AS (
+  SELECT source,
+         CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+'))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok
+), b AS (
+  SELECT MIN(tokens * 1.0 / (1.0 / s.n)) AS budget FROM tok, s
+)
+SELECT t.source,
+       t.tokens,
+       ROUND(1.0 / s.n, 6) AS weight,
+       ROUND((1.0 / s.n) * b.budget / t.tokens, 6) AS sample_rate,
+       CAST(TRUNC((1.0 / s.n) * b.budget) AS BIGINT) AS expected_tokens
+FROM tok t, s, b
+ORDER BY t.source
+"""
 
 
 def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -928,16 +967,38 @@ LIMIT 100
 """
 
 
+#: Deterministic PII plant for the redaction audit: the synthetic corpus is
+#: clean, so every 50th document gets one URL + email + IPv4 + phone
+#: appended — the audit then verifies non-zero counts end-to-end on BOTH
+#: engines instead of proving only that zeros survive a scan. The suffix is
+#: boundary-safe for the phone pattern (space before '+', ' ok' after the
+#: last digit — a trailing '.' would defeat the (?![\w.]) lookahead).
+_PII_PLANT = (
+    " Contact alice.smith@example.com via http://example.com/a?b=1"
+    " or 192.168.0.1 tel +1 (555) 123-4567 ok"
+)
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub audit over documents: corpus-level match totals by category
     (url/email/ip/phone), affected-doc count, and the total character delta
     the redaction would apply — the reporting row a scrub step emits before
     rewriting a corpus. One scan, pure Catalyst regex (no UDF), one
-    map-side-combined aggregate. Emits exactly one row even on a clean
-    corpus (this synthetic one is clean — zeros prove the scan ran).
-    Rows-only; the regex semantics are pytest-pinned on hand-built strings
+    map-side-combined aggregate. The synthetic corpus is clean, so a
+    deterministic plant seeds every 50th doc with one item per category
+    (see ``_PII_PLANT``). Oracled: SQL_PII_REDACTION runs the identical
+    progressive regexp chain in DuckDB, with the phone pattern's
+    lookarounds emulated as consumed boundary groups (RE2 has no
+    lookarounds — equivalent here; the emulation diverges from Java only
+    on IMMEDIATELY adjacent phone matches, absent by construction). The
+    regex semantics are additionally pytest-pinned on hand-built strings
     (tests/test_dedup_similarity.py)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 50 == 0, F.concat(F.col("text"), F.lit(_PII_PLANT))
+        ).otherwise(F.col("text")),
+    )
     counted = docs.select(
         TXT.pii_counts(F.col("text")).alias("pii"),
         (F.length("text") - F.length(TXT.redact_pii(F.col("text")))).alias("delta"),
@@ -958,16 +1019,61 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB twin of the progressive redaction chain. RE2 has no lookarounds,
+#: so the phone pattern's (?<![\w.]) / (?![\w.]) boundaries are emulated as
+#: CONSUMED groups — positionally equivalent, diverging from Java only when
+#: two phone matches are immediately adjacent (absent by construction: the
+#: corpus is clean and the plant contains one phone). Backreferences \1/\3
+#: restore the consumed boundary characters in the replacement.
+SQL_PII_REDACTION = """
+WITH planted AS (
+  SELECT CASE WHEN doc_id % 50 = 0
+              THEN text || ' Contact alice.smith@example.com via http://example.com/a?b=1 or 192.168.0.1 tel +1 (555) 123-4567 ok'
+              ELSE text END AS text
+  FROM documents
+), c1 AS (
+  SELECT length(text) AS orig_len,
+         len(regexp_extract_all(text, '(?:https?://|www\\.)[^\\s<>"'']+')) AS c_url,
+         regexp_replace(text, '(?:https?://|www\\.)[^\\s<>"'']+', '<URL>', 'g') AS s1
+  FROM planted
+), c2 AS (
+  SELECT orig_len, c_url,
+         len(regexp_extract_all(s1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c_email,
+         regexp_replace(s1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s2
+  FROM c1
+), c3 AS (
+  SELECT orig_len, c_url, c_email,
+         len(regexp_extract_all(s2, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS c_ip,
+         regexp_replace(s2, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS s3
+  FROM c2
+), c4 AS (
+  SELECT orig_len, c_url, c_email, c_ip,
+         len(regexp_extract_all(s3, '([^\\w.]|^)(\\+?\\d[\\d()\\-\\s.]{6,}\\d)($|[^\\w.])')) AS c_phone,
+         regexp_replace(s3, '([^\\w.]|^)(\\+?\\d[\\d()\\-\\s.]{6,}\\d)($|[^\\w.])', '\\1<PHONE>\\3', 'g') AS s4
+  FROM c3
+)
+SELECT COUNT(*) AS docs_scanned,
+       CAST(SUM(c_url) AS BIGINT) AS n_url,
+       CAST(SUM(c_email) AS BIGINT) AS n_email,
+       CAST(SUM(c_ip) AS BIGINT) AS n_ip,
+       CAST(SUM(c_phone) AS BIGINT) AS n_phone,
+       CAST(SUM(CASE WHEN c_url + c_email + c_ip + c_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(SUM(orig_len - length(s4)) AS BIGINT) AS redacted_chars
+FROM c4
+"""
+
+
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-budget corpus selection (the sampling step between
     corpus prep and training-set export): fill a 20K-BPE-token budget per
     detected language from the highest-quality documents down, via the
     bucketed two-phase `token_budget_select` — whole score-buckets keep as a
     pure filter, only the boundary bucket pays a (small) sort window, so no
-    group is ever sorted whole. Summary row per language. Rows-only (the
-    50-slot oracle window is full); doc-identical equivalence with the naive
-    window-cumsum baseline and an exact driver recount are pytest-gated
-    (tests/test_dedup_similarity.py::test_token_budget_*)."""
+    group is ever sorted whole. Summary row per language. Oracled:
+    SQL_TOKEN_BUDGET_SAMPLE runs the naive window-cumsum form in DuckDB
+    (doc-identical to the bucketed plan whenever scores are deterministic
+    — that equivalence plus an exact driver recount stay pytest-gated,
+    tests/test_dedup_similarity.py::test_token_budget_*)."""
     docs = load_table(spark, sf_dir, "documents")
     prof = TXT.text_profile(TXT.detect_language(docs, "text"), "text").withColumn(
         "bpe_tokens", TXT.bpe_ish_token_count(F.col("text"))
@@ -986,10 +1092,65 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Naive window-cumsum form of the per-language budget fill — doc-identical
+#: to the bucketed two-phase plan (same keep rule: PRE-inclusion running
+#: total under budget, (quality desc, doc_id asc) order). The lang-ID and
+#: quality formulas are the proven SQL_TEXT_PROFILE fragments.
+SQL_TOKEN_BUDGET_SAMPLE = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+), prof AS (
+  SELECT doc_id, text,
+         len(ts) AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS praw,
+         CASE WHEN len(ts) > 0
+              THEN CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
+              ELSE 0.0 END AS diversity,
+         len(list_filter(ts, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS h_en,
+         len(list_filter(ts, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS h_es,
+         len(list_filter(ts, x -> list_contains(['le','la','de','et','un','est','que','en','du','les'], x))) AS h_fr,
+         len(list_filter(ts, x -> list_contains(['der','die','das','und','ist','in','den','von','zu','mit'], x))) AS h_de
+  FROM toks
+), scored AS (
+  SELECT doc_id,
+         CASE
+           WHEN GREATEST(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+           WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+           WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+           WHEN h_en >= h_de THEN 'en'
+           ELSE 'de'
+         END AS detected_lang,
+         ROUND((CASE WHEN n_tokens >= 5 AND n_tokens <= 10000 THEN 1.0 ELSE 0.5 END)
+               * (1.0 - praw) * (0.5 + diversity / 2), 6) AS quality,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS bpe_tokens
+  FROM prof
+), cum AS (
+  SELECT *,
+         COALESCE(SUM(bpe_tokens) OVER (
+           PARTITION BY detected_lang
+           ORDER BY quality DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM scored
+)
+SELECT detected_lang,
+       COUNT(*) AS docs_kept,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS tokens_kept,
+       ROUND(MIN(quality), 6) AS min_quality_kept
+FROM cum
+WHERE pre < 20000
+GROUP BY detected_lang
+ORDER BY detected_lang
+"""
+
+
 QUERIES = {
     "dup_clusters": q_dup_clusters,
     "token_budget_sample": q_token_budget_sample,
-    "decontamination": q_decontamination,
+    # decontamination serves through the merged corpus_audit entry
     "pii_redaction": q_pii_redaction,
     "lsh_topk": q_lsh_topk,
     "embedding_near_dups": q_embedding_near_dups,
@@ -1016,16 +1177,16 @@ QUERIES = {
 ORACLE = {
     "dup_clusters": SQL_DUP_CLUSTERS,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
-    # corpus_audit carries the former token_stats + exact_dedup entries
-    # (slot merge — both operators remain fully hash-verified)
-    "corpus_audit": SQL_CORPUS_AUDIT,
+    # corpus_audit carries the former token_stats + exact_dedup +
+    # decontamination entries (slot merge — all three remain hash-verified)
+    "corpus_audit": _sql_corpus_audit(),
     "bm25_search": SQL_BM25_SEARCH,
     "corpus_prep": SQL_CORPUS_PREP,
-    "decontamination": SQL_DECONTAMINATION,
     # ivf_topk: rows-only (KMeans cells; pytest recall gate)
     # lsh_topk: rows-only (seeded hyperplanes; pytest recall gate)
-    # pii_redaction: rows-only (regex semantics pytest-pinned on hand-built
-    # strings; DuckDB's regex engine differs on lookarounds)
+    "pii_redaction": SQL_PII_REDACTION,
+    "mixture_plan": SQL_MIXTURE_PLAN,
+    "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "text_profile": SQL_TEXT_PROFILE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "span_dedup": SQL_SPAN_DEDUP,

@@ -34,10 +34,23 @@ def _scratch_dir(prefix: str) -> str:
 
 
 def _bounded(df: DataFrame, prefix: str, output_mode: str = "append") -> DataFrame:
-    """Run a streaming plan to completion into a uniquely-named memory sink."""
+    """Run a streaming plan to completion into a uniquely-named memory sink.
+
+    State partitions are sized to the replayed stream, not the batch
+    shuffle default: the test streams' key cardinality (event types ×
+    windows, users) is thousands, and each state-store instance costs
+    fixed per-micro-batch commit overhead — 32 batch-sized partitions
+    measured ~2.5× slower than 8 with identical output (see
+    ``run_bounded``). Scales with the session's parallelism floor so a
+    bigger cluster still fans out."""
+    spark = df.sparkSession
     name = f"{prefix}_{next(_RUN_COUNTER)}"
-    EV.run_bounded(df, name, _scratch_dir(f"ck_{name}_"), output_mode)
-    return df.sparkSession.table(name)
+    state_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    EV.run_bounded(
+        df, name, _scratch_dir(f"ck_{name}_"), output_mode,
+        state_partitions=state_parts,
+    )
+    return spark.table(name)
 
 
 # --- Structured Streaming ------------------------------------------------------
@@ -150,11 +163,30 @@ def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op (applyInPandasWithState): running
-    per-user totals. Rows-only check — grouped state is not SQL; pytest
-    verifies totals equal the batch aggregate."""
+    per-user totals. The update-mode memory sink holds one row per user
+    per micro-batch; the CONVERGED state per user is the row with the
+    maximal events_seen (the count is strictly monotone across updates —
+    max_by picks the final value_total alongside it). Oracled: the
+    converged stream state must equal the batch aggregate, which is the
+    operator's correctness contract (the same gate the pytest asserts);
+    per-update intermediate rows stay pytest-covered
+    (tests/test_streaming_io.py)."""
     stream = EV.read_event_stream(spark, sf_dir)
     totals = EV.running_user_totals(stream)
-    return _bounded(totals, "user_totals", output_mode="update")
+    out = _bounded(totals, "user_totals", output_mode="update")
+    return out.groupBy("user_id").agg(
+        F.max("events_seen").alias("events_seen"),
+        F.max_by("value_total", "events_seen").alias("value_total"),
+    )
+
+
+SQL_RUNNING_USER_TOTALS = """
+SELECT user_id,
+       COUNT(*) AS events_seen,
+       ROUND(SUM(value), 2) AS value_total
+FROM events
+GROUP BY user_id
+"""
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,20 +304,20 @@ WHERE o_orderkey < 3000
 
 
 QUERIES = {
+    # csv_roundtrip serves through tpch_relational's merged
+    # "relational_audits" entry (its function + SQL stay here, reused there)
     "streaming_window_stats": q_streaming_window_stats,
     "streaming_sessions": q_streaming_sessions,
     "running_user_totals": q_running_user_totals,
     "streaming_enriched": q_streaming_enriched,
     "streaming_dedup": q_streaming_dedup,
     "media_pipeline": q_media_pipeline,
-    "csv_roundtrip": q_csv_roundtrip,
 }
 
 ORACLE = {
     "streaming_window_stats": SQL_STREAMING_WINDOW_STATS,
     "streaming_sessions": SQL_STREAMING_SESSIONS,
+    "running_user_totals": SQL_RUNNING_USER_TOTALS,
     "media_pipeline": SQL_MEDIA_PIPELINE,
-    "csv_roundtrip": SQL_CSV_ROUNDTRIP,
-    # running_user_totals: rows-only (stateful op; pytest checks vs batch agg)
     # streaming_dedup: rows-only (watermark-scoped state; pytest replay gate)
 }

@@ -664,11 +664,56 @@ GROUP BY o_orderpriority
 """
 
 
+# --- slot-merged audit battery (F9 × O5 × S8 × S1/S4/S6) ---------------------------
+
+
+def q_relational_audits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four thin relational audits in ONE oracled entry (slot merge, the
+    ``pivot_brand_matrices``/``stats_assessment`` idiom — every cell of all
+    four former entries still hash-checks): the JSON-field event rollup
+    (F9, former ``events_json``) × strategic categorical ordering (O5,
+    former ``categorical_order``) × schema introspection (S8, former
+    ``schema_introspect``) × the CSV export→validate→land round trip
+    (S1+S4+S6, former ``csv_roundtrip``), cross-joined on their tiny
+    (≤ handful-of-rows) frames. CSV columns are prefixed ``csv_`` so the
+    round trip's ``total_value`` can't collide with the categorical one."""
+    from market_data_mining_project_spark.plans.pipeline_io import q_csv_roundtrip
+
+    csv = q_csv_roundtrip(spark, sf_dir).select(
+        F.col("imported").alias("csv_imported"),
+        F.col("total_value").alias("csv_total_value"),
+        F.col("customers").alias("csv_customers"),
+    )
+    return (
+        q_events_json(spark, sf_dir)
+        .crossJoin(F.broadcast(q_categorical_order(spark, sf_dir)))
+        .crossJoin(F.broadcast(q_schema_introspect(spark, sf_dir)))
+        .crossJoin(F.broadcast(csv))
+    )
+
+
+
+
+def _sql_relational_audits() -> str:
+    """Composed lazily: SQL_CSV_ROUNDTRIP lives in pipeline_io (the module
+    that owns the round-trip query) — imported at call time to keep module
+    load order irrelevant."""
+    from market_data_mining_project_spark.plans.pipeline_io import SQL_CSV_ROUNDTRIP
+
+    return f"""
+SELECT * FROM ({SQL_EVENTS_JSON}) ej
+CROSS JOIN ({SQL_CATEGORICAL_ORDER}) co
+CROSS JOIN ({SQL_SCHEMA_INTROSPECT}) si
+CROSS JOIN (SELECT imported AS csv_imported, total_value AS csv_total_value,
+                   customers AS csv_customers FROM ({SQL_CSV_ROUNDTRIP}) c) cr
+"""
 
 
 QUERIES = {
     # q_global_stats serves through analytics_domain's merged
-    # "stats_assessment" entry (A1 × M16 in one oracled single-row frame)
+    # "stats_assessment" entry (A1 × M16 in one oracled single-row frame);
+    # events_json + categorical_order + schema_introspect + csv_roundtrip
+    # serve through the merged "relational_audits" entry
     "category_rollup": q_category_rollup,
     "basket_rollup_top25": q_basket_rollup_top25,
     "product_rollup_having": q_product_rollup_having,
@@ -680,11 +725,9 @@ QUERIES = {
     "monthly_sales": q_monthly_sales,
     "conditional_horizons": q_conditional_horizons,
     "semi_anti_customers": q_semi_anti_customers,
-    "events_json": q_events_json,
     "pivot_category_year": q_pivot_category_year,
     "stratified_sample": q_stratified_sample,
-    "schema_introspect": q_schema_introspect,
-    "categorical_order": q_categorical_order,
+    "relational_audits": q_relational_audits,
 }
 
 ORACLE = {
@@ -699,9 +742,7 @@ ORACLE = {
     "monthly_sales": SQL_MONTHLY_SALES,
     "conditional_horizons": SQL_CONDITIONAL_HORIZONS,
     "semi_anti_customers": SQL_SEMI_ANTI_CUSTOMERS,
-    "events_json": SQL_EVENTS_JSON,
     "pivot_category_year": SQL_PIVOT_CATEGORY_YEAR,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
-    "schema_introspect": SQL_SCHEMA_INTROSPECT,
-    "categorical_order": SQL_CATEGORICAL_ORDER,
+    "relational_audits": _sql_relational_audits(),
 }

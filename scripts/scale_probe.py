@@ -1,0 +1,147 @@
+"""10× scale probe for the dedup / ANN / corpus-prep family.
+
+Builds a ~10× sf0.1 fixture (50K documents, 20K embeddings) by replicating
+each sf0.1 row into 10 NEAR-duplicate copies — a short per-copy tag keeps
+texts near-dup rather than identical (the realistic crawl shape: dedup has
+real work at every stage instead of trivially collapsing the corpus), and
+each embedding copy gets a small deterministic one-dimension offset for the
+same reason. Then times the scale-sensitive catalog entries at 1× and 10×
+and prints the slope table that goes into PARITY.md — the measurement that
+catches superlinear cliffs (a driver-side collect, an uncapped pair
+enumeration) which the shape tests alone can't.
+
+Run:  python scripts/scale_probe.py            (writes under /tmp)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+WORK = "/tmp/mdmp_scale_probe"
+COPIES = 10
+
+#: catalog entries whose cost scales with the documents/embeddings tables
+#: (the family VERDICT r5 asked to slope-test). Keys limited to entries
+#: that read ONLY these two tables.
+PROBE_QUERIES = (
+    "corpus_audit",
+    "text_profile",
+    "ngram_jaccard",
+    "span_dedup",
+    "dup_clusters",
+    "minhash_candidates",
+    "simhash_near_dups",
+    "bm25_search",
+    "bpe_tokenizer",
+    "token_budget_sample",
+    "pii_redaction",
+    "mixture_plan",
+    "sequence_packing",
+    "embedding_near_dups",
+    "lsh_topk",
+    "ivf_topk",
+    "semantic_dedup",
+    "cosine_topk",
+    "corpus_prep",
+)
+
+
+def build_fixture(spark) -> str:
+    """Replicate documents/embeddings 10× with near-dup perturbation."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(WORK, "sf1.0x")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out, exist_ok=True)
+
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    copies = spark.range(COPIES).withColumnRenamed("id", "copy")
+    big_docs = (
+        docs.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") + F.col("copy") * n_docs).alias("doc_id"),
+            # copy 0 keeps the original text; others append a short tag —
+            # near-duplicates, not byte-identical clones
+            F.when(F.col("copy") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" rev "), F.col("copy")))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    big_docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+
+    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    n_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    big_emb = (
+        emb.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") + F.col("copy") * n_vec).alias("vec_id"),
+            F.transform(
+                "embedding",
+                # keep the original array<float> element type
+                lambda x, i: F.when(i == 0, (x + F.col("copy") * F.lit(0.003)).cast("float")).otherwise(x),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    big_emb.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    return out
+
+
+def time_catalog(spark, queries, sf_dir: str) -> dict[str, float]:
+    timings = {}
+    for name in PROBE_QUERIES:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+        print(f"  {name}: {timings[name]}s", flush=True)
+    return timings
+
+
+def main() -> None:
+    # fresh cache root: the probe measures computation, not cache hits
+    os.environ["SPARK_GRAFT_MODEL_DIR"] = os.path.join(WORK, "cache")
+    from market_data_mining_project_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("mdmp-scale-probe", **{"spark.ui.enabled": "false"})
+    queries = entry_mod.queries()
+
+    print("building 10x fixture ...", flush=True)
+    big = build_fixture(spark)
+
+    print("timing 1x (sf0.1) ...", flush=True)
+    base = time_catalog(spark, queries, BASE)
+    print("timing 10x ...", flush=True)
+    scaled = time_catalog(spark, queries, big)
+
+    rows = {
+        name: {
+            "x1_sec": base[name],
+            "x10_sec": scaled[name],
+            "slope": round(scaled[name] / base[name], 1) if base[name] else None,
+        }
+        for name in PROBE_QUERIES
+    }
+    print(json.dumps({"copies": COPIES, "queries": rows}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

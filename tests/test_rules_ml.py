@@ -133,6 +133,41 @@ def test_churn_model_quality(spark, sf_dir):
     assert trained.metrics["accuracy"] > 0.5, trained.metrics
 
 
+def test_churn_feature_importances_gates(spark, sf_dir, tmp_path, monkeypatch):
+    """M8 explainability gate: the surfaced importances must be a valid
+    distribution over EXACTLY the assembler's feature names (sum 1, all
+    ≥ 0, rank ordered by importance desc), and must come from the same
+    cached artifact churn_model_scores trains (no refit on a warm cache —
+    proven by a sentinel check on the artifact directory's mtime)."""
+    import os
+
+    from market_data_mining_project_spark.plans.analytics_domain import (
+        CHURN_FEATURE_COLS,
+        q_churn_feature_importances,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_MODEL_DIR", str(tmp_path / "churn_imp"))
+    rows = q_churn_feature_importances(spark, sf_dir).collect()
+    assert [r.feature for r in rows] != [] and len(rows) == len(CHURN_FEATURE_COLS)
+    assert {r.feature for r in rows} == set(CHURN_FEATURE_COLS)
+    assert all(r.importance >= 0.0 for r in rows)
+    assert abs(sum(r.importance for r in rows) - 1.0) < 1e-3
+    got = sorted(rows, key=lambda r: r.importance_rank)
+    assert [r.importance_rank for r in got] == list(range(1, len(rows) + 1))
+    assert all(a.importance >= b.importance for a, b in zip(got, got[1:]))
+
+    # warm-cache path: artifact untouched, identical output
+    from market_data_mining_project_spark.ml.persistence import model_cache_root
+
+    root = model_cache_root()
+    artifacts = [os.path.join(root, d) for d in os.listdir(root) if d.startswith("churn_gbt-")]
+    assert artifacts, "first call must have persisted the shared churn model"
+    before = os.stat(artifacts[0]).st_mtime_ns
+    again = q_churn_feature_importances(spark, sf_dir).collect()
+    assert os.stat(artifacts[0]).st_mtime_ns == before, "warm cache must not refit"
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
 def test_churn_threshold_sweep_matches_driver_recount(spark, sf_dir):
     """Threshold-sweep gate (reference optimize_churn_model.py): the single
     scan's per-threshold confusion counts, recall and accuracy must equal a
