@@ -12,22 +12,23 @@ all-caches-warm one):
   persisted model / derived-table / centroid / recommendation cache exists
   — every query pays its full first-session cost. Reported as ``queries``
   / ``value`` (the primary, round-comparable numbers).
-- **warm**: the same catalog re-run against the caches the cold pass just
-  published — the second-session serving shape (reference
-  ml_models.py:197-210). Reported as ``queries_warm`` / ``value_warm``.
+- **warm**: the same catalog re-run in the SAME process — persisted
+  artifacts plus in-process memos (session-scoped derived-table paths,
+  fingerprint memos), i.e. the steady-state serving shape of a long-lived
+  session, which is strictly warmer than a fresh second session would be
+  (reference ml_models.py:197-210 is the cross-session analogue). Reported
+  as ``queries_warm`` / ``value_warm``.
 
 Prints ONE JSON line:
 ``{"metric": ..., "value": cold_total, "unit": "sec", "queries": {...},
    "value_warm": warm_total, "queries_warm": {...}, "cache_state":
    "cold+warm", "sf": ...}``
 
-``SPARK_GRAFT_BENCH_REPEATS=N`` (default 1) re-times each query N times
-per pass and reports the per-query MINIMUM — the standard ambient-load
-filter (round-3's +18% "regression" was machine noise; min-of-N makes that
-diagnosable without ad-hoc reruns). Note min-of-N inside the COLD pass
-already absorbs one-time cache *writes* into the first repeat; the
-headline cold numbers therefore use repeats=1 semantics per query unless
-overridden.
+``SPARK_GRAFT_BENCH_REPEATS=N`` (default 1) re-times each WARM-pass query
+N times and reports the per-query MINIMUM — the standard ambient-load
+filter (round-3's +18% "regression" was machine noise). The COLD pass
+always runs each query exactly once: repeats there would hit the caches
+repeat 1 just published, silently turning the headline cold numbers warm.
 """
 
 from __future__ import annotations
@@ -69,8 +70,14 @@ def main() -> None:
 
     # fresh persistence root: the cold pass must not see artifacts from a
     # previous bench/session, and the warm pass must see exactly what the
-    # cold pass published
-    os.environ["SPARK_GRAFT_MODEL_DIR"] = tempfile.mkdtemp(prefix="mdmp_bench_cache_")
+    # cold pass published. Removed on exit — the artifacts are only useful
+    # within this process's warm pass.
+    import atexit
+    import shutil
+
+    cache_root = tempfile.mkdtemp(prefix="mdmp_bench_cache_")
+    os.environ["SPARK_GRAFT_MODEL_DIR"] = cache_root
+    atexit.register(shutil.rmtree, cache_root, True)
 
     from market_data_mining_project_spark.session import get_spark
 
@@ -83,7 +90,9 @@ def main() -> None:
     _materialize(queries["category_rollup"](spark, sf_dir))
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
-    cold = _time_catalog(spark, queries, sf_dir, repeats)
+    # cold is ALWAYS single-shot: a second repeat would serve the caches the
+    # first repeat published, and min-of-N would report that as "cold"
+    cold = _time_catalog(spark, queries, sf_dir, repeats=1)
     warm = _time_catalog(spark, queries, sf_dir, repeats)
 
     print(

@@ -104,21 +104,22 @@ def atomic_publish(staging: str, final: str, overwrite: bool) -> None:
         shutil.rmtree(final, ignore_errors=True)
         try:
             os.replace(staging, final)
-        except OSError:  # concurrent writer slipped in between — adopt theirs
-            shutil.rmtree(staging, ignore_errors=True)
-            # adoption is only valid if a winner actually exists: an
+        except OSError:
+            # adopt-the-winner is only valid if a winner actually exists: an
             # unrelated rename failure (EXDEV across mounts, EACCES) after
-            # final was already deleted would otherwise silently discard
-            # the fresh artifact and leave NOTHING behind
+            # final was already deleted must re-raise — checked BEFORE the
+            # staging delete so this function never destroys the only copy
+            # (whether a caller keeps its staging on failure is its choice)
             if not os.path.isdir(final):
                 raise
+            shutil.rmtree(staging, ignore_errors=True)  # concurrent writer won
         return
     try:
         os.replace(staging, final)
     except OSError:  # first-wins: the winner's artifact is input-identical
-        shutil.rmtree(staging, ignore_errors=True)
         if not os.path.isdir(final):  # no winner ⇒ the failure was real
             raise
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 _DATA_VERSION_MEMO: dict[tuple[str, tuple[str, ...]], str] = {}

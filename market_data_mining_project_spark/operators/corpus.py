@@ -61,7 +61,9 @@ def mixture_weights(
             round(weights.get(s, 0.0) * budget / toks[s], 6) if toks[s] else 0.0,
             int(weights.get(s, 0.0) * budget),
         )
-        for s in sorted(toks)
+        # None-safe sort: a corpus mixing NULL and named sources must plan,
+        # not TypeError — NULL sorts first (it can't compare to str)
+        for s in sorted(toks, key=lambda s: (s is not None, s))
     ]
     return docs.sparkSession.createDataFrame(
         rows,

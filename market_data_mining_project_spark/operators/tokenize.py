@@ -60,6 +60,15 @@ def word_freq_table(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    return cap_word_table(wf, min_count=min_count, top_v=top_v)
+
+
+def cap_word_table(
+    wf: DataFrame, min_count: int = 1, top_v: int | None = None
+) -> DataFrame:
+    """THE word-table cap rule — one definition so the determinism-bearing
+    (freq desc, word asc) ordering can't drift between the operator and
+    callers capping an already-materialized table."""
     if min_count > 1:
         wf = wf.filter(F.col("freq") >= min_count)
     if top_v is not None:

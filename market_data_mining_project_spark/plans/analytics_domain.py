@@ -1441,44 +1441,68 @@ CHURN_FEATURE_COLS = [
 ]
 
 
+def _churn_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The churn feature frame sized for the iterative GBT fit. coalesce +
+    cache: boosting runs ~2 jobs per iteration over it — per-customer
+    aggregates are tiny relative to the fact table, so right-size
+    partitions for the iterative stage (32 near-empty partitions make
+    every GBT iteration scheduling-bound) and keep the 3-table join +
+    window plan from re-executing per iteration. Parallelism-derived, not
+    a literal: unlike the bounded stratified samples the per-customer
+    frame grows with the customer base, so a fixed coalesce(4) would cap a
+    10^8-customer fit at 4-way parallelism."""
+    target = max(4, spark.sparkContext.defaultParallelism // 8)
+    return q_churn_features(spark, sf_dir).coalesce(target).cache()
+
+
+def _churn_trainer(spark: SparkSession, sf_dir: str, feats: DataFrame | None = None):
+    """THE trainer behind the shared 'churn_gbt' artifact — one definition,
+    because `churn_model_scores` and `churn_feature_importances` serve the
+    same load_or_train key and the key encodes only the data version, not
+    hyperparameters: two trainer copies drifting apart would silently serve
+    importances for a differently-configured model than the scores. Pass
+    ``feats`` (an already-cached feature frame the caller keeps using and
+    unpersists itself) to avoid a second feature build on the cold path.
+
+    maxIter 30 (down from the default 60): measured AUC/F1 are flat from
+    25-40 rounds at sf0.1, the AUC gate in tests/test_rules_ml.py holds at
+    sf0.001, and every extra 10 rounds costs ~35% of the fit.
+    """
+    from market_data_mining_project_spark.ml.pipelines import train_classifier
+
+    def train():
+        local = feats if feats is not None else _churn_feature_frame(spark, sf_dir)
+        try:
+            return train_classifier(
+                local, CHURN_FEATURE_COLS, "churned", kind="gradient_boost",
+                overrides={"maxIter": 30},
+            )
+        finally:
+            if feats is None:  # we own the cache only when we built it
+                local.unpersist()
+
+    return train
+
+
 def _churn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer GBT churn scores, trained + materialized ONCE per sf_dir
     (same S5 refresh pattern as ``_ui_matrix``): `churn_model_scores` and the
     threshold sweep both read this parquet, so the 30-round boost fit is paid
     one time per session instead of once per consuming query."""
     from market_data_mining_project_spark.functions.expressions import churn_risk_label
-    from market_data_mining_project_spark.ml.pipelines import (
-        score_with_probability,
-        train_classifier,
-    )
-
+    from market_data_mining_project_spark.ml.pipelines import score_with_probability
     from market_data_mining_project_spark.sources import materialize as MAT
 
     def build() -> DataFrame:
-        # coalesce + cache: boosting runs ~2 jobs per iteration over the
-        # feature frame — per-customer aggregates are tiny relative to the
-        # fact table, so right-size partitions for the iterative stage (32
-        # near-empty partitions make every GBT iteration scheduling-bound)
-        # and keep the 3-table join + window plan from re-executing per
-        # iteration. Parallelism-derived, not a literal: unlike the bounded
-        # stratified samples the per-customer frame grows with the customer
-        # base, so a fixed coalesce(4) would cap a 10^8-customer fit at
-        # 4-way parallelism.
-        target = max(4, spark.sparkContext.defaultParallelism // 8)
-        feats = q_churn_features(spark, sf_dir).coalesce(target).cache()
-        feature_cols = CHURN_FEATURE_COLS
-        # maxIter 30 (down from the default 60): measured AUC/F1 are flat
-        # from 25-40 rounds at sf0.1, the AUC gate in tests/test_rules_ml.py
-        # holds at sf0.001, and every extra 10 rounds costs ~35% of the fit.
+        feats = _churn_feature_frame(spark, sf_dir)
         # load-or-train: a prior process's fit on the same data version is
-        # reloaded instead of refit (reference ml_models.py:101-214 cache)
+        # reloaded instead of refit (reference ml_models.py:101-214 cache);
+        # the trainer definition is shared with churn_feature_importances
+        # (same artifact key ⇒ same hyperparameters, by construction)
         model, _metrics, _cached = PERSIST.load_or_train(
             "churn_gbt",
             PERSIST.data_version(sf_dir),
-            lambda: train_classifier(
-                feats, feature_cols, "churned", kind="gradient_boost",
-                overrides={"maxIter": 30},
-            ),
+            _churn_trainer(spark, sf_dir, feats),
         )
         scored = score_with_probability(model, feats).select(
             "o_custkey",
@@ -1514,18 +1538,8 @@ def q_churn_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
     for both entries. Rows-only: tree-split importance is not SQL; pytest
     gates sum-to-1, non-negativity and the name mapping
     (tests/test_rules_ml.py::test_churn_feature_importances_gates)."""
-    from market_data_mining_project_spark.ml.pipelines import train_classifier
-
-    def trainer():
-        target = max(4, spark.sparkContext.defaultParallelism // 8)
-        feats = q_churn_features(spark, sf_dir).coalesce(target).cache()
-        return train_classifier(
-            feats, CHURN_FEATURE_COLS, "churned", kind="gradient_boost",
-            overrides={"maxIter": 30},
-        )
-
     model, _metrics, _cached = PERSIST.load_or_train(
-        "churn_gbt", PERSIST.data_version(sf_dir), trainer
+        "churn_gbt", PERSIST.data_version(sf_dir), _churn_trainer(spark, sf_dir)
     )
     imp = model.stages[-1].featureImportances
     ranked = sorted(

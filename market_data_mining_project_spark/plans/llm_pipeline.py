@@ -337,17 +337,23 @@ def q_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     same no-coverage-loss idiom as ``stats_assessment``): per-language
     token budgets × the corpus-level exact-dedup audit × the benchmark
     decontamination top-overlap rows, cross-joined on their small frames.
-    Every cell of all three former entries still hash-checks."""
+    Every cell of all three former entries still hash-checks. The
+    decontamination side always includes a constant (-1, 0) sentinel row,
+    so a CLEAN corpus (zero contaminated docs) can't annihilate the
+    cross-join and silently void the other two audits' verification."""
+    decon = (
+        q_decontamination(spark, sf_dir)
+        .withColumnRenamed("doc_id", "contaminated_doc_id")
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, 0)], "contaminated_doc_id bigint, overlap_grams bigint"
+            )
+        )
+    )
     return (
         q_token_stats(spark, sf_dir)
         .crossJoin(F.broadcast(q_exact_dedup(spark, sf_dir)))
-        .crossJoin(
-            F.broadcast(
-                q_decontamination(spark, sf_dir).withColumnRenamed(
-                    "doc_id", "contaminated_doc_id"
-                )
-            )
-        )
+        .crossJoin(F.broadcast(decon))
     )
 
 
@@ -356,7 +362,8 @@ def _sql_corpus_audit() -> str:
 SELECT * FROM ({SQL_TOKEN_STATS}) t
 CROSS JOIN ({SQL_EXACT_DEDUP}) d
 CROSS JOIN (SELECT doc_id AS contaminated_doc_id, overlap_grams
-            FROM ({SQL_DECONTAMINATION}) x) dc
+            FROM ({SQL_DECONTAMINATION}) x
+            UNION ALL SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT)) dc
 """
 
 
@@ -447,7 +454,7 @@ def q_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cap — every fixture — training input is EXACTLY the full table
     # (pytest-pinned), while at web scale the TakeOrderedAndProject bound
     # alone keeps the driver safe
-    capped = wf.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(200_000)
+    capped = TOK.cap_word_table(wf, top_v=200_000)
     merges = TOK.train_bpe(
         [(r.word, r.freq) for r in capped.collect()], num_merges=2000
     )
@@ -1025,10 +1032,10 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: two phone matches are immediately adjacent (absent by construction: the
 #: corpus is clean and the plant contains one phone). Backreferences \1/\3
 #: restore the consumed boundary characters in the replacement.
-SQL_PII_REDACTION = """
+SQL_PII_REDACTION = f"""
 WITH planted AS (
   SELECT CASE WHEN doc_id % 50 = 0
-              THEN text || ' Contact alice.smith@example.com via http://example.com/a?b=1 or 192.168.0.1 tel +1 (555) 123-4567 ok'
+              THEN text || '{_PII_PLANT}'
               ELSE text END AS text
   FROM documents
 ), c1 AS (
@@ -1038,18 +1045,18 @@ WITH planted AS (
   FROM planted
 ), c2 AS (
   SELECT orig_len, c_url,
-         len(regexp_extract_all(s1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c_email,
-         regexp_replace(s1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s2
+         len(regexp_extract_all(s1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS c_email,
+         regexp_replace(s1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS s2
   FROM c1
 ), c3 AS (
   SELECT orig_len, c_url, c_email,
-         len(regexp_extract_all(s2, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS c_ip,
-         regexp_replace(s2, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS s3
+         len(regexp_extract_all(s2, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS c_ip,
+         regexp_replace(s2, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g') AS s3
   FROM c2
 ), c4 AS (
   SELECT orig_len, c_url, c_email, c_ip,
-         len(regexp_extract_all(s3, '([^\\w.]|^)(\\+?\\d[\\d()\\-\\s.]{6,}\\d)($|[^\\w.])')) AS c_phone,
-         regexp_replace(s3, '([^\\w.]|^)(\\+?\\d[\\d()\\-\\s.]{6,}\\d)($|[^\\w.])', '\\1<PHONE>\\3', 'g') AS s4
+         len(regexp_extract_all(s3, '([^\\w.]|^)(\\+?\\d[\\d()\\-\\s.]{{6,}}\\d)($|[^\\w.])')) AS c_phone,
+         regexp_replace(s3, '([^\\w.]|^)(\\+?\\d[\\d()\\-\\s.]{{6,}}\\d)($|[^\\w.])', '\\1<PHONE>\\3', 'g') AS s4
   FROM c3
 )
 SELECT COUNT(*) AS docs_scanned,

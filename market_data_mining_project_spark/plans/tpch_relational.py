@@ -694,13 +694,12 @@ def q_relational_audits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _sql_relational_audits() -> str:
-    """Composed lazily: SQL_CSV_ROUNDTRIP lives in pipeline_io (the module
-    that owns the round-trip query) — imported at call time to keep module
-    load order irrelevant."""
-    from market_data_mining_project_spark.plans.pipeline_io import SQL_CSV_ROUNDTRIP
+# SQL_CSV_ROUNDTRIP lives in pipeline_io (the module that owns the
+# round-trip query); pipeline_io imports nothing from this module, so the
+# top-level import cannot cycle.
+from market_data_mining_project_spark.plans.pipeline_io import SQL_CSV_ROUNDTRIP
 
-    return f"""
+SQL_RELATIONAL_AUDITS = f"""
 SELECT * FROM ({SQL_EVENTS_JSON}) ej
 CROSS JOIN ({SQL_CATEGORICAL_ORDER}) co
 CROSS JOIN ({SQL_SCHEMA_INTROSPECT}) si
@@ -744,5 +743,5 @@ ORACLE = {
     "semi_anti_customers": SQL_SEMI_ANTI_CUSTOMERS,
     "pivot_category_year": SQL_PIVOT_CATEGORY_YEAR,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
-    "relational_audits": _sql_relational_audits(),
+    "relational_audits": SQL_RELATIONAL_AUDITS,
 }

@@ -115,8 +115,13 @@ def time_catalog(spark, queries, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    # fresh cache root: the probe measures computation, not cache hits
-    os.environ["SPARK_GRAFT_MODEL_DIR"] = os.path.join(WORK, "cache")
+    # fresh cache root: the probe measures computation, not cache hits —
+    # CLEARED on every run, or a re-run would serve the 1x pass warm while
+    # the rebuilt 10x fixture (new mtimes → new data_version) stays cold,
+    # corrupting the slope table
+    cache_root = os.path.join(WORK, "cache")
+    shutil.rmtree(cache_root, ignore_errors=True)
+    os.environ["SPARK_GRAFT_MODEL_DIR"] = cache_root
     from market_data_mining_project_spark.session import get_spark
 
     import __spark_entry__ as entry_mod

@@ -483,6 +483,29 @@ def test_mixture_plan_matches_recount(spark, sf_dir):
     assert any(abs(r.sample_rate - 1.0) < 1e-6 for r in got.values())
 
 
+def test_mixture_handles_null_source_end_to_end(spark):
+    """A corpus mixing NULL and named sources must plan (None-safe sort in
+    mixture_weights) AND keep its NULL-source token mass through
+    apply_mixture (eqNullSafe plan join) — neither a TypeError nor a silent
+    drop."""
+    from market_data_mining_project_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(1, "web", 100), (2, "web", 50), (3, None, 80), (4, None, 40)],
+        "doc_id int, source string, t int",
+    )
+    plan = C.mixture_weights(docs, "source", "t")
+    rows = {r.source: r for r in plan.collect()}
+    assert set(rows) == {"web", None}
+    assert rows[None].tokens == 120 and rows["web"].tokens == 150
+    # scarcest source (NULL, 120 tokens) is sampled whole
+    assert abs(rows[None].sample_rate - 1.0) < 1e-9
+    sampled = C.apply_mixture(docs, plan, "source", "doc_id", seed=1)
+    kept_null = sampled.filter(F.col("source").isNull())
+    assert kept_null.count() > 0, "NULL-source docs must survive the plan join"
+    assert kept_null.agg(F.sum("t")).collect()[0][0] == 120
+
+
 def test_leakage_free_folds_keep_near_dups_together(spark, sf_dir):
     """No ≥0.5-Jaccard near-dup pair may straddle folds, every doc gets
     exactly one fold, and fold ids live in [0, k)."""
