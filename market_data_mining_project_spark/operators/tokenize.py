@@ -269,6 +269,46 @@ def bpe_segment_words(
     return out.withColumn("n_pieces", F.size("pieces"))
 
 
+def doc_bpe_token_counts(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+    word_freqs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document REAL BPE piece counts WITHOUT re-encoding the corpus:
+    the bounded DISTINCT-word table is encoded once (Arrow,
+    :func:`bpe_segment_words`), then joined back to the corpus token
+    stream and hash-aggregated per document — the export-time twin of
+    :func:`bpe_corpus_stats`' never-re-encode-row-by-row shape. No join
+    hint: AQE broadcasts the word table while it fits (fixtures, capped
+    deployments) and falls back to a shuffle join on ``word`` when a
+    web-scale distinct-word table outgrows the threshold.
+
+    Words absent from ``word_freqs`` (the ``EOW``-marker exclusion, or an
+    out-of-cap tail when the caller capped the table) count at character
+    granularity (len + 1 for the end marker) — the documented convention
+    for marker words, and the deliberate trade a capped deployment makes.
+    Docs with zero tokens get count 0 (left join back to the id set).
+    Returns (id, bpe_pieces).
+    """
+    from market_data_mining_project_spark.operators.text import lower_tokens
+
+    wf = word_freqs if word_freqs is not None else word_freq_table(docs, text_col)
+    seg = bpe_segment_words(wf, merges).select("word", "n_pieces")
+    toks = docs.select(
+        F.col(id_col), F.explode(lower_tokens(F.col(text_col))).alias("word")
+    )
+    joined = toks.join(seg, "word", "left")
+    n = F.coalesce(F.col("n_pieces"), F.length("word") + F.lit(1))
+    counts = joined.groupBy(id_col).agg(F.sum(n).cast("long").alias("bpe_pieces"))
+    return (
+        docs.select(id_col)
+        .join(counts, id_col, "left")
+        .fillna({"bpe_pieces": 0})
+    )
+
+
 def bpe_corpus_stats(
     docs: DataFrame,
     text_col: str,

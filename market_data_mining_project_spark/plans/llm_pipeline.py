@@ -466,6 +466,47 @@ def q_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_df.crossJoin(F.broadcast(stats))
 
 
+def q_tokenized_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the training-data pipeline: tokenize the corpus under a
+    freshly induced BPE (REAL piece counts — the distinct-word table is
+    encoded once and joined back; the corpus is never re-encoded row by
+    row) and pack the per-document counts into 1024-token training
+    sequences (hash-bucketed FFD). One audit row: docs in, total BPE
+    pieces, sequences out, mean fill ratio, perfectly-filled full-chunk
+    sequences — the numbers an export job reports before writing shards.
+    Composes `bpe_tokenizer` × `sequence_packing` with real (not
+    regex-approximated) token counts. Rows-only: merge induction and FFD
+    are not SQL; pytest gates conservation (piece totals survive packing
+    exactly), per-doc counts vs pure-Python encoding, and the fill-ratio
+    floor (tests/test_tokenize.py::test_tokenized_export_*)."""
+    from market_data_mining_project_spark.operators import packing as PK
+    from market_data_mining_project_spark.operators import tokenize as TOK
+
+    docs = D.ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    wf = TOK.word_freq_table(docs, "text").localCheckpoint(eager=True)
+    merges = TOK.train_bpe(
+        [(r.word, r.freq) for r in TOK.cap_word_table(wf, top_v=200_000).collect()],
+        num_merges=500,
+    )
+    counts = TOK.doc_bpe_token_counts(docs, "text", "doc_id", merges, word_freqs=wf)
+    assigned = PK.pack_sequences(counts, "doc_id", "bpe_pieces", seq_len=1024, buckets=8)
+    stats = PK.packing_stats(assigned, seq_len=1024)
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum("bpe_pieces").alias("total_pieces"),
+    )
+    return totals.crossJoin(
+        F.broadcast(
+            stats.agg(
+                F.count(F.lit(1)).alias("sequences_out"),
+                F.sum("fill_tokens").alias("packed_pieces"),
+                F.round(F.avg("fill_ratio"), 6).alias("mean_fill_ratio"),
+                F.sum((F.col("fill_tokens") == 1024).cast("long")).alias("full_sequences"),
+            )
+        )
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup audit: embedding-level semantic dedup (KMeans cells →
     within-cell blocked exact cosine → connected components → keep-one),
@@ -1166,6 +1207,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "embedding_clusters": q_embedding_clusters,
     "bpe_tokenizer": q_bpe_tokenizer,
+    "tokenized_export": q_tokenized_export,
     "semantic_dedup": q_semantic_dedup,
     "quality_classifier": q_quality_classifier,
     "sequence_packing": q_sequence_packing,

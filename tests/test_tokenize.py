@@ -144,6 +144,59 @@ def test_word_freq_table_min_count_filters_inside_aggregate(spark):
     assert got == {"a": 4, "b": 3}
 
 
+def test_doc_bpe_token_counts_match_python_encoding(spark, sf_dir):
+    """The join-back per-doc piece counts must equal encoding every doc's
+    tokens directly with the pure-Python encoder."""
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    wf = TOK.word_freq_table(docs, "text")
+    merges = TOK.train_bpe([(r.word, r.freq) for r in wf.collect()], 100)
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {
+        r.doc_id: r.bpe_pieces
+        for r in TOK.doc_bpe_token_counts(docs, "text", "doc_id", merges, wf).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        toks = [t for t in row.text.lower().split() if t]
+        want = sum(len(TOK.encode_word(w, ranks)) for w in toks)
+        assert got[row.doc_id] == want, row.doc_id
+    assert len(got) == 60, "every doc must appear, even zero-token ones"
+
+
+def test_doc_bpe_token_counts_zero_token_and_unseen_words(spark):
+    """Docs with no tokens count 0; words missing from the (capped) table
+    fall back to character granularity (len + 1 end marker)."""
+    docs = spark.createDataFrame(
+        [(1, "low low newest"), (2, "   "), (3, "zzzq")],
+        "doc_id int, text string",
+    )
+    # train/encode table deliberately EXCLUDES doc 3's word (a capped tail)
+    wf = TOK.word_freq_table(docs.filter("doc_id = 1"), "text")
+    merges = TOK.train_bpe([(r.word, r.freq) for r in wf.collect()], 10)
+    got = {
+        r.doc_id: r.bpe_pieces
+        for r in TOK.doc_bpe_token_counts(docs, "text", "doc_id", merges, wf).collect()
+    }
+    assert got[2] == 0
+    assert got[3] == len("zzzq") + 1
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert got[1] == sum(len(TOK.encode_word(w, ranks)) for w in ["low", "low", "newest"])
+
+
+def test_tokenized_export_conserves_pieces(spark, sf_dir):
+    """End-to-end export audit: every BPE piece entering the packer comes
+    out in exactly one sequence, no sequence exceeds the cap, and packing
+    is reasonably tight."""
+    import __spark_entry__ as entry_mod
+
+    row = entry_mod.queries()["tokenized_export"](spark, sf_dir).collect()[0]
+    assert row.docs_in > 0 and row.total_pieces > 0
+    # conservation: zero-token docs contribute nothing; all other pieces land
+    assert row.packed_pieces == row.total_pieces
+    assert row.sequences_out >= row.total_pieces / 1024  # cap respected
+    assert 0.0 < row.mean_fill_ratio <= 1.0
+    assert row.full_sequences >= 0
+
+
 def test_literal_eow_marker_words_are_excluded(spark):
     """A corpus token equal to (or containing) the literal '</w>' marker
     must not pollute training statistics — boundary-marker pair counts and
