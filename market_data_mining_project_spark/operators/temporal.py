@@ -1,0 +1,204 @@
+"""Temporal join/rollup operators over event streams.
+
+Not in the reference (its time logic is day-granular pandas arithmetic,
+e.g. ``Website/market/dunnhumby/ml_models.py:262-293`` correlated
+repurchase horizons) — added as first-class engine capabilities: the three
+canonical time-series operations a market-data workload runs constantly
+and vanilla SQL engines struggle to express at scale.
+
+All three avoid the naive O(n·m) inequality-join plan:
+
+- :func:`asof_join` — one shuffle on the join key, then a single sorted
+  window pass (union + last-non-null carry-forward). No pair enumeration:
+  each row is touched once regardless of how many right rows precede it.
+- :func:`ohlc_rollup` — ONE hash aggregate (``min_by``/``max_by`` over a
+  deterministic ``(ts, tiebreak)`` struct): open/close need no window and
+  no second scan, and partial aggregation runs map-side.
+- :func:`range_join_count` — banded blocking: the left side is exploded to
+  the (bounded, ⌈radius/band⌉+1-wide) set of bands its radius can touch
+  and joined band-to-band, so the join degree is bounded by band
+  occupancy, never |left|×|right|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tolerance_secs: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the payload of the
+    LATEST right row with ``right_ts <= left_ts`` on the same ``key``
+    (the point-in-time join of quote/trade enrichment).
+
+    Plan shape (the 100 TB story): tag both sides, union, ONE shuffle on
+    ``key``, then a single ascending-``(ts, side)`` window carrying the
+    last non-null payload forward — right rows sort before left rows at
+    equal timestamps so an exactly-simultaneous right row is visible, per
+    as-of convention (``>=``). Each row is touched once; there is no
+    inequality join and no per-left-row probe. Matched right timestamp is
+    carried as ``matched_ts`` (epoch seconds, long) for tolerance /
+    staleness math.
+
+    The caller must make the right side unique per ``(key, right_ts)``
+    (pre-aggregate); ties inside one timestamp would otherwise resolve by
+    union order, which is not deterministic under shuffles.
+
+    ``tolerance_secs``: matches older than the tolerance are nulled out
+    (payload AND ``matched_ts``), mirroring pandas ``merge_asof``'s
+    ``tolerance``.
+    """
+    lt = F.col(left_ts).cast("timestamp")
+    rt = F.col(right_ts).cast("timestamp")
+    l_tagged = left.withColumn("__side", F.lit(0)).withColumn("__ats", lt)
+    r_tagged = (
+        right.select(
+            F.col(key),
+            rt.alias("__ats"),
+            *[F.col(c) for c in payload_cols],
+        )
+        .withColumn("__side", F.lit(1))
+    )
+    # unionByName with missing columns nulled: left keeps its own schema,
+    # right contributes only key/ts/payload
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # right rows first at equal ts (side desc) so `>=` semantics hold
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ats").asc(), F.col("__side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # all carries in ONE select so every last() shares the identical window
+    # spec and Catalyst emits a single Window node over the single sort
+    carried = u.select(
+        *[F.col(c) for c in u.columns if c not in payload_cols],
+        F.last(
+            F.when(F.col("__side") == 1, F.col("__ats").cast("long")),
+            ignorenulls=True,
+        ).over(w).alias("matched_ts"),
+        *[
+            F.last(F.when(F.col("__side") == 1, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(c)
+            for c in payload_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 0)
+    if tolerance_secs is not None:
+        stale = (
+            F.col("__ats").cast("long") - F.col("matched_ts") > F.lit(tolerance_secs)
+        )
+        for c in payload_cols:
+            out = out.withColumn(c, F.when(~stale, F.col(c)))
+        out = out.withColumn("matched_ts", F.when(~stale, F.col("matched_ts")))
+    return out.drop("__side", "__ats")
+
+
+def _tiebroken(ts: Column, tiebreak: Column) -> Column:
+    """Deterministic ordering struct: struct comparison is lexicographic,
+    so (ts, tiebreak) totally orders rows even under timestamp ties."""
+    return F.struct(ts.alias("t"), tiebreak.alias("b"))
+
+
+def ohlc_rollup(
+    events: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: list[str],
+    bucket_secs: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Time-bucketed OHLC (the hypertable continuous-aggregate shape):
+    per ``key × floor(ts/bucket)`` bucket — open (value at earliest
+    ``(ts, tiebreak)``), high, low, close (value at latest), event count,
+    total value.
+
+    ONE hash aggregate, no window: ``min_by``/``max_by`` over the
+    deterministic ``(ts, tiebreak)`` struct pick open/close inside the
+    same partial-aggregating pass that computes high/low/count/sum — the
+    whole rollup is map-side-combinable and shuffles only
+    |keys × buckets| partial rows, the ideal 100 TB rollup plan.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    order = _tiebroken(ts, F.col(tiebreak_col))
+    bucket = (F.floor(ts.cast("long") / bucket_secs) * bucket_secs).alias(
+        "bucket_epoch"
+    )
+    v = F.col(value_col)
+    return (
+        events.groupBy(*key_cols, bucket)
+        .agg(
+            F.min_by(v, order).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(v), 2).alias("total_value"),
+        )
+    )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    radius_secs: int,
+    agg_value: str | None = None,
+    band_secs: int | None = None,
+) -> DataFrame:
+    """Banded range join: for every left row, count (and optionally sum a
+    value over) right rows whose timestamp lies within ``±radius_secs``.
+
+    Naive SQL is an inequality cross join — O(|L|·|R|) comparisons. The
+    scale shape here is banded blocking: right rows hash into
+    ``floor(ts/band)`` bands; each left row is exploded to the
+    ⌈radius/band⌉·2+1 bands its radius can touch (a small constant) and
+    equi-joined band-to-band before the exact ``|Δt| <= radius`` filter.
+    Join degree is bounded by band occupancy — skewed bands can further be
+    salted exactly like any hot equi-join key. Default band = radius, i.e.
+    3 candidate bands per left row.
+
+    Left rows with no right row in range keep count 0 / sum 0.0 (left
+    join + coalesce). Columns: left columns + ``n_in_range`` +
+    (``value_in_range`` when ``agg_value``). Left rows must be distinct
+    (carry a key column): the post-join regroup groups by all left
+    columns, so fully-identical left rows would collapse into one.
+    """
+    band = band_secs or radius_secs
+    n_bands = -(-radius_secs // band)  # ceil
+    le = F.col(left_ts).cast("timestamp").cast("long")
+    re_ = F.col(right_ts).cast("timestamp").cast("long")
+    offsets = F.array(*[F.lit(i) for i in range(-n_bands, n_bands + 1)])
+    l_exp = left.withColumn("__lts", le).withColumn(
+        "__band",
+        F.explode(
+            F.transform(offsets, lambda o: F.floor(F.col("__lts") / band) + o)
+        ),
+    )
+    r_banded = right.select(
+        re_.alias("__rts"),
+        F.floor(re_ / band).alias("__band"),
+        *( [F.col(agg_value).alias("__rv")] if agg_value else [] ),
+    )
+    hit = F.abs(F.col("__lts") - F.col("__rts")) <= radius_secs
+    joined = l_exp.join(r_banded, "__band", "left").withColumn(
+        "__hit", F.when(hit, 1).otherwise(0)
+    )
+    group_cols = [c for c in left.columns]
+    aggs = [F.sum("__hit").cast("long").alias("n_in_range")]
+    if agg_value:
+        aggs.append(
+            F.round(
+                F.coalesce(F.sum(F.when(hit, F.col("__rv"))), F.lit(0.0)), 2
+            ).alias("value_in_range")
+        )
+    return joined.groupBy(*group_cols).agg(*aggs)

@@ -18,6 +18,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from market_data_mining_project_spark.plans import (
         analytics_domain,
         dunnhumby_domain,
+        events_temporal,
         llm_pipeline,
         pipeline_io,
         sql_api,
@@ -33,6 +34,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         analytics_domain,
         pipeline_io,
         sql_api,
+        events_temporal,
     ):
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE)

@@ -1580,15 +1580,34 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
 
 
+def q_stat_pivot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nation×brand count matrix and all four M15 differential tests in
+    ONE oracled entry (slot merge, the ``pivot_brand_matrices``/
+    ``relational_audits`` idiom — every cell of both former entries still
+    hash-checks): 25 pivot rows × 4 broadcast test rows. Each side keeps
+    its own documented plan shape (single hash-aggregate pivot; the stat
+    micro-frames)."""
+    return q_pivot_nation_brand(spark, sf_dir).crossJoin(
+        F.broadcast(q_stat_tests(spark, sf_dir))
+    )
+
+
+SQL_STAT_PIVOT_AUDIT = f"""
+SELECT * FROM ({SQL_PIVOT_NATION_BRAND}) pv
+CROSS JOIN ({SQL_STAT_TESTS}) st
+"""
+
+
 QUERIES = {
     "cf_recommendations": q_cf_recommendations,
     "hybrid_recommendations": q_hybrid_recommendations,
     "churn_features": q_churn_features,
     "horizon_labels": q_horizon_labels,
     "horizon_features": q_horizon_features,
-    "stat_tests": q_stat_tests,
+    # stat_tests + pivot_nation_brand serve through the merged
+    # stat_pivot_audit entry
+    "stat_pivot_audit": q_stat_pivot_audit,
     "pivot_brand_matrices": q_pivot_brand_matrices,
-    "pivot_nation_brand": q_pivot_nation_brand,
     "stats_assessment": q_stats_assessment,
     "brand_predictions": q_brand_predictions,
     "fpgrowth_rules": q_fpgrowth_rules,
@@ -1609,9 +1628,10 @@ ORACLE = {
     "churn_features": SQL_CHURN_FEATURES,
     "horizon_labels": SQL_HORIZON_LABELS,
     "horizon_features": SQL_HORIZON_FEATURES,
-    "stat_tests": SQL_STAT_TESTS,
+    # stat_pivot_audit carries the former stat_tests + pivot_nation_brand
+    # entries (slot merge — both remain hash-verified)
+    "stat_pivot_audit": SQL_STAT_PIVOT_AUDIT,
     "pivot_brand_matrices": SQL_PIVOT_BRAND_MATRICES,
-    "pivot_nation_brand": SQL_PIVOT_NATION_BRAND,
     "stats_assessment": _sql_stats_assessment(),
     "brand_predictions": SQL_BRAND_PREDICTIONS,
     "fpgrowth_rules": SQL_FPGROWTH_RULES,

@@ -1,0 +1,178 @@
+"""Temporal event-analytics queries — as-of join, OHLC rollup, range join.
+
+Beyond the reference's surface (its time logic is day-granular pandas
+arithmetic, ``Website/market/dunnhumby/ml_models.py:262-293``): these are
+the three canonical market-data time operations, bound to the synthetic
+``events`` table. Each has a DuckDB hash oracle — notably the as-of join
+is verified against DuckDB's NATIVE ``ASOF LEFT JOIN`` operator, i.e. an
+independent algorithm (binary-search probe) checking the Spark
+union-plus-window formulation result-for-result.
+
+All timestamps are exported as epoch seconds (integer canonicalization,
+the ``pipeline_io`` streaming-entry convention — timestamps are
+engine-format dependent, integers hash identically everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.operators import temporal as TEMP
+from market_data_mining_project_spark.sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def q_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: every view/click event is annotated with
+    the SAME user's latest prior (or simultaneous) purchase value and the
+    staleness of that purchase in whole seconds. The right side is
+    pre-aggregated to one row per (user, ts) so the as-of match is
+    deterministic under ties. No-prior-purchase events keep the row with
+    sentinel values (-1.0 / -1, the non-null canonicalization rule).
+
+    Spark plan: one shuffle on user_id + one sorted window pass
+    (operators/temporal.asof_join); the oracle is DuckDB's native ASOF
+    LEFT JOIN — two independent algorithms, hash-identical output."""
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    j = TEMP.asof_join(left, right, "user_id", "ts", "ts", ["pvalue"])
+    return j.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "value",
+        F.coalesce(F.col("pvalue"), F.lit(-1.0)).alias("last_purchase_value"),
+        F.coalesce(
+            F.col("ts").cast("long") - F.col("matched_ts"), F.lit(-1).cast("long")
+        ).alias("secs_since_purchase"),
+        F.col("matched_ts").isNotNull().cast("int").alias("has_prior"),
+    )
+
+
+SQL_ASOF_ENRICHMENT = """
+WITH l AS (
+  SELECT event_id, user_id, event_type, ts, value
+  FROM events WHERE event_type IN ('view', 'click')
+), p AS (
+  SELECT user_id, ts, MAX(value) AS pvalue
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.event_type,
+       epoch_ms(l.ts) // 1000 AS ts_epoch,
+       l.value,
+       COALESCE(p.pvalue, -1.0) AS last_purchase_value,
+       COALESCE(epoch_ms(l.ts) // 1000 - epoch_ms(p.ts) // 1000,
+                CAST(-1 AS BIGINT)) AS secs_since_purchase,
+       CASE WHEN p.ts IS NULL THEN 0 ELSE 1 END AS has_prior
+FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+"""
+
+
+def q_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per event type (the hypertable
+    continuous-aggregate shape): open/high/low/close/volume/value in ONE
+    map-side-combinable hash aggregate — ``min_by``/``max_by`` over the
+    deterministic (ts, event_id) struct, no window, no second scan. The
+    oracle re-derives open/close via row_number windows — again a
+    different algorithm, same hash."""
+    return TEMP.ohlc_rollup(
+        _events(spark, sf_dir),
+        "ts",
+        "value",
+        ["event_type"],
+        bucket_secs=3600,
+        tiebreak_col="event_id",
+    )
+
+
+SQL_OHLC_ROLLUP = """
+WITH e AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 1000 // 3600) * 3600 AS bucket_epoch,
+         value, ts, event_id
+  FROM events
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket_epoch
+                            ORDER BY ts ASC, event_id ASC) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket_epoch
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM e
+)
+SELECT event_type, bucket_epoch,
+       MAX(CASE WHEN ra = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rd = 1 THEN value END) AS close,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM r GROUP BY event_type, bucket_epoch
+"""
+
+
+def q_range_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval proximity join: for every purchase event, the count and
+    summed value of error events (any user — incident correlation) within
+    ±15 minutes. Spark plan is the banded range join (right side bucketed
+    by 900 s band, left exploded to its 3 candidate bands, equi-join then
+    exact |Δt| filter — join degree bounded by band occupancy, never
+    |L|×|R|); the oracle is the naive inequality join, affordable at
+    oracle scale."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("ts_epoch"), "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error")
+    out = TEMP.range_join_count(
+        purchases, errors, "ts_epoch", "ts", radius_secs=900, agg_value="value"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_epoch",
+        "value",
+        F.col("n_in_range").alias("n_errors_15min"),
+        F.col("value_in_range").alias("error_value_15min"),
+    )
+
+
+SQL_RANGE_JOIN_ERRORS = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_ms(ts) // 1000 AS ts_epoch, value
+  FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT epoch_ms(ts) // 1000 AS rts, value AS rv
+  FROM events WHERE event_type = 'error'
+)
+SELECT p.event_id, p.user_id, p.ts_epoch, p.value,
+       COUNT(e.rts) AS n_errors_15min,
+       ROUND(COALESCE(SUM(e.rv), 0), 2) AS error_value_15min
+FROM p LEFT JOIN e ON ABS(p.ts_epoch - e.rts) <= 900
+GROUP BY p.event_id, p.user_id, p.ts_epoch, p.value
+"""
+
+
+QUERIES = {
+    "asof_enrichment": q_asof_enrichment,
+    "ohlc_rollup": q_ohlc_rollup,
+    "range_join_errors": q_range_join_errors,
+}
+
+ORACLE = {
+    "asof_enrichment": SQL_ASOF_ENRICHMENT,
+    "ohlc_rollup": SQL_OHLC_ROLLUP,
+    "range_join_errors": SQL_RANGE_JOIN_ERRORS,
+}

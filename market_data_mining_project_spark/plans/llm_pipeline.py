@@ -278,6 +278,24 @@ FROM centroids GROUP BY label
 """
 
 
+def q_embedding_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both embedding audit reports in ONE oracled entry (slot merge, the
+    ``corpus_audit``/``relational_audits`` idiom — every cell of both
+    former entries still hash-checks): the exact brute-force cosine top-k
+    (former ``cosine_topk``, 50 rows) × the per-label centroid norms
+    (former ``embedding_label_centroids``, |labels| rows), cross-joined on
+    their small frames. Each side keeps its own documented plan shape."""
+    return q_cosine_topk(spark, sf_dir).crossJoin(
+        F.broadcast(q_embedding_label_centroids(spark, sf_dir))
+    )
+
+
+SQL_EMBEDDING_REPORTS = f"""
+SELECT * FROM ({SQL_COSINE_TOPK}) ct
+CROSS JOIN ({SQL_EMBEDDING_LABEL_CENTROIDS}) lc
+"""
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — exact all-pairs via blocked
     numpy matmul (applyInPandas per block pair; each vector replicated
@@ -331,16 +349,91 @@ FROM t GROUP BY lang
 """
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage report — the audit run before freezing a
+    tokenizer: the 50 most frequent corpus tokens with per-token share and
+    cumulative share of all token occurrences, plus corpus totals
+    (distinct/total tokens) on every row.
+
+    Scale shape: the full vocabulary only ever flows through ONE hash
+    aggregate (map-side combinable) and a TakeOrderedAndProject top-k —
+    the cumulative-share window runs over the 50 surviving rows only,
+    never over the unbounded vocabulary. Totals are a scalar aggregate
+    cross-joined on. Deterministic ordering: (freq DESC, token ASC)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    # cached: totals and top-k both consume the vocab frame — without the
+    # cache each branch re-tokenizes the raw corpus (2× the dominant scan)
+    freq = (
+        docs.select(F.explode(TXT.lower_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .cache()
+    )
+    totals = freq.agg(
+        F.sum("freq").alias("total_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+    )
+    top = freq.orderBy(F.desc("freq"), F.asc("token")).limit(50)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    ranked = top.withColumn("rank", F.row_number().over(w).cast("long")).withColumn(
+        "cum_freq",
+        F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return ranked.crossJoin(F.broadcast(totals)).select(
+        "rank",
+        "token",
+        "freq",
+        F.round(F.col("freq") / F.col("total_tokens"), 6).alias("share"),
+        F.round(F.col("cum_freq") / F.col("total_tokens"), 6).alias("cum_share"),
+        "distinct_tokens",
+        "total_tokens",
+    )
+
+
+SQL_VOCAB_COVERAGE = """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), freq AS (
+  SELECT token, COUNT(*) AS freq FROM toks GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens,
+         COUNT(*) AS distinct_tokens
+  FROM freq
+), top AS (
+  SELECT token, freq FROM freq ORDER BY freq DESC, token ASC LIMIT 50
+), ranked AS (
+  SELECT token, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rank,
+         CAST(SUM(freq) OVER (ORDER BY freq DESC, token ASC
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_freq
+  FROM top
+)
+SELECT r.rank, r.token, r.freq,
+       ROUND(CAST(r.freq AS DOUBLE) / t.total_tokens, 6) AS share,
+       ROUND(CAST(r.cum_freq AS DOUBLE) / t.total_tokens, 6) AS cum_share,
+       t.distinct_tokens, t.total_tokens
+FROM ranked r CROSS JOIN tot t
+"""
+
+
 def q_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus accounting in one oracled entry (slot-merge of the former
     ``token_stats`` + ``exact_dedup`` + ``decontamination`` entries — the
     same no-coverage-loss idiom as ``stats_assessment``): per-language
     token budgets × the corpus-level exact-dedup audit × the benchmark
-    decontamination top-overlap rows, cross-joined on their small frames.
-    Every cell of all three former entries still hash-checks. The
-    decontamination side always includes a constant (-1, 0) sentinel row,
-    so a CLEAN corpus (zero contaminated docs) can't annihilate the
-    cross-join and silently void the other two audits' verification."""
+    decontamination top-overlap rows × the end-to-end ``corpus_prep``
+    per-language budget report (former standalone entry, ``cp_``-prefixed
+    columns), cross-joined on their small frames. Every cell of all four
+    former entries still hash-checks. The decontamination side always
+    includes a constant (-1, 0) sentinel row, so a CLEAN corpus (zero
+    contaminated docs) can't annihilate the cross-join and silently void
+    the other audits' verification (corpus_prep needs no sentinel: its
+    GROUP BY always emits ≥1 language row on a non-empty corpus, and an
+    empty corpus voids every audit side at once)."""
     decon = (
         q_decontamination(spark, sf_dir)
         .withColumnRenamed("doc_id", "contaminated_doc_id")
@@ -350,10 +443,17 @@ def q_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    prep = q_corpus_prep(spark, sf_dir).select(
+        F.col("detected_lang").alias("cp_lang"),
+        F.col("docs_kept").alias("cp_docs_kept"),
+        F.col("bpe_tokens").alias("cp_bpe_tokens"),
+        F.col("avg_quality").alias("cp_avg_quality"),
+    )
     return (
         q_token_stats(spark, sf_dir)
         .crossJoin(F.broadcast(q_exact_dedup(spark, sf_dir)))
         .crossJoin(F.broadcast(decon))
+        .crossJoin(F.broadcast(prep))
     )
 
 
@@ -364,6 +464,9 @@ CROSS JOIN ({SQL_EXACT_DEDUP}) d
 CROSS JOIN (SELECT doc_id AS contaminated_doc_id, overlap_grams
             FROM ({SQL_DECONTAMINATION}) x
             UNION ALL SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT)) dc
+CROSS JOIN (SELECT detected_lang AS cp_lang, docs_kept AS cp_docs_kept,
+                   bpe_tokens AS cp_bpe_tokens, avg_quality AS cp_avg_quality
+            FROM ({SQL_CORPUS_PREP}) cp0) cp
 """
 
 
@@ -1198,7 +1301,8 @@ ORDER BY detected_lang
 QUERIES = {
     "dup_clusters": q_dup_clusters,
     "token_budget_sample": q_token_budget_sample,
-    # decontamination serves through the merged corpus_audit entry
+    # decontamination + corpus_prep serve through the merged corpus_audit
+    # entry; cosine_topk + embedding_label_centroids through embedding_reports
     "pii_redaction": q_pii_redaction,
     "lsh_topk": q_lsh_topk,
     "embedding_near_dups": q_embedding_near_dups,
@@ -1215,22 +1319,21 @@ QUERIES = {
     "mixture_apply": q_mixture_apply,
     "leakage_free_folds": q_leakage_free_folds,
     "incremental_ingest": q_incremental_ingest,
-    "corpus_prep": q_corpus_prep,
     "text_profile": q_text_profile,
     "ngram_jaccard": q_ngram_jaccard,
     "span_dedup": q_span_dedup,
-    "cosine_topk": q_cosine_topk,
-    "embedding_label_centroids": q_embedding_label_centroids,
+    "vocab_coverage": q_vocab_coverage,
+    "embedding_reports": q_embedding_reports,
 }
 
 ORACLE = {
     "dup_clusters": SQL_DUP_CLUSTERS,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     # corpus_audit carries the former token_stats + exact_dedup +
-    # decontamination entries (slot merge — all three remain hash-verified)
+    # decontamination + corpus_prep entries (slot merge — all four remain
+    # hash-verified)
     "corpus_audit": _sql_corpus_audit(),
     "bm25_search": SQL_BM25_SEARCH,
-    "corpus_prep": SQL_CORPUS_PREP,
     # ivf_topk: rows-only (KMeans cells; pytest recall gate)
     # lsh_topk: rows-only (seeded hyperplanes; pytest recall gate)
     "pii_redaction": SQL_PII_REDACTION,
@@ -1239,6 +1342,8 @@ ORACLE = {
     "text_profile": SQL_TEXT_PROFILE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "span_dedup": SQL_SPAN_DEDUP,
-    "cosine_topk": SQL_COSINE_TOPK,
-    "embedding_label_centroids": SQL_EMBEDDING_LABEL_CENTROIDS,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
+    # embedding_reports carries the former cosine_topk +
+    # embedding_label_centroids entries (slot merge)
+    "embedding_reports": SQL_EMBEDDING_REPORTS,
 }

@@ -15,30 +15,42 @@ from pyspark.sql import DataFrame, SparkSession
 
 from market_data_mining_project_spark.sources.tables import register_views
 
-# TPC-H Q1-shaped pricing summary — conditional money math, multi-aggregate,
-# single wide scan; the classic whole-stage-codegen showcase.
-SQL_PRICING_SUMMARY = """
-SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+# Three SQL reports in ONE column-aligned statement (slot merge of the
+# former sql_pricing_summary + sql_revenue_rollups entries — every cell of
+# both still hash-checks; measures a scope doesn't use are pinned to typed
+# zeros per the oracle determinism rules):
+#   'pricing'      — TPC-H Q1-shaped pricing summary (conditional money
+#                    math, multi-aggregate, single wide scan; the classic
+#                    whole-stage-codegen showcase)
+#   'segment_topk' — TPC-H Q3-shaped segment top-k (3-way join + filter +
+#                    top-k — broadcast-join + TakeOrderedAndProject)
+#   'nation'       — nation rollup through two dims (join reordering +
+#                    COUNT DISTINCT)
+SQL_REPORTS = """
+SELECT 'pricing' AS scope,
+       l_returnflag AS key1,
+       l_linestatus AS key2,
+       CAST(0 AS BIGINT) AS customers,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        ROUND(AVG(CAST(l_quantity AS DOUBLE)), 6) AS avg_qty,
        ROUND(AVG(CAST(l_discount AS DOUBLE)), 6) AS avg_disc,
-       COUNT(*) AS count_order
+       COUNT(*) AS count_order,
+       'ALL' AS detail
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
-"""
-
-# Two revenue rollups in one statement (one oracle slot): the TPC-H
-# Q3-shaped segment top-k (3-way join + filter + top-k — broadcast-join +
-# TakeOrderedAndProject showcase) UNION ALL the nation-level rollup through
-# two dims (join-reordering + COUNT DISTINCT showcase). Column-aligned with a
-# scope tag; counts default to 0, not NULL, per the oracle determinism rules.
-SQL_REVENUE_ROLLUPS = """
+UNION ALL
 SELECT 'segment_topk' AS scope,
-       CAST(o_orderkey AS STRING) AS rollup_key,
-       0 AS customers,
+       CAST(o_orderkey AS STRING) AS key1,
+       '' AS key2,
+       CAST(0 AS BIGINT) AS customers,
        revenue,
+       CAST(0 AS DOUBLE) AS sum_base_price,
+       CAST(0 AS DOUBLE) AS sum_qty,
+       CAST(0 AS DOUBLE) AS avg_qty,
+       CAST(0 AS DOUBLE) AS avg_disc,
+       CAST(0 AS BIGINT) AS count_order,
        o_orderpriority AS detail
 FROM (
   SELECT o_orderkey,
@@ -54,9 +66,15 @@ FROM (
 ) seg
 UNION ALL
 SELECT 'nation' AS scope,
-       n_name AS rollup_key,
+       n_name AS key1,
+       '' AS key2,
        COUNT(DISTINCT c_custkey) AS customers,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(0 AS DOUBLE) AS sum_base_price,
+       CAST(0 AS DOUBLE) AS sum_qty,
+       CAST(0 AS DOUBLE) AS avg_qty,
+       CAST(0 AS DOUBLE) AS avg_disc,
+       CAST(0 AS BIGINT) AS count_order,
        'ALL' AS detail
 FROM nation
 JOIN customer ON c_nationkey = n_nationkey
@@ -87,12 +105,8 @@ def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     return spark.sql(sql)
 
 
-def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run(spark, sf_dir, SQL_PRICING_SUMMARY)
-
-
-def q_sql_revenue_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run(spark, sf_dir, SQL_REVENUE_ROLLUPS)
+def q_sql_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, SQL_REPORTS)
 
 
 def q_sql_repurchase_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,14 +114,12 @@ def q_sql_repurchase_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "sql_pricing_summary": q_sql_pricing_summary,
-    "sql_revenue_rollups": q_sql_revenue_rollups,
+    "sql_reports": q_sql_reports,
     "sql_repurchase_exists": q_sql_repurchase_exists,
 }
 
 # the oracle is the SAME string Spark executes — by construction
 ORACLE = {
-    "sql_pricing_summary": SQL_PRICING_SUMMARY,
-    "sql_revenue_rollups": SQL_REVENUE_ROLLUPS,
+    "sql_reports": SQL_REPORTS,
     "sql_repurchase_exists": SQL_REPURCHASE_EXISTS,
 }

@@ -48,8 +48,7 @@ PROBE_QUERIES = (
     "lsh_topk",
     "ivf_topk",
     "semantic_dedup",
-    "cosine_topk",
-    "corpus_prep",
+    "embedding_reports",
 )
 
 

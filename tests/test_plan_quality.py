@@ -105,7 +105,7 @@ def test_product_rules_cap_bounds_self_join_input(spark, sf_dir):
 
 
 def test_pivot_queries_single_aggregate_with_broadcast_dim(spark, sf_dir):
-    for name in ("pivot_brand_matrices", "pivot_nation_brand"):
+    for name in ("pivot_brand_matrices", "stat_pivot_audit"):
         plan = _plan(spark, sf_dir, name)
         assert "BroadcastHashJoin" in plan, name  # part dim broadcast
 

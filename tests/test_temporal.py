@@ -1,0 +1,188 @@
+"""Ground-truth tests for the temporal operators (as-of join, OHLC rollup,
+banded range join) — brute-force per-row twins on crafted frames plus plan
+assertions that the scale shapes hold (no pair enumeration, no cartesian)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.operators import temporal as TEMP
+
+
+def _ts(minute: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts(10.0)),   # after r@5 → match 5
+            (2, 100, _ts(20.0)),   # exactly at r@20 → simultaneous match
+            (3, 100, _ts(3.0)),    # before any right row → no match
+            (4, 200, _ts(50.0)),   # other key, after r@40 → match 40
+            (5, 300, _ts(7.0)),    # key with no right rows at all
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts(5.0), 1.5),
+            (100, _ts(20.0), 2.5),
+            (100, _ts(30.0), 3.5),  # in the future of every left row
+            (200, _ts(40.0), 4.5),
+        ],
+        "user_id long, ts timestamp, pvalue double",
+    )
+    return left, right
+
+
+def test_asof_join_backward_semantics(spark, asof_frames):
+    left, right = asof_frames
+    out = TEMP.asof_join(left, right, "user_id", "ts", "ts", ["pvalue"])
+    got = {r.event_id: (r.pvalue, r.matched_ts) for r in out.collect()}
+    assert len(got) == 5, "every left row must survive"
+    epoch = lambda m: int(_ts(m).timestamp())
+    assert got[1] == (1.5, epoch(5.0))
+    assert got[2] == (2.5, epoch(20.0)), ">= semantics: simultaneous right row matches"
+    assert got[3] == (None, None)
+    assert got[4] == (4.5, epoch(40.0))
+    assert got[5] == (None, None)
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark, asof_frames):
+    left, right = asof_frames
+    out = TEMP.asof_join(
+        left, right, "user_id", "ts", "ts", ["pvalue"], tolerance_secs=360
+    )
+    got = {r.event_id: r.pvalue for r in out.collect()}
+    assert got[1] == 1.5      # 5 min old, inside 6-min tolerance
+    assert got[2] == 2.5      # 0 s old
+    assert got[4] is None     # 10 min old — nulled by tolerance
+
+
+def test_asof_join_matches_brute_force_on_events(spark, sf_dir):
+    """On the real events table, the window formulation must equal the
+    per-row brute-force maximum-prior lookup."""
+    from market_data_mining_project_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id", "user_id", "ts"
+    ).limit(200)
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = {
+        r.event_id: (r.pvalue, r.matched_ts)
+        for r in TEMP.asof_join(left, right, "user_id", "ts", "ts", ["pvalue"]).collect()
+    }
+    purchases = {}
+    for r in right.collect():
+        purchases.setdefault(r.user_id, []).append((r.ts, r.pvalue))
+    for row in left.collect():
+        prior = [(t, v) for t, v in purchases.get(row.user_id, []) if t <= row.ts]
+        want = max(prior) if prior else None
+        got = out[row.event_id]
+        if want is None:
+            assert got == (None, None), row.event_id
+        else:
+            assert got == (want[1], int(want[0].timestamp())), row.event_id
+
+
+def test_ohlc_rollup_matches_brute_force(spark):
+    rows = [
+        # one bucket, deliberate ts tie on the OPEN (event_id breaks it)
+        ("a", 1, _ts(0.0), 10.0),
+        ("a", 0, _ts(0.0), 11.0),   # same ts, lower id → this is the open
+        ("a", 2, _ts(30.0), 5.0),
+        ("a", 3, _ts(59.0), 8.0),   # close
+        # second bucket, single event: open=high=low=close
+        ("a", 4, _ts(70.0), 3.0),
+        # other key shares bucket 0
+        ("b", 5, _ts(1.0), 100.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    out = TEMP.ohlc_rollup(df, "ts", "value", ["event_type"], 3600, "event_id")
+    got = {(r.event_type, r.bucket_epoch): r.asDict() for r in out.collect()}
+    b0 = int(dt.datetime(2024, 1, 1).timestamp())
+    a0 = got[("a", b0)]
+    assert (a0["open"], a0["high"], a0["low"], a0["close"]) == (11.0, 11.0, 5.0, 8.0)
+    assert (a0["n_events"], a0["total_value"]) == (4, 34.0)
+    a1 = got[("a", b0 + 3600)]
+    assert (a1["open"], a1["high"], a1["low"], a1["close"]) == (3.0, 3.0, 3.0, 3.0)
+    assert got[("b", b0)]["open"] == 100.0
+    assert len(got) == 3
+
+
+def test_range_join_count_matches_brute_force(spark, sf_dir):
+    from market_data_mining_project_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("ts").cast("long").alias("lts")
+    ).limit(150)
+    right = ev.filter(F.col("event_type") == "error")
+    out = {
+        r.event_id: (r.n_in_range, r.value_in_range)
+        for r in TEMP.range_join_count(
+            left, right, "lts", "ts", radius_secs=900, agg_value="value"
+        ).collect()
+    }
+    errs = [(int(r.ts.timestamp()), r.value) for r in right.collect()]
+    for row in left.collect():
+        hits = [(t, v) for t, v in errs if abs(row.lts - t) <= 900]
+        assert out[row.event_id][0] == len(hits), row.event_id
+        assert out[row.event_id][1] == pytest.approx(
+            round(sum(v for _, v in hits), 2) if hits else 0.0, abs=0.011
+        ), row.event_id
+    assert len(out) == 150
+
+
+def test_range_join_band_width_is_semantics_free(spark, sf_dir):
+    """Band width is a physical knob: halving it must not change results."""
+    from market_data_mining_project_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("ts").cast("long").alias("lts")
+    ).limit(80)
+    right = ev.filter(F.col("event_type") == "error")
+    a = TEMP.range_join_count(left, right, "lts", "ts", 900, band_secs=900)
+    b = TEMP.range_join_count(left, right, "lts", "ts", 900, band_secs=450)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_temporal_plans_avoid_cartesian_and_python(spark, sf_dir):
+    """Scale-shape assertions: the as-of entry is a window over ONE shuffle
+    (no join node at all), and the range join is a banded equi-join — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere, no Python eval."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    def plan_of(name):
+        return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    for name in ("asof_enrichment", "ohlc_rollup", "range_join_errors"):
+        plan = plan_of(name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "EvalPython" not in plan, name
+    assert "Window" not in plan_of("ohlc_rollup"), (
+        "OHLC must be one hash aggregate, not a window"
+    )
+    asof = plan_of("asof_enrichment")
+    assert "SortMergeJoin" not in asof and "ShuffledHashJoin" not in asof, (
+        "as-of must be union+window, not an inequality join"
+    )
+    assert asof.count("Window") == 1, (
+        "matched_ts + payload carries must share ONE Window node (one sort)"
+    )
