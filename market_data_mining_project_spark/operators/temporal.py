@@ -34,6 +34,7 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     tolerance_secs: int | None = None,
+    bucket_secs: int | None = None,
 ) -> DataFrame:
     """Backward as-of join: for every left row, attach the payload of the
     LATEST right row with ``right_ts <= left_ts`` on the same ``key``
@@ -47,6 +48,16 @@ def asof_join(
     inequality join and no per-left-row probe. Matched right timestamp is
     carried as ``matched_ts`` (epoch seconds, long) for tolerance /
     staleness math.
+
+    ``bucket_secs`` — the SKEW escape hatch. ``None`` partitions the
+    window by ``key`` alone: one hot key (a symbol carrying a large share
+    of all events) sorts its entire history in one task. Setting it
+    re-grains the window to ``(key, floor(ts/bucket))`` — per-task state
+    is bounded by bucket occupancy — and stitches buckets with a carry-in
+    join: per-bucket last-right summaries (a tiny ``|key×bucket|`` frame)
+    get a prefix carry over buckets, exactly the bounded-state two-phase
+    idiom of ``text.token_budget_select``. Results are identical for any
+    bucket width (pytest-pinned); choose ~daily buckets for tick data.
 
     The caller must make the right side unique per ``(key, right_ts)``
     (pre-aggregate); ties inside one timestamp would otherwise resolve by
@@ -70,9 +81,12 @@ def asof_join(
     # unionByName with missing columns nulled: left keeps its own schema,
     # right contributes only key/ts/payload
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    part = [key] if bucket_secs is None else [key, "__bkt"]
+    if bucket_secs is not None:
+        u = u.withColumn("__bkt", F.floor(F.col("__ats").cast("long") / bucket_secs))
     # right rows first at equal ts (side desc) so `>=` semantics hold
     w = (
-        Window.partitionBy(key)
+        Window.partitionBy(*part)
         .orderBy(F.col("__ats").asc(), F.col("__side").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -91,6 +105,10 @@ def asof_join(
             for c in payload_cols
         ],
     )
+    if bucket_secs is not None:
+        carried = _stitch_bucket_carry(
+            carried, r_tagged, key, payload_cols, bucket_secs
+        )
     out = carried.filter(F.col("__side") == 0)
     if tolerance_secs is not None:
         stale = (
@@ -99,7 +117,59 @@ def asof_join(
         for c in payload_cols:
             out = out.withColumn(c, F.when(~stale, F.col(c)))
         out = out.withColumn("matched_ts", F.when(~stale, F.col("matched_ts")))
-    return out.drop("__side", "__ats")
+    return out.drop("__side", "__ats", *(["__bkt"] if bucket_secs is not None else []))
+
+
+def _stitch_bucket_carry(
+    carried: DataFrame,
+    r_tagged: DataFrame,
+    key: str,
+    payload_cols: list[str],
+    bucket_secs: int,
+) -> DataFrame:
+    """Cross-bucket stitch for the bucketed as-of window: rows whose bucket
+    holds no earlier right row take the last right payload of any PRIOR
+    bucket. The prefix carry runs over the tiny per-(key, bucket) summary
+    frame (≤ one row per key×bucket), so no task ever holds more than one
+    bucket of raw rows."""
+    bucket_last = (
+        r_tagged.withColumn(
+            "__bkt", F.floor(F.col("__ats").cast("long") / bucket_secs)
+        )
+        .groupBy(key, "__bkt")
+        .agg(
+            F.max(F.col("__ats").cast("long")).alias("__bts"),
+            *[
+                F.max_by(F.col(c), F.col("__ats")).alias(f"__bl_{c}")
+                for c in payload_cols
+            ],
+        )
+    )
+    all_buckets = carried.select(key, "__bkt").distinct()
+    w_prev = (
+        Window.partitionBy(key)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_in = all_buckets.join(bucket_last, [key, "__bkt"], "left").select(
+        key,
+        "__bkt",
+        F.last("__bts", ignorenulls=True).over(w_prev).alias("__cin_ts"),
+        *[
+            F.last(f"__bl_{c}", ignorenulls=True).over(w_prev).alias(f"__cin_{c}")
+            for c in payload_cols
+        ],
+    )
+    stitched = carried.join(carry_in, [key, "__bkt"], "left")
+    keep = [c for c in carried.columns if c != "matched_ts" and c not in payload_cols]
+    return stitched.select(
+        *keep,
+        F.coalesce(F.col("matched_ts"), F.col("__cin_ts")).alias("matched_ts"),
+        *[
+            F.coalesce(F.col(c), F.col(f"__cin_{c}")).alias(c)
+            for c in payload_cols
+        ],
+    )
 
 
 def _tiebroken(ts: Column, tiebreak: Column) -> Column:

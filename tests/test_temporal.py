@@ -186,3 +186,44 @@ def test_temporal_plans_avoid_cartesian_and_python(spark, sf_dir):
     assert asof.count("Window") == 1, (
         "matched_ts + payload carries must share ONE Window node (one sort)"
     )
+
+
+def test_asof_join_bucketed_equals_plain(spark, sf_dir):
+    """bucket_secs is a physical (skew) knob: for ANY width the bucketed
+    two-phase stitch must reproduce the single-window result exactly —
+    including buckets with no right rows (carry-in) and left rows before
+    any purchase (still unmatched)."""
+    from market_data_mining_project_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    plain = {
+        r.event_id: (r.pvalue, r.matched_ts)
+        for r in TEMP.asof_join(left, right, "user_id", "ts", "ts", ["pvalue"]).collect()
+    }
+    for bucket in (3600, 86400):  # hourly forces heavy stitching at sf0.001
+        got = {
+            r.event_id: (r.pvalue, r.matched_ts)
+            for r in TEMP.asof_join(
+                left, right, "user_id", "ts", "ts", ["pvalue"], bucket_secs=bucket
+            ).collect()
+        }
+        assert got == plain, f"bucket_secs={bucket}"
+
+
+def test_asof_join_bucketed_tolerance(spark, asof_frames):
+    """Tolerance composes with the bucketed path (applied after stitch)."""
+    left, right = asof_frames
+    out = TEMP.asof_join(
+        left, right, "user_id", "ts", "ts", ["pvalue"],
+        tolerance_secs=360, bucket_secs=60,
+    )
+    got = {r.event_id: r.pvalue for r in out.collect()}
+    assert got[1] == 1.5 and got[2] == 2.5 and got[4] is None
