@@ -42,12 +42,13 @@ def asof_join(
 
     Plan shape (the 100 TB story): tag both sides, union, ONE shuffle on
     ``key``, then a single ascending-``(ts, side)`` window carrying the
-    last non-null payload forward — right rows sort before left rows at
-    equal timestamps so an exactly-simultaneous right row is visible, per
-    as-of convention (``>=``). Each row is touched once; there is no
-    inequality join and no per-left-row probe. Matched right timestamp is
-    carried as ``matched_ts`` (epoch seconds, long) for tolerance /
-    staleness math.
+    last RIGHT-row match struct forward (ts + payload together — a matched
+    row whose payload value is NULL still wins over older rows, per ASOF
+    semantics) — right rows sort before left rows at equal timestamps so
+    an exactly-simultaneous right row is visible, per as-of convention
+    (``>=``). Each row is touched once; there is no inequality join and no
+    per-left-row probe. Matched right timestamp is carried as
+    ``matched_ts`` (epoch seconds, long) for tolerance / staleness math.
 
     ``bucket_secs`` — the SKEW escape hatch. ``None`` partitions the
     window by ``key`` alone: one hot key (a symbol carrying a large share
@@ -90,33 +91,36 @@ def asof_join(
         .orderBy(F.col("__ats").asc(), F.col("__side").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # all carries in ONE select so every last() shares the identical window
-    # spec and Catalyst emits a single Window node over the single sort
+    # The whole match (ts + every payload column) is carried as ONE struct:
+    # the struct is non-null whenever a right row exists, so a matched row
+    # whose payload value is NULL still wins over an older non-null row —
+    # exactly the ASOF semantics (match on time, take the payload as-is),
+    # and what tolerance math must see. Per-column ignorenulls carries
+    # would instead "see through" NULL payloads to stale rows. One struct
+    # also means one window expression — a single Window node.
+    match_struct = F.struct(
+        F.col("__ats").cast("long").alias("__mts"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
     carried = u.select(
         *[F.col(c) for c in u.columns if c not in payload_cols],
         F.last(
-            F.when(F.col("__side") == 1, F.col("__ats").cast("long")),
-            ignorenulls=True,
-        ).over(w).alias("matched_ts"),
-        *[
-            F.last(F.when(F.col("__side") == 1, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(c)
-            for c in payload_cols
-        ],
+            F.when(F.col("__side") == 1, match_struct), ignorenulls=True
+        ).over(w).alias("__m"),
     )
     if bucket_secs is not None:
-        carried = _stitch_bucket_carry(
-            carried, r_tagged, key, payload_cols, bucket_secs
-        )
+        carried = _stitch_bucket_carry(carried, r_tagged, key, payload_cols, bucket_secs)
     out = carried.filter(F.col("__side") == 0)
     if tolerance_secs is not None:
         stale = (
-            F.col("__ats").cast("long") - F.col("matched_ts") > F.lit(tolerance_secs)
+            F.col("__ats").cast("long") - F.col("__m.__mts") > F.lit(tolerance_secs)
         )
-        for c in payload_cols:
-            out = out.withColumn(c, F.when(~stale, F.col(c)))
-        out = out.withColumn("matched_ts", F.when(~stale, F.col("matched_ts")))
+        out = out.withColumn("__m", F.when(~stale, F.col("__m")))
+    out = out.select(
+        *[F.col(c) for c in out.columns if c != "__m"],
+        F.col("__m.__mts").alias("matched_ts"),
+        *[F.col(f"__m.{c}").alias(c) for c in payload_cols],
+    )
     return out.drop("__side", "__ats", *(["__bkt"] if bucket_secs is not None else []))
 
 
@@ -128,22 +132,22 @@ def _stitch_bucket_carry(
     bucket_secs: int,
 ) -> DataFrame:
     """Cross-bucket stitch for the bucketed as-of window: rows whose bucket
-    holds no earlier right row take the last right payload of any PRIOR
+    holds no earlier right row take the last right match of any PRIOR
     bucket. The prefix carry runs over the tiny per-(key, bucket) summary
     frame (≤ one row per key×bucket), so no task ever holds more than one
-    bucket of raw rows."""
+    bucket of raw rows. The carry moves the same ``__m`` match struct as
+    the in-bucket window — NULL payload fields ride inside a non-null
+    struct, so they can't be skipped for an older bucket's value."""
+    match_struct = F.struct(
+        F.col("__ats").cast("long").alias("__mts"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
     bucket_last = (
         r_tagged.withColumn(
             "__bkt", F.floor(F.col("__ats").cast("long") / bucket_secs)
         )
         .groupBy(key, "__bkt")
-        .agg(
-            F.max(F.col("__ats").cast("long")).alias("__bts"),
-            *[
-                F.max_by(F.col(c), F.col("__ats")).alias(f"__bl_{c}")
-                for c in payload_cols
-            ],
-        )
+        .agg(F.max_by(match_struct, F.col("__ats")).alias("__bl"))
     )
     all_buckets = carried.select(key, "__bkt").distinct()
     w_prev = (
@@ -154,21 +158,12 @@ def _stitch_bucket_carry(
     carry_in = all_buckets.join(bucket_last, [key, "__bkt"], "left").select(
         key,
         "__bkt",
-        F.last("__bts", ignorenulls=True).over(w_prev).alias("__cin_ts"),
-        *[
-            F.last(f"__bl_{c}", ignorenulls=True).over(w_prev).alias(f"__cin_{c}")
-            for c in payload_cols
-        ],
+        F.last("__bl", ignorenulls=True).over(w_prev).alias("__cin"),
     )
     stitched = carried.join(carry_in, [key, "__bkt"], "left")
-    keep = [c for c in carried.columns if c != "matched_ts" and c not in payload_cols]
+    keep = [c for c in carried.columns if c != "__m"]
     return stitched.select(
-        *keep,
-        F.coalesce(F.col("matched_ts"), F.col("__cin_ts")).alias("matched_ts"),
-        *[
-            F.coalesce(F.col(c), F.col(f"__cin_{c}")).alias(c)
-            for c in payload_cols
-        ],
+        *keep, F.coalesce(F.col("__m"), F.col("__cin")).alias("__m")
     )
 
 

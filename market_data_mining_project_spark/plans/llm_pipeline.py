@@ -363,13 +363,17 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    # cached: totals and top-k both consume the vocab frame — without the
-    # cache each branch re-tokenizes the raw corpus (2× the dominant scan)
+    # localCheckpoint (NOT cache): totals and top-k both consume the vocab
+    # frame — without materializing it each branch re-tokenizes the raw
+    # corpus (2× the dominant scan). cache() would pin the one unbounded
+    # frame of this query in executor storage for the whole session;
+    # localCheckpoint blocks are released by the context cleaner once the
+    # frame goes out of scope.
     freq = (
         docs.select(F.explode(TXT.lower_tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     totals = freq.agg(
         F.sum("freq").alias("total_tokens"),
@@ -591,7 +595,13 @@ def q_tokenized_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r.word, r.freq) for r in TOK.cap_word_table(wf, top_v=200_000).collect()],
         num_merges=500,
     )
-    counts = TOK.doc_bpe_token_counts(docs, "text", "doc_id", merges, word_freqs=wf)
+    # localCheckpoint: both the packer and the totals aggregate consume
+    # `counts` — without it each branch re-runs the corpus tokenize +
+    # distinct-word Arrow encode + join (2× the entry's dominant cost).
+    # The materialized frame is just (doc_id, long).
+    counts = TOK.doc_bpe_token_counts(
+        docs, "text", "doc_id", merges, word_freqs=wf
+    ).localCheckpoint(eager=True)
     assigned = PK.pack_sequences(counts, "doc_id", "bpe_pieces", seq_len=1024, buckets=8)
     stats = PK.packing_stats(assigned, seq_len=1024)
     totals = counts.agg(

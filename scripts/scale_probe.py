@@ -19,7 +19,6 @@ import json
 import os
 import shutil
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -103,12 +102,14 @@ def build_fixture(spark) -> str:
 
 
 def time_catalog(spark, queries, sf_dir: str) -> dict[str, float]:
-    timings = {}
+    """Delegates to bench._time_catalog (single timing implementation —
+    a drifting local copy would make probe slopes non-comparable with
+    BENCH numbers) and echoes per-query progress."""
+    import bench
+
+    probe = {n: queries[n] for n in PROBE_QUERIES}
+    timings = bench._time_catalog(spark, probe, sf_dir, repeats=1)
     for name in PROBE_QUERIES:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 2)
-        spark.catalog.clearCache()
         print(f"  {name}: {timings[name]}s", flush=True)
     return timings
 

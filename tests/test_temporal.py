@@ -227,3 +227,28 @@ def test_asof_join_bucketed_tolerance(spark, asof_frames):
     )
     got = {r.event_id: r.pvalue for r in out.collect()}
     assert got[1] == 1.5 and got[2] == 2.5 and got[4] is None
+
+
+def test_asof_join_null_payload_match_is_not_skipped(spark):
+    """A matched right row whose payload is NULL must win over an older
+    non-null row (ASOF matches on TIME; the payload rides as-is) — in the
+    plain path, the bucketed path, and under tolerance math."""
+    left = spark.createDataFrame(
+        [(1, 100, _ts(25.0))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(5.0), 1.5), (100, _ts(20.0), None)],
+        "user_id long, ts timestamp, pvalue double",
+    )
+    for bucket in (None, 60):
+        row = TEMP.asof_join(
+            left, right, "user_id", "ts", "ts", ["pvalue"], bucket_secs=bucket
+        ).collect()[0]
+        assert row.pvalue is None, f"bucket={bucket}: stale payload served"
+        assert row.matched_ts == int(_ts(20.0).timestamp()), f"bucket={bucket}"
+    # tolerance is measured against the REAL match (t=20, 300 s old): the
+    # match is fresh, so the NULL payload stands (not nulled, not replaced)
+    row = TEMP.asof_join(
+        left, right, "user_id", "ts", "ts", ["pvalue"], tolerance_secs=600
+    ).collect()[0]
+    assert row.pvalue is None and row.matched_ts == int(_ts(20.0).timestamp())
