@@ -35,10 +35,17 @@ def asof_join(
     payload_cols: list[str],
     tolerance_secs: int | None = None,
     bucket_secs: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, attach the payload of the
-    LATEST right row with ``right_ts <= left_ts`` on the same ``key``
-    (the point-in-time join of quote/trade enrichment).
+    """As-of join: for every left row, attach the payload of the matching
+    right row on the same ``key`` (the point-in-time join of quote/trade
+    enrichment). ``direction`` follows pandas ``merge_asof``:
+
+    - ``"backward"`` (default) — LATEST right row with ``right_ts <=
+      left_ts``.
+    - ``"forward"`` — EARLIEST right row with ``right_ts >= left_ts``.
+    - ``"nearest"`` — whichever of the two is closer in time; exact-tie
+      distances resolve to the backward (earlier) row, deterministically.
 
     Plan shape (the 100 TB story): tag both sides, union, ONE shuffle on
     ``key``, then a single ascending-``(ts, side)`` window carrying the
@@ -64,10 +71,13 @@ def asof_join(
     (pre-aggregate); ties inside one timestamp would otherwise resolve by
     union order, which is not deterministic under shuffles.
 
-    ``tolerance_secs``: matches older than the tolerance are nulled out
-    (payload AND ``matched_ts``), mirroring pandas ``merge_asof``'s
-    ``tolerance``.
+    ``tolerance_secs``: matches farther than the tolerance (in either
+    direction) are nulled out (payload AND ``matched_ts``), mirroring
+    pandas ``merge_asof``'s ``tolerance``.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
+    dirs = ("backward", "forward") if direction == "nearest" else (direction,)
     lt = F.col(left_ts).cast("timestamp")
     rt = F.col(right_ts).cast("timestamp")
     l_tagged = left.withColumn("__side", F.lit(0)).withColumn("__ats", lt)
@@ -85,43 +95,67 @@ def asof_join(
     part = [key] if bucket_secs is None else [key, "__bkt"]
     if bucket_secs is not None:
         u = u.withColumn("__bkt", F.floor(F.col("__ats").cast("long") / bucket_secs))
-    # right rows first at equal ts (side desc) so `>=` semantics hold
-    w = (
-        Window.partitionBy(*part)
-        .orderBy(F.col("__ats").asc(), F.col("__side").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     # The whole match (ts + every payload column) is carried as ONE struct:
     # the struct is non-null whenever a right row exists, so a matched row
     # whose payload value is NULL still wins over an older non-null row —
     # exactly the ASOF semantics (match on time, take the payload as-is),
     # and what tolerance math must see. Per-column ignorenulls carries
     # would instead "see through" NULL payloads to stale rows. One struct
-    # also means one window expression — a single Window node.
+    # also means one window expression per direction — a single Window
+    # node (two for "nearest", sharing the one Exchange).
     match_struct = F.struct(
         F.col("__ats").cast("long").alias("__mts"),
         *[F.col(c).alias(c) for c in payload_cols],
     )
-    carried = u.select(
-        *[F.col(c) for c in u.columns if c not in payload_cols],
-        F.last(
+    # backward walks time ascending (last right ≤ t); forward walks time
+    # DESCENDING so "last preceding" means first right ≥ t. Right rows
+    # sort before left at equal ts in both (side desc) — `>=`/`<=`
+    # inclusive semantics.
+    carries = {}
+    for d in dirs:
+        ats = F.col("__ats").asc() if d == "backward" else F.col("__ats").desc()
+        w = (
+            Window.partitionBy(*part)
+            .orderBy(ats, F.col("__side").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carries[d] = F.last(
             F.when(F.col("__side") == 1, match_struct), ignorenulls=True
-        ).over(w).alias("__m"),
+        ).over(w).alias(f"__m_{d}")
+    carried = u.select(
+        *[F.col(c) for c in u.columns if c not in payload_cols], *carries.values()
     )
     if bucket_secs is not None:
-        carried = _stitch_bucket_carry(carried, r_tagged, key, payload_cols, bucket_secs)
+        for d in dirs:
+            carried = _stitch_bucket_carry(
+                carried, r_tagged, key, payload_cols, bucket_secs, d
+            )
     out = carried.filter(F.col("__side") == 0)
+    if direction == "nearest":
+        mb, mf = F.col("__m_backward"), F.col("__m_forward")
+        lts = F.col("__ats").cast("long")
+        take_b = mf.isNull() | (
+            mb.isNotNull() & ((lts - mb["__mts"]) <= (mf["__mts"] - lts))
+        )
+        out = out.withColumn("__m", F.when(take_b, mb).otherwise(mf))
+    else:
+        out = out.withColumn("__m", F.col(f"__m_{direction}"))
     if tolerance_secs is not None:
         stale = (
-            F.col("__ats").cast("long") - F.col("__m.__mts") > F.lit(tolerance_secs)
+            F.abs(F.col("__ats").cast("long") - F.col("__m.__mts"))
+            > F.lit(tolerance_secs)
         )
         out = out.withColumn("__m", F.when(~stale, F.col("__m")))
-    out = out.select(
-        *[F.col(c) for c in out.columns if c != "__m"],
+    keep = [
+        c
+        for c in out.columns
+        if c not in ("__m", "__m_backward", "__m_forward", "__side", "__ats", "__bkt")
+    ]
+    return out.select(
+        *keep,
         F.col("__m.__mts").alias("matched_ts"),
         *[F.col(f"__m.{c}").alias(c) for c in payload_cols],
     )
-    return out.drop("__side", "__ats", *(["__bkt"] if bucket_secs is not None else []))
 
 
 def _stitch_bucket_carry(
@@ -130,40 +164,45 @@ def _stitch_bucket_carry(
     key: str,
     payload_cols: list[str],
     bucket_secs: int,
+    direction: str,
 ) -> DataFrame:
     """Cross-bucket stitch for the bucketed as-of window: rows whose bucket
-    holds no earlier right row take the last right match of any PRIOR
-    bucket. The prefix carry runs over the tiny per-(key, bucket) summary
-    frame (≤ one row per key×bucket), so no task ever holds more than one
-    bucket of raw rows. The carry moves the same ``__m`` match struct as
-    the in-bucket window — NULL payload fields ride inside a non-null
-    struct, so they can't be skipped for an older bucket's value."""
+    holds no matching right row take the nearest right match of a PRIOR
+    (backward) / LATER (forward) bucket. The prefix carry runs over the
+    tiny per-(key, bucket) summary frame (≤ one row per key×bucket), so no
+    task ever holds more than one bucket of raw rows. The carry moves the
+    same match struct as the in-bucket window — NULL payload fields ride
+    inside a non-null struct, so they can't be skipped for another
+    bucket's value."""
+    mcol = f"__m_{direction}"
     match_struct = F.struct(
         F.col("__ats").cast("long").alias("__mts"),
         *[F.col(c).alias(c) for c in payload_cols],
     )
-    bucket_last = (
+    pick = F.max_by if direction == "backward" else F.min_by
+    bucket_best = (
         r_tagged.withColumn(
             "__bkt", F.floor(F.col("__ats").cast("long") / bucket_secs)
         )
         .groupBy(key, "__bkt")
-        .agg(F.max_by(match_struct, F.col("__ats")).alias("__bl"))
+        .agg(pick(match_struct, F.col("__ats")).alias("__bl"))
     )
     all_buckets = carried.select(key, "__bkt").distinct()
+    order = F.col("__bkt").asc() if direction == "backward" else F.col("__bkt").desc()
     w_prev = (
         Window.partitionBy(key)
-        .orderBy("__bkt")
+        .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carry_in = all_buckets.join(bucket_last, [key, "__bkt"], "left").select(
+    carry_in = all_buckets.join(bucket_best, [key, "__bkt"], "left").select(
         key,
         "__bkt",
         F.last("__bl", ignorenulls=True).over(w_prev).alias("__cin"),
     )
     stitched = carried.join(carry_in, [key, "__bkt"], "left")
-    keep = [c for c in carried.columns if c != "__m"]
+    keep = [c for c in carried.columns if c != mcol]
     return stitched.select(
-        *keep, F.coalesce(F.col("__m"), F.col("__cin")).alias("__m")
+        *keep, F.coalesce(F.col(mcol), F.col("__cin")).alias(mcol)
     )
 
 

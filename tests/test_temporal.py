@@ -252,3 +252,82 @@ def test_asof_join_null_payload_match_is_not_skipped(spark):
         left, right, "user_id", "ts", "ts", ["pvalue"], tolerance_secs=600
     ).collect()[0]
     assert row.pvalue is None and row.matched_ts == int(_ts(20.0).timestamp())
+
+
+def test_asof_join_forward_semantics(spark, asof_frames):
+    """direction='forward': earliest right with right_ts >= left_ts."""
+    left, right = asof_frames
+    for bucket in (None, 60):
+        out = TEMP.asof_join(
+            left, right, "user_id", "ts", "ts", ["pvalue"],
+            direction="forward", bucket_secs=bucket,
+        )
+        got = {r.event_id: (r.pvalue, r.matched_ts) for r in out.collect()}
+        epoch = lambda m: int(_ts(m).timestamp())
+        assert got[1] == (2.5, epoch(20.0)), bucket   # next right after t=10
+        assert got[2] == (2.5, epoch(20.0)), bucket   # simultaneous (>=)
+        assert got[3] == (1.5, epoch(5.0)), bucket    # next right after t=3
+        assert got[4] == (None, None), bucket         # nothing after t=50
+        assert got[5] == (None, None), bucket
+
+
+def test_asof_join_nearest_semantics(spark, asof_frames):
+    """direction='nearest': closer of backward/forward; ties → backward."""
+    left, right = asof_frames
+    for bucket in (None, 60):
+        out = TEMP.asof_join(
+            left, right, "user_id", "ts", "ts", ["pvalue"],
+            direction="nearest", bucket_secs=bucket,
+        )
+        got = {r.event_id: (r.pvalue, r.matched_ts) for r in out.collect()}
+        epoch = lambda m: int(_ts(m).timestamp())
+        assert got[1] == (1.5, epoch(5.0)), bucket    # 5 min back vs 10 fwd
+        assert got[2] == (2.5, epoch(20.0)), bucket   # exact
+        assert got[3] == (1.5, epoch(5.0)), bucket    # only forward exists (2 min)
+        assert got[4] == (4.5, epoch(40.0)), bucket   # only backward exists
+        assert got[5] == (None, None), bucket
+
+
+def test_asof_join_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 9, _ts(10.0))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(9, _ts(5.0), 1.0), (9, _ts(15.0), 2.0)],
+        "user_id long, ts timestamp, pvalue double",
+    )
+    row = TEMP.asof_join(
+        left, right, "user_id", "ts", "ts", ["pvalue"], direction="nearest"
+    ).collect()[0]
+    assert row.pvalue == 1.0 and row.matched_ts == int(_ts(5.0).timestamp())
+
+
+def test_asof_join_forward_matches_brute_force_on_events(spark, sf_dir):
+    from market_data_mining_project_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id", "user_id", "ts"
+    ).limit(200)
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = {
+        r.event_id: (r.pvalue, r.matched_ts)
+        for r in TEMP.asof_join(
+            left, right, "user_id", "ts", "ts", ["pvalue"], direction="forward"
+        ).collect()
+    }
+    purchases = {}
+    for r in right.collect():
+        purchases.setdefault(r.user_id, []).append((r.ts, r.pvalue))
+    for row in left.collect():
+        after = [(t, v) for t, v in purchases.get(row.user_id, []) if t >= row.ts]
+        want = min(after) if after else None
+        got = out[row.event_id]
+        if want is None:
+            assert got == (None, None), row.event_id
+        else:
+            assert got == (want[1], int(want[0].timestamp())), row.event_id
