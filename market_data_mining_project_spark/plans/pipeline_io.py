@@ -161,6 +161,61 @@ def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bounded(stats, "enriched_stats")
 
 
+def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join (purchases ⨝ errors within ±15 min) —
+    the live twin of the batch banded range join (`range_join_errors`):
+    same pairs, same per-purchase aggregate, computed by Structured
+    Streaming's watermark-evicted symmetric hash join instead of banded
+    blocking. Pair emission is streaming; the per-purchase rollup and the
+    zero-match re-attach run batch-side on the replayed sink, so the
+    output is column-identical to the oracled batch entry — and the
+    pytest gate asserts exact frame equality
+    (tests/test_streaming_io.py::test_streaming_range_join_equals_batch).
+
+    The replay watermark covers the whole data horizon: a bounded
+    backfill reads historical files in arbitrary order, so any real
+    (eviction-enabling) watermark could drop state for rows that are
+    "late" only because of file order — the standard backfill rule:
+    watermark ≥ horizon, or feed event-time-ordered input. Live
+    deployments use a real delay and get bounded state from the join's
+    time-range condition. Rows-only (the 50-slot oracle window is full;
+    the equality gate against the hash-oracled batch entry is the same
+    strength)."""
+    stream = EV.read_event_stream(spark, sf_dir)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    errors = stream.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("e_ts"), F.col("value").alias("e_value")
+    )
+    joined = EV.interval_join_streams(
+        purchases, errors, "p_ts", "e_ts", radius_secs=900, watermark="35 days"
+    )
+    pairs = _bounded(joined, "range_pairs")
+    agg = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.round(F.sum("e_value"), 2).alias("v_matched"),
+    )
+    all_p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("long").alias("ts_epoch"),
+            "value",
+        )
+    )
+    return all_p.join(agg, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts_epoch",
+        "value",
+        F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_errors_15min"),
+        F.coalesce(F.col("v_matched"), F.lit(0.0)).alias("error_value_15min"),
+    )
+
+
 def q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op (applyInPandasWithState): running
     per-user totals. The update-mode memory sink holds one row per user
@@ -310,6 +365,7 @@ QUERIES = {
     "streaming_sessions": q_streaming_sessions,
     "running_user_totals": q_running_user_totals,
     "streaming_enriched": q_streaming_enriched,
+    "streaming_range_join": q_streaming_range_join,
     "streaming_dedup": q_streaming_dedup,
     "media_pipeline": q_media_pipeline,
 }

@@ -227,6 +227,58 @@ def enrich_stream(
     return stream.join(F.broadcast(dim), on, how)
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    radius_secs: int,
+    watermark: str = "1 hour",
+    band_secs: int | None = None,
+) -> DataFrame:
+    """Stream-STREAM interval join: emit every (left, right) pair whose
+    event times lie within ``±radius_secs`` — the live twin of the batch
+    banded range join (``operators/temporal.range_join_count``), using the
+    SAME banded-blocking idiom, which here is not merely an optimization:
+    Structured Streaming refuses stream-stream joins without an equality
+    predicate (state must hash-partition on something), and the band key
+    IS that equality — left rows explode to their ⌈radius/band⌉·2+1
+    candidate bands, right rows hash to their own band, and the exact
+    ``|Δt| ≤ radius`` conjunct filters inside each band bucket.
+
+    Both sides carry a watermark AND the join condition bounds right's
+    time relative to left's, which is what lets the symmetric hash join
+    evict state: a buffered right row is dropped once the left watermark
+    passes ``right_ts + radius`` (and symmetrically), so state is bounded
+    by ``rate × (watermark + radius)``, never the full stream history.
+    Without the time-range conjunct the join would buffer both streams
+    forever — the canonical unbounded-state mistake.
+
+    Inner join: unmatched left rows are NOT emitted (stream-stream outer
+    emission waits on the watermark); re-attach zero-match rows batch-side
+    after the replay if the consumer needs them. The timestamp columns
+    must be distinct names (both survive into the output)."""
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    band = band_secs or radius_secs
+    n_bands = -(-radius_secs // band)  # ceil
+    lt, rt = F.col(left_ts).cast("long"), F.col(right_ts).cast("long")
+    offsets = F.array(*[F.lit(i) for i in range(-n_bands, n_bands + 1)])
+    lw = left.withWatermark(left_ts, watermark).withColumn(
+        "__lband", F.explode(F.transform(offsets, lambda o: F.floor(lt / band) + o))
+    )
+    rw = right.withWatermark(right_ts, watermark).withColumn(
+        "__rband", F.floor(rt / band)
+    )
+    r = F.lit(radius_secs)
+    cond = (
+        (F.col("__lband") == F.col("__rband"))
+        & (rt >= lt - r)
+        & (rt <= lt + r)
+    )
+    return lw.join(rw, cond, "inner").drop("__lband", "__rband")
+
+
 def run_bounded(
     query_df: DataFrame,
     sink_table: str,

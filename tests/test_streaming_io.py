@@ -449,3 +449,32 @@ def test_event_stream_reads_directory_layout(spark, sf_dir, tmp_path):
     EV.run_bounded(stream, "dirlayout_events", ck, "append")
     got = spark.table("dirlayout_events").count()
     assert got == want, f"directory-layout stream read {got} of {want} rows"
+
+
+def test_streaming_range_join_equals_batch(spark, sf_dir):
+    """The stream-stream interval join entry must equal the hash-oracled
+    batch banded range join FRAME-FOR-FRAME (same pairs found by the
+    symmetric hash join as by banded blocking, zero-match purchases
+    re-attached)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    stream_rows = {
+        r.event_id: (r.user_id, r.ts_epoch, r.value, r.n_errors_15min, r.error_value_15min)
+        for r in qs["streaming_range_join"](spark, sf_dir).collect()
+    }
+    batch_rows = {
+        r.event_id: (r.user_id, r.ts_epoch, r.value, r.n_errors_15min, r.error_value_15min)
+        for r in qs["range_join_errors"](spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
+    assert any(v[3] > 0 for v in batch_rows.values()), "fixture has no matches"
+
+
+def test_interval_join_requires_distinct_ts_names(spark):
+    from market_data_mining_project_spark.streaming import events as EV
+    import pytest as _pytest
+
+    df = spark.range(1).select(F.col("id").cast("timestamp").alias("ts"))
+    with _pytest.raises(ValueError):
+        EV.interval_join_streams(df, df, "ts", "ts", 10)
