@@ -50,6 +50,22 @@ PROBE_QUERIES = (
     "embedding_reports",
 )
 
+#: events-only entries (the temporal/streaming family, added r6). The 10×
+#: events fixture extends HISTORY (each copy shifted +31 days) rather than
+#: densifying one month — so per-window density stays constant and a
+#: linear operator should slope ~10× in output, never superlinearly in
+#: comparisons.
+EVENTS_PROBE_QUERIES = (
+    "asof_enrichment",
+    "ohlc_rollup",
+    "range_join_errors",
+    "streaming_range_join",
+    "streaming_window_stats",
+    "streaming_sessions",
+    "streaming_dedup",
+    "running_user_totals",
+)
+
 
 def build_fixture(spark) -> str:
     """Replicate documents/embeddings 10× with near-dup perturbation."""
@@ -101,15 +117,41 @@ def build_fixture(spark) -> str:
     return out
 
 
-def time_catalog(spark, queries, sf_dir: str) -> dict[str, float]:
+def build_events_fixture(spark) -> str:
+    """Replicate events 10× as EXTENDED history: copy k shifts +31·k days
+    (event density per window unchanged) and re-ids events."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(WORK, "events10x")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out, exist_ok=True)
+    ev = spark.read.parquet(os.path.join(BASE, "events.parquet"))
+    n_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    copies = spark.range(COPIES).withColumnRenamed("id", "copy")
+    big = ev.crossJoin(F.broadcast(copies)).select(
+        (F.col("event_id") + F.col("copy") * n_ev).alias("event_id"),
+        F.expr("timestampadd(DAY, CAST(copy * 31 AS INT), ts)").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    big.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+    return out
+
+
+def time_catalog(spark, queries, sf_dir: str, names) -> dict[str, float]:
     """Delegates to bench._time_catalog (single timing implementation —
     a drifting local copy would make probe slopes non-comparable with
     BENCH numbers) and echoes per-query progress."""
     import bench
 
-    probe = {n: queries[n] for n in PROBE_QUERIES}
+    probe = {n: queries[n] for n in names}
     timings = bench._time_catalog(spark, probe, sf_dir, repeats=1)
-    for name in PROBE_QUERIES:
+    for name in names:
         print(f"  {name}: {timings[name]}s", flush=True)
     return timings
 
@@ -129,22 +171,41 @@ def main() -> None:
     spark = get_spark("mdmp-scale-probe", **{"spark.ui.enabled": "false"})
     queries = entry_mod.queries()
 
-    print("building 10x fixture ...", flush=True)
-    big = build_fixture(spark)
+    families = set(sys.argv[1:]) or {"docs", "events"}
+    rows = {}
 
-    print("timing 1x (sf0.1) ...", flush=True)
-    base = time_catalog(spark, queries, BASE)
-    print("timing 10x ...", flush=True)
-    scaled = time_catalog(spark, queries, big)
+    if "docs" in families:
+        print("building 10x docs/embeddings fixture ...", flush=True)
+        big = build_fixture(spark)
+        print("timing 1x (sf0.1) ...", flush=True)
+        base = time_catalog(spark, queries, BASE, PROBE_QUERIES)
+        print("timing 10x ...", flush=True)
+        scaled = time_catalog(spark, queries, big, PROBE_QUERIES)
+        rows.update({
+            name: {
+                "x1_sec": base[name],
+                "x10_sec": scaled[name],
+                "slope": round(scaled[name] / base[name], 1) if base[name] else None,
+            }
+            for name in PROBE_QUERIES
+        })
 
-    rows = {
-        name: {
-            "x1_sec": base[name],
-            "x10_sec": scaled[name],
-            "slope": round(scaled[name] / base[name], 1) if base[name] else None,
-        }
-        for name in PROBE_QUERIES
-    }
+    if "events" in families:
+        print("building 10x events fixture ...", flush=True)
+        big_ev = build_events_fixture(spark)
+        print("timing 1x events (sf0.1) ...", flush=True)
+        base = time_catalog(spark, queries, BASE, EVENTS_PROBE_QUERIES)
+        print("timing 10x events ...", flush=True)
+        scaled = time_catalog(spark, queries, big_ev, EVENTS_PROBE_QUERIES)
+        rows.update({
+            name: {
+                "x1_sec": base[name],
+                "x10_sec": scaled[name],
+                "slope": round(scaled[name] / base[name], 1) if base[name] else None,
+            }
+            for name in EVENTS_PROBE_QUERIES
+        })
+
     print(json.dumps({"copies": COPIES, "queries": rows}, indent=1))
 
 
