@@ -165,10 +165,50 @@ GROUP BY p.event_id, p.user_id, p.ts_epoch, p.value
 """
 
 
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch audit: per event type, HLL-estimated distinct
+    users + GK-approximate value quantiles beside exact counts; the 'ALL'
+    row is produced by UNIONING the per-type HLL sketches (zero re-scan of
+    the fact table — the rollup-lattice move that makes 100 TB distinct
+    counts composable), not by re-aggregating events. Rows-only: sketch
+    internals have no DuckDB twin; pytest gates pin estimate-vs-exact
+    relative error, the sketch-union == direct-sketch identity, and
+    quantile accuracy (tests/test_sketches.py)."""
+    from market_data_mining_project_spark.operators import sketches as SK
+
+    ev = _events(spark, sf_dir)
+    fine = SK.sketch_rollup(ev, ["event_type"], "user_id", "value").cache()
+    per_type = fine.select(
+        "event_type",
+        "n_rows",
+        "distinct_estimate",
+        F.round(F.col("value_quantiles")[0], 2).alias("p50"),
+        F.round(F.col("value_quantiles")[1], 2).alias("p95"),
+        F.round(F.col("value_quantiles")[2], 2).alias("p99"),
+    )
+    gq = ev.agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("q")
+    )
+    merged = (
+        SK.merge_sketches(fine, [])
+        .crossJoin(gq)
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "n_rows",
+            "distinct_estimate",
+            F.round(F.col("q")[0], 2).alias("p50"),
+            F.round(F.col("q")[1], 2).alias("p95"),
+            F.round(F.col("q")[2], 2).alias("p99"),
+        )
+    )
+    return per_type.unionByName(merged)
+
+
 QUERIES = {
     "asof_enrichment": q_asof_enrichment,
     "ohlc_rollup": q_ohlc_rollup,
     "range_join_errors": q_range_join_errors,
+    "sketch_rollup": q_sketch_rollup,
 }
 
 ORACLE = {

@@ -1,0 +1,88 @@
+"""Gates for the mergeable-sketch operators: HLL estimates vs exact
+distinct counts, the sketch-union identity (merge without re-scan), and
+GK quantile accuracy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.operators import sketches as SK
+from market_data_mining_project_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+def test_hll_estimates_within_relative_error(spark, events):
+    fine = SK.sketch_rollup(events, ["event_type"], "user_id", "value")
+    exact = {
+        r.event_type: r.exact
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for r in fine.collect():
+        err = abs(r.distinct_estimate - exact[r.event_type]) / exact[r.event_type]
+        assert err < 0.05, (r.event_type, r.distinct_estimate, exact[r.event_type])
+        assert r.n_rows > 0
+
+
+def test_sketch_union_equals_direct_sketch(spark, events):
+    """THE mergeability contract: unioning per-type sketches must give the
+    same estimate as sketching the whole table directly — same algorithm,
+    same multiset, no re-scan needed. Exact equality, not a tolerance."""
+    fine = SK.sketch_rollup(events, ["event_type"], "user_id", "value")
+    merged = SK.merge_sketches(fine, []).collect()[0]
+    direct = events.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(12))
+        ).cast("long").alias("est")
+    ).collect()[0]
+    assert merged.distinct_estimate == direct.est
+    assert merged.n_rows == events.count()
+
+
+def test_merge_to_intermediate_grain(spark, events):
+    """Merging fine (event_type) sketches up to a 2-way grain (error vs
+    non-error) matches direct sketches built at that grain."""
+    tagged = events.withColumn(
+        "is_error", (F.col("event_type") == "error").cast("int")
+    )
+    fine = SK.sketch_rollup(tagged, ["event_type", "is_error"], "user_id", "value")
+    merged = {
+        r.is_error: r.distinct_estimate
+        for r in SK.merge_sketches(fine, ["is_error"]).collect()
+    }
+    direct = {
+        r.is_error: r.distinct_estimate
+        for r in SK.sketch_rollup(tagged, ["is_error"], "user_id", "value").collect()
+    }
+    assert merged == direct
+
+
+def test_quantile_sketch_accuracy(spark, events):
+    vals = sorted(r.value for r in events.select("value").collect())
+    exact_p95 = vals[int(0.95 * (len(vals) - 1))]
+    row = (
+        SK.sketch_rollup(events, [], "user_id", "value")
+        .select(F.col("value_quantiles")[1].alias("p95"))
+        .collect()[0]
+    )
+    assert row.p95 == pytest.approx(exact_p95, rel=0.02)
+
+
+def test_sketch_rollup_catalog_entry_shape(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["sketch_rollup"](spark, sf_dir).collect()
+    by_type = {r.event_type: r for r in rows}
+    assert "ALL" in by_type and len(by_type) >= 3
+    assert by_type["ALL"].n_rows == sum(
+        r.n_rows for r in rows if r.event_type != "ALL"
+    )
+    for r in rows:
+        assert r.p50 <= r.p95 <= r.p99
+        assert 0 < r.distinct_estimate <= by_type["ALL"].distinct_estimate * 1.05
