@@ -47,9 +47,13 @@ def sketch_rollup(
 
 def merge_sketches(rollup: DataFrame, keys: list[str]) -> DataFrame:
     """Re-aggregate a sketch table to a coarser grain WITHOUT touching the
-    fact table: HLL sketches union losslessly (estimate of the union ==
-    estimate from re-scanning, pytest-pinned), row counts add. ``keys``
-    may be empty for the global rollup."""
+    fact table: HLL sketches union over the same multiset a direct sketch
+    would see, so estimates agree to within estimator noise — EXACTLY
+    while sketches are in sparse/coupon mode (small distinct counts, the
+    fixture regime), and to a fraction of a percent once dense (a union
+    falls back from the HIP estimator to the composite one; the pytest
+    gate pins a 0.5% bound, not bit-equality, for that reason). Row
+    counts add exactly. ``keys`` may be empty for the global rollup."""
     agg = [
         F.hll_union_agg("hll_sketch").alias("hll_sketch"),
         F.sum("n_rows").alias("n_rows"),

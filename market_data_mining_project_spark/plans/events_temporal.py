@@ -167,13 +167,17 @@ GROUP BY p.event_id, p.user_id, p.ts_epoch, p.value
 
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch audit: per event type, HLL-estimated distinct
-    users + GK-approximate value quantiles beside exact counts; the 'ALL'
-    row is produced by UNIONING the per-type HLL sketches (zero re-scan of
-    the fact table — the rollup-lattice move that makes 100 TB distinct
-    counts composable), not by re-aggregating events. Rows-only: sketch
-    internals have no DuckDB twin; pytest gates pin estimate-vs-exact
-    relative error, the sketch-union == direct-sketch identity, and
-    quantile accuracy (tests/test_sketches.py)."""
+    users + GK-approximate value quantiles beside exact counts. The 'ALL'
+    row's DISTINCT COUNT is produced by UNIONING the per-type HLL
+    sketches (zero re-scan of the fact table — the rollup-lattice move
+    that makes 100 TB distinct counts composable); its quantile columns
+    are a second direct ``percentile_approx`` pass over events — Spark
+    does not expose the GK sketch as a mergeable column, so global
+    quantiles cost one extra scan, stated here because a rollup budget
+    must include it. Rows-only: sketch internals have no DuckDB twin;
+    pytest gates pin estimate-vs-exact relative error, the sketch-union
+    vs direct-sketch bound, and quantile accuracy
+    (tests/test_sketches.py)."""
     from market_data_mining_project_spark.operators import sketches as SK
 
     ev = _events(spark, sf_dir)

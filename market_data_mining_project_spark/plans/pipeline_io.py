@@ -172,15 +172,22 @@ def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest gate asserts exact frame equality
     (tests/test_streaming_io.py::test_streaming_range_join_equals_batch).
 
-    The replay watermark covers the whole data horizon: a bounded
-    backfill reads historical files in arbitrary order, so any real
-    (eviction-enabling) watermark could drop state for rows that are
-    "late" only because of file order — the standard backfill rule:
-    watermark ≥ horizon, or feed event-time-ordered input. Live
-    deployments use a real delay and get bounded state from the join's
-    time-range condition. Rows-only (the 50-slot oracle window is full;
-    the equality gate against the hash-oracled batch entry is the same
-    strength)."""
+    The replay watermark covers the whole data horizon — MEASURED from the
+    data (one tiny batch min/max scan), not hardcoded, so the rule holds
+    at any fixture scale: a bounded backfill reads historical files in
+    arbitrary order, so any eviction-enabling watermark could drop state
+    for rows that are "late" only because of file order — the standard
+    backfill rule: watermark ≥ horizon, or feed event-time-ordered input.
+    Live deployments use a real delay and get bounded state from the
+    join's time-range condition. Rows-only (the 50-slot oracle window is
+    full; the equality gate against the hash-oracled batch entry is the
+    same strength)."""
+    lo, hi = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.min("ts").cast("long"), F.max("ts").cast("long"))
+        .collect()[0]
+    )
+    horizon_days = int((hi - lo) // 86400) + 2
     stream = EV.read_event_stream(spark, sf_dir)
     purchases = stream.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.col("ts").alias("p_ts"), "value"
@@ -189,7 +196,8 @@ def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("e_ts"), F.col("value").alias("e_value")
     )
     joined = EV.interval_join_streams(
-        purchases, errors, "p_ts", "e_ts", radius_secs=900, watermark="35 days"
+        purchases, errors, "p_ts", "e_ts",
+        radius_secs=900, watermark=f"{horizon_days} days",
     )
     pairs = _bounded(joined, "range_pairs")
     agg = pairs.groupBy("event_id").agg(

@@ -55,6 +55,10 @@ PROBE_QUERIES = (
 #: densifying one month — so per-window density stays constant and a
 #: linear operator should slope ~10× in output, never superlinearly in
 #: comparisons.
+#: streaming_dedup is deliberately EXCLUDED: its content key hashes
+#: (user, type, value, props) — the only columns the fixture leaves
+#: unchanged — so 9/10 of the 10× input would collapse as duplicates and
+#: the "slope" would not measure a 10× workload.
 EVENTS_PROBE_QUERIES = (
     "asof_enrichment",
     "ohlc_rollup",
@@ -62,7 +66,6 @@ EVENTS_PROBE_QUERIES = (
     "streaming_range_join",
     "streaming_window_stats",
     "streaming_sessions",
-    "streaming_dedup",
     "running_user_totals",
 )
 
@@ -161,6 +164,16 @@ def main() -> None:
     # CLEARED on every run, or a re-run would serve the 1x pass warm while
     # the rebuilt 10x fixture (new mtimes → new data_version) stays cold,
     # corrupting the slope table
+    FAMILIES = {
+        "docs": (build_fixture, PROBE_QUERIES),
+        "events": (build_events_fixture, EVENTS_PROBE_QUERIES),
+    }
+    # validate BEFORE paying the Spark session startup
+    requested = sys.argv[1:] or list(FAMILIES)
+    unknown = [f for f in requested if f not in FAMILIES]
+    if unknown:
+        raise SystemExit(f"unknown probe families {unknown}; choose from {sorted(FAMILIES)}")
+
     cache_root = os.path.join(WORK, "cache")
     shutil.rmtree(cache_root, ignore_errors=True)
     os.environ["SPARK_GRAFT_MODEL_DIR"] = cache_root
@@ -171,39 +184,22 @@ def main() -> None:
     spark = get_spark("mdmp-scale-probe", **{"spark.ui.enabled": "false"})
     queries = entry_mod.queries()
 
-    families = set(sys.argv[1:]) or {"docs", "events"}
     rows = {}
-
-    if "docs" in families:
-        print("building 10x docs/embeddings fixture ...", flush=True)
-        big = build_fixture(spark)
-        print("timing 1x (sf0.1) ...", flush=True)
-        base = time_catalog(spark, queries, BASE, PROBE_QUERIES)
-        print("timing 10x ...", flush=True)
-        scaled = time_catalog(spark, queries, big, PROBE_QUERIES)
+    for fam in requested:
+        builder, names = FAMILIES[fam]
+        print(f"building 10x {fam} fixture ...", flush=True)
+        big = builder(spark)
+        print(f"timing 1x {fam} (sf0.1) ...", flush=True)
+        base = time_catalog(spark, queries, BASE, names)
+        print(f"timing 10x {fam} ...", flush=True)
+        scaled = time_catalog(spark, queries, big, names)
         rows.update({
             name: {
                 "x1_sec": base[name],
                 "x10_sec": scaled[name],
                 "slope": round(scaled[name] / base[name], 1) if base[name] else None,
             }
-            for name in PROBE_QUERIES
-        })
-
-    if "events" in families:
-        print("building 10x events fixture ...", flush=True)
-        big_ev = build_events_fixture(spark)
-        print("timing 1x events (sf0.1) ...", flush=True)
-        base = time_catalog(spark, queries, BASE, EVENTS_PROBE_QUERIES)
-        print("timing 10x events ...", flush=True)
-        scaled = time_catalog(spark, queries, big_ev, EVENTS_PROBE_QUERIES)
-        rows.update({
-            name: {
-                "x1_sec": base[name],
-                "x10_sec": scaled[name],
-                "slope": round(scaled[name] / base[name], 1) if base[name] else None,
-            }
-            for name in EVENTS_PROBE_QUERIES
+            for name in names
         })
 
     print(json.dumps({"copies": COPIES, "queries": rows}, indent=1))

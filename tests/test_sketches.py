@@ -31,9 +31,13 @@ def test_hll_estimates_within_relative_error(spark, events):
 
 
 def test_sketch_union_equals_direct_sketch(spark, events):
-    """THE mergeability contract: unioning per-type sketches must give the
-    same estimate as sketching the whole table directly — same algorithm,
-    same multiset, no re-scan needed. Exact equality, not a tolerance."""
+    """THE mergeability contract: unioning per-type sketches must estimate
+    the same multiset as sketching the whole table directly. Bounded at
+    0.5% rather than bit-equality: in dense HLL mode a union uses the
+    composite estimator while an unmerged sketch keeps HIP, so the two
+    can diverge fractionally even over identical input (exact equality
+    holds only in sparse/coupon mode — the fixture regime, but the gate
+    must survive larger SPARK_GRAFT_TEST_SF_DIR settings)."""
     fine = SK.sketch_rollup(events, ["event_type"], "user_id", "value")
     merged = SK.merge_sketches(fine, []).collect()[0]
     direct = events.agg(
@@ -41,7 +45,7 @@ def test_sketch_union_equals_direct_sketch(spark, events):
             F.hll_sketch_agg(F.col("user_id"), F.lit(12))
         ).cast("long").alias("est")
     ).collect()[0]
-    assert merged.distinct_estimate == direct.est
+    assert abs(merged.distinct_estimate - direct.est) <= max(1, 0.005 * direct.est)
     assert merged.n_rows == events.count()
 
 
@@ -60,7 +64,9 @@ def test_merge_to_intermediate_grain(spark, events):
         r.is_error: r.distinct_estimate
         for r in SK.sketch_rollup(tagged, ["is_error"], "user_id", "value").collect()
     }
-    assert merged == direct
+    assert set(merged) == set(direct)
+    for k in direct:  # same 0.5% dense-mode bound as the global gate
+        assert abs(merged[k] - direct[k]) <= max(1, 0.005 * direct[k]), k
 
 
 def test_quantile_sketch_accuracy(spark, events):
