@@ -840,6 +840,33 @@ def _sql_stats_assessment() -> str:
     )
 
 
+def q_stats_repair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL the 1-row TPC-H audit scalars in ONE oracled entry (slot merge
+    of the former ``stats_assessment`` × ``repair_recompute_audit`` — both
+    themselves earlier merges, so this one row now hash-checks A1 global
+    stats, M16 assessment, U2/A13 dedup, P8 repair and the S9
+    delete-recompute before/after cells at once; the freed slot oracles
+    ``rolling_user_features``). 1×1-row cross join — costs nothing."""
+    from market_data_mining_project_spark.plans.tpch_relational import (
+        q_repair_recompute_audit,
+    )
+
+    return q_stats_assessment(spark, sf_dir).crossJoin(
+        F.broadcast(q_repair_recompute_audit(spark, sf_dir))
+    )
+
+
+def _sql_stats_repair_audit() -> str:
+    from market_data_mining_project_spark.plans.tpch_relational import (
+        SQL_REPAIR_RECOMPUTE_AUDIT,
+    )
+
+    return (
+        f"SELECT * FROM ({_sql_stats_assessment()}) __s "
+        f"CROSS JOIN ({SQL_REPAIR_RECOMPUTE_AUDIT}) __r"
+    )
+
+
 # --- M11/M12: heuristic predictions (multi-window stats + scoring formulas) -------
 
 
@@ -1608,7 +1635,9 @@ QUERIES = {
     # stat_pivot_audit entry
     "stat_pivot_audit": q_stat_pivot_audit,
     "pivot_brand_matrices": q_pivot_brand_matrices,
-    "stats_assessment": q_stats_assessment,
+    # stats_assessment + (tpch) repair_recompute_audit serve through the
+    # merged stats_repair_audit entry
+    "stats_repair_audit": q_stats_repair_audit,
     "brand_predictions": q_brand_predictions,
     "fpgrowth_rules": q_fpgrowth_rules,
     "horizon_predictions": q_horizon_predictions,
@@ -1632,7 +1661,7 @@ ORACLE = {
     # entries (slot merge — both remain hash-verified)
     "stat_pivot_audit": SQL_STAT_PIVOT_AUDIT,
     "pivot_brand_matrices": SQL_PIVOT_BRAND_MATRICES,
-    "stats_assessment": _sql_stats_assessment(),
+    "stats_repair_audit": _sql_stats_repair_audit(),
     "brand_predictions": SQL_BRAND_PREDICTIONS,
     "fpgrowth_rules": SQL_FPGROWTH_RULES,
     # als_recommendations / churn_model_scores / churn_threshold_sweep /

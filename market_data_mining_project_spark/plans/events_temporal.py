@@ -165,6 +165,64 @@ GROUP BY p.event_id, p.user_id, p.ts_epoch, p.value
 """
 
 
+def q_rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-user activity features at every event (the
+    rolling-window feature shape every churn/fraud model consumes): event
+    count, total and average value over a RANGE frame — time-based, not
+    row-based, so sparse and dense users get the same 7-day semantics.
+    One shuffle on user_id, one sorted window.
+
+    Everything exported is INTEGER-exact: the frame boundary compares
+    epoch-second longs, money sums in cents (the 2-decimal values are
+    exactly representable there), and the average is integer division in
+    cents×10⁴ — a ROUND(AVG(double)) export hit a genuine half-ulp tie at
+    sf0.1 (sum/2ᵏ frames land exactly on the .5 boundary at any rounding
+    precision, and the two engines' double-rounding paths break the tie
+    differently), so no double leaves this query except the raw value."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("__cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_epoch")
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_epoch",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_events_7d"),
+        F.sum("__cents").over(w).alias("value_7d_cents"),
+    ).withColumn(
+        "avg_value_7d_microunits",
+        F.expr("(value_7d_cents * 10000) DIV n_events_7d"),
+    )
+
+
+SQL_ROLLING_USER_FEATURES = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) // 1000 AS ts_epoch, value,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id, ts_epoch, value,
+       COUNT(*) OVER w AS n_events_7d,
+       CAST(SUM(cents) OVER w AS BIGINT) AS value_7d_cents,
+       (CAST(SUM(cents) OVER w AS BIGINT) * 10000) // (COUNT(*) OVER w)
+           AS avg_value_7d_microunits
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch audit: per event type, HLL-estimated distinct
     users + GK-approximate value quantiles beside exact counts. The 'ALL'
@@ -212,6 +270,7 @@ QUERIES = {
     "asof_enrichment": q_asof_enrichment,
     "ohlc_rollup": q_ohlc_rollup,
     "range_join_errors": q_range_join_errors,
+    "rolling_user_features": q_rolling_user_features,
     "sketch_rollup": q_sketch_rollup,
 }
 
@@ -219,4 +278,6 @@ ORACLE = {
     "asof_enrichment": SQL_ASOF_ENRICHMENT,
     "ohlc_rollup": SQL_OHLC_ROLLUP,
     "range_join_errors": SQL_RANGE_JOIN_ERRORS,
+    "rolling_user_features": SQL_ROLLING_USER_FEATURES,
+    # sketch_rollup: rows-only (sketch internals; pytest gates)
 }

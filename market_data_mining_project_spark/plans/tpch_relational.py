@@ -719,7 +719,8 @@ QUERIES = {
     "filtered_scan": q_filtered_scan,
     "search_icontains": q_search,
     "pagination": q_pagination,
-    "repair_recompute_audit": q_repair_recompute_audit,
+    # repair_recompute_audit serves through analytics_domain's merged
+    # stats_repair_audit entry (function + SQL stay here, reused there)
     "order_gaps": q_order_gaps,
     "monthly_sales": q_monthly_sales,
     "conditional_horizons": q_conditional_horizons,
@@ -736,7 +737,6 @@ ORACLE = {
     "filtered_scan": SQL_FILTERED_SCAN,
     "search_icontains": SQL_SEARCH,
     "pagination": SQL_PAGINATION,
-    "repair_recompute_audit": SQL_REPAIR_RECOMPUTE_AUDIT,
     "order_gaps": SQL_ORDER_GAPS,
     "monthly_sales": SQL_MONTHLY_SALES,
     "conditional_horizons": SQL_CONDITIONAL_HORIZONS,

@@ -331,3 +331,30 @@ def test_asof_join_forward_matches_brute_force_on_events(spark, sf_dir):
             assert got == (None, None), row.event_id
         else:
             assert got == (want[1], int(want[0].timestamp())), row.event_id
+
+
+def test_rolling_user_features_boundary_inclusive(spark):
+    """RANGE frame boundary: an event exactly 7 days (604800 s) older is
+    INCLUDED; one second older is not. Peers at the same second all count."""
+    import __spark_entry__ as entry_mod  # noqa: F401  (shape parity below)
+    from market_data_mining_project_spark.plans.events_temporal import (
+        q_rolling_user_features,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (1, 7, base, 10.0),
+        (2, 7, base + dt.timedelta(seconds=604800), 5.0),      # exactly 7d later
+        (3, 7, base + dt.timedelta(seconds=604801), 2.0),      # 7d + 1s later
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="rolling_fixture_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r.event_id: (r.n_events_7d, r.value_7d_cents, r.avg_value_7d_microunits)
+           for r in q_rolling_user_features(spark, d).collect()}
+    assert got[1] == (1, 1000, 10_000_000)
+    assert got[2] == (2, 1500, 7_500_000), "event exactly 604800 s earlier must be in frame"
+    assert got[3] == (2, 700, 3_500_000), "frame slid past the first event"
