@@ -731,19 +731,33 @@ GROUP BY p_brand
 
 
 def q_pivot_brand_matrices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both brand-keyed M15 pivot matrices in ONE oracled entry (slot-merge:
-    quarter-sales columns ⨝ segment-count columns on the shared p_brand row
-    key — every cell of the former separate entries still hash-checks).
-    Each side stays its own single hash-aggregate pivot; the join is 25×25
-    rows, broadcast."""
-    return q_pivot_brand_quarter(spark, sf_dir).join(
-        F.broadcast(q_pivot_segment_brand(spark, sf_dir)), "p_brand"
+    """ALL three M15 pivot matrices in ONE oracled entry (slot-merge:
+    quarter-sales columns ⨝ segment-count columns on the shared p_brand
+    row key, × the 6-row category×year matrix broadcast-crossed on — every
+    cell of the former separate `pivot_brand_quarter` /
+    `pivot_segment_brand` / `pivot_category_year` entries still
+    hash-checks; the freed slot oracles `sales_rollup`). Each side stays
+    its own single hash-aggregate pivot."""
+    from market_data_mining_project_spark.plans.tpch_relational import (
+        q_pivot_category_year,
+    )
+
+    return (
+        q_pivot_brand_quarter(spark, sf_dir)
+        .join(F.broadcast(q_pivot_segment_brand(spark, sf_dir)), "p_brand")
+        .crossJoin(F.broadcast(q_pivot_category_year(spark, sf_dir)))
     )
 
 
-SQL_PIVOT_BRAND_MATRICES = f"""
-SELECT bq.*, sb.* EXCLUDE (p_brand)
+def _sql_pivot_brand_matrices() -> str:
+    from market_data_mining_project_spark.plans.tpch_relational import (
+        SQL_PIVOT_CATEGORY_YEAR,
+    )
+
+    return f"""
+SELECT bq.*, sb.* EXCLUDE (p_brand), cy.*
 FROM ({SQL_PIVOT_BRAND_QUARTER}) bq JOIN ({SQL_PIVOT_SEGMENT_BRAND}) sb USING (p_brand)
+CROSS JOIN ({SQL_PIVOT_CATEGORY_YEAR}) cy
 """
 
 
@@ -1660,7 +1674,7 @@ ORACLE = {
     # stat_pivot_audit carries the former stat_tests + pivot_nation_brand
     # entries (slot merge — both remain hash-verified)
     "stat_pivot_audit": SQL_STAT_PIVOT_AUDIT,
-    "pivot_brand_matrices": SQL_PIVOT_BRAND_MATRICES,
+    "pivot_brand_matrices": _sql_pivot_brand_matrices(),
     "stats_repair_audit": _sql_stats_repair_audit(),
     "brand_predictions": SQL_BRAND_PREDICTIONS,
     "fpgrowth_rules": SQL_FPGROWTH_RULES,

@@ -511,6 +511,56 @@ GROUP BY p_type
 )
 
 
+# --- A-family: multi-grain ROLLUP in one pass --------------------------------------
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical GROUPING-SETS aggregate: order count + revenue at
+    (year, priority), (year) and grand-total grains in ONE pass
+    (``rollup`` expands the sets inside a single Expand+HashAggregate —
+    the OLAP multi-grain rollup without re-scanning per grain, the same
+    lattice economics as the sketch rollup but exact). Subtotal rows are
+    disambiguated from real data by ``grouping_level`` (GROUPING bitmask,
+    identical in both engines) and the aggregated-out keys are coalesced
+    to typed sentinels (-1 / 'ALL'), the non-null canonicalization rule."""
+    o = _orders(spark, sf_dir).select(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").alias("priority"),
+        money("o_totalprice").alias("p"),
+    )
+    agg = o.rollup("yr", "priority").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.sum("p").cast("double").alias("total_sales"),
+        (F.grouping("yr") * 2 + F.grouping("priority"))
+        .cast("int")
+        .alias("grouping_level"),
+    )
+    return agg.select(
+        F.coalesce(F.col("yr"), F.lit(-1)).alias("yr"),
+        F.coalesce(F.col("priority"), F.lit("ALL")).alias("priority"),
+        "grouping_level",
+        "order_count",
+        "total_sales",
+    )
+
+
+SQL_SALES_ROLLUP = """
+WITH o AS (
+  SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+         o_orderpriority AS priority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders
+)
+SELECT COALESCE(yr, -1) AS yr,
+       COALESCE(priority, 'ALL') AS priority,
+       CAST(GROUPING(yr) * 2 + GROUPING(priority) AS INT) AS grouping_level,
+       COUNT(*) AS order_count,
+       CAST(SUM(p) AS DOUBLE) AS total_sales
+FROM o
+GROUP BY ROLLUP (yr, priority)
+"""
+
+
 # --- W1: deterministic stratified sample -------------------------------------------
 
 
@@ -725,7 +775,9 @@ QUERIES = {
     "monthly_sales": q_monthly_sales,
     "conditional_horizons": q_conditional_horizons,
     "semi_anti_customers": q_semi_anti_customers,
-    "pivot_category_year": q_pivot_category_year,
+    # pivot_category_year serves through analytics_domain's merged
+    # pivot_brand_matrices entry (function + SQL stay here, reused there)
+    "sales_rollup": q_sales_rollup,
     "stratified_sample": q_stratified_sample,
     "relational_audits": q_relational_audits,
 }
@@ -741,7 +793,7 @@ ORACLE = {
     "monthly_sales": SQL_MONTHLY_SALES,
     "conditional_horizons": SQL_CONDITIONAL_HORIZONS,
     "semi_anti_customers": SQL_SEMI_ANTI_CUSTOMERS,
-    "pivot_category_year": SQL_PIVOT_CATEGORY_YEAR,
+    "sales_rollup": SQL_SALES_ROLLUP,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "relational_audits": SQL_RELATIONAL_AUDITS,
 }
