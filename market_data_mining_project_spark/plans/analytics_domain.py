@@ -1621,6 +1621,39 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
 
 
+def q_brand_outlook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both brand-grain analytics reports in ONE oracled entry (slot
+    merge): the 25-row A8 conditional-horizon stats × the 10-row M11/M12
+    projection scoring (``bp_``-prefixed columns so the two brand keys
+    stay distinguishable), cross-joined so every cell of both former
+    ``conditional_horizons`` / ``brand_predictions`` entries still
+    hash-checks. The freed slot oracles ``funnel_analysis``."""
+    from market_data_mining_project_spark.plans.tpch_relational import (
+        q_conditional_horizons,
+    )
+
+    bp = q_brand_predictions(spark, sf_dir)
+    bp = bp.select(*[F.col(c).alias(f"bp_{c}") for c in bp.columns])
+    return q_conditional_horizons(spark, sf_dir).crossJoin(F.broadcast(bp))
+
+
+def _sql_brand_outlook() -> str:
+    from market_data_mining_project_spark.plans.tpch_relational import (
+        SQL_CONDITIONAL_HORIZONS,
+    )
+
+    return f"""
+SELECT ch.*, bp.*
+FROM ({SQL_CONDITIONAL_HORIZONS}) ch
+CROSS JOIN (SELECT p_brand AS bp_p_brand, recent_rev AS bp_recent_rev,
+                   prev_rev AS bp_prev_rev,
+                   recent_customers AS bp_recent_customers,
+                   momentum AS bp_momentum, confidence AS bp_confidence,
+                   projected_revenue AS bp_projected_revenue
+            FROM ({SQL_BRAND_PREDICTIONS}) bp0) bp
+"""
+
+
 def q_stat_pivot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The nation×brand count matrix and all four M15 differential tests in
     ONE oracled entry (slot merge, the ``pivot_brand_matrices``/
@@ -1652,7 +1685,9 @@ QUERIES = {
     # stats_assessment + (tpch) repair_recompute_audit serve through the
     # merged stats_repair_audit entry
     "stats_repair_audit": q_stats_repair_audit,
-    "brand_predictions": q_brand_predictions,
+    # conditional_horizons + brand_predictions serve through the merged
+    # brand_outlook entry
+    "brand_outlook": q_brand_outlook,
     "fpgrowth_rules": q_fpgrowth_rules,
     "horizon_predictions": q_horizon_predictions,
     "model_grid_metrics": q_model_grid_metrics,
@@ -1676,7 +1711,7 @@ ORACLE = {
     "stat_pivot_audit": SQL_STAT_PIVOT_AUDIT,
     "pivot_brand_matrices": _sql_pivot_brand_matrices(),
     "stats_repair_audit": _sql_stats_repair_audit(),
-    "brand_predictions": SQL_BRAND_PREDICTIONS,
+    "brand_outlook": _sql_brand_outlook(),
     "fpgrowth_rules": SQL_FPGROWTH_RULES,
     # als_recommendations / churn_model_scores / churn_threshold_sweep /
     # minhash_candidates / simhash_near_dups: rows-only (pytest ground truth)

@@ -223,6 +223,91 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch
 """
 
 
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user: first view → first click AT OR
+    AFTER that view → first purchase at or after that click; the stage
+    reached (0–3) and the view→purchase conversion time. The canonical
+    product-analytics sequence query, expressed as three conditional MIN
+    aggregates chained by equi-joins on user (each stage's events filter
+    against the previous stage's anchor timestamp) — all hash-partitioned
+    on user_id, no per-user iteration, no window over unbounded history.
+    Un-reached stages export -1 sentinels (non-null canonicalization)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("te")
+    )
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("te").alias("t_view")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("te") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("te").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("te") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("te").alias("t_purchase"))
+    )
+    users = ev.select("user_id").distinct()
+    out = (
+        users.join(views, "user_id", "left")
+        .join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+    )
+    stage = (
+        F.col("t_view").isNotNull().cast("int")
+        + F.col("t_click").isNotNull().cast("int")
+        + F.col("t_purchase").isNotNull().cast("int")
+    )
+    neg = F.lit(-1).cast("long")
+    return out.select(
+        "user_id",
+        stage.alias("funnel_stage"),
+        F.coalesce(F.col("t_view"), neg).alias("t_view"),
+        F.coalesce(F.col("t_click"), neg).alias("t_click"),
+        F.coalesce(F.col("t_purchase"), neg).alias("t_purchase"),
+        F.coalesce(F.col("t_purchase") - F.col("t_view"), neg).alias(
+            "secs_to_convert"
+        ),
+    )
+
+
+SQL_FUNNEL_ANALYSIS = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) // 1000 AS te FROM events
+), v AS (
+  SELECT user_id, MIN(te) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(te) AS t_click
+  FROM e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND te >= t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(te) AS t_purchase
+  FROM e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND te >= t_click
+  GROUP BY e.user_id
+), u AS (
+  SELECT DISTINCT user_id FROM e
+)
+SELECT u.user_id,
+       CAST((v.t_view IS NOT NULL) AS INT) + CAST((c.t_click IS NOT NULL) AS INT)
+           + CAST((p.t_purchase IS NOT NULL) AS INT) AS funnel_stage,
+       COALESCE(v.t_view, CAST(-1 AS BIGINT)) AS t_view,
+       COALESCE(c.t_click, CAST(-1 AS BIGINT)) AS t_click,
+       COALESCE(p.t_purchase, CAST(-1 AS BIGINT)) AS t_purchase,
+       COALESCE(p.t_purchase - v.t_view, CAST(-1 AS BIGINT)) AS secs_to_convert
+FROM u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch audit: per event type, HLL-estimated distinct
     users + GK-approximate value quantiles beside exact counts. The 'ALL'
@@ -271,6 +356,7 @@ QUERIES = {
     "ohlc_rollup": q_ohlc_rollup,
     "range_join_errors": q_range_join_errors,
     "rolling_user_features": q_rolling_user_features,
+    "funnel_analysis": q_funnel_analysis,
     "sketch_rollup": q_sketch_rollup,
 }
 
@@ -279,5 +365,6 @@ ORACLE = {
     "ohlc_rollup": SQL_OHLC_ROLLUP,
     "range_join_errors": SQL_RANGE_JOIN_ERRORS,
     "rolling_user_features": SQL_ROLLING_USER_FEATURES,
+    "funnel_analysis": SQL_FUNNEL_ANALYSIS,
     # sketch_rollup: rows-only (sketch internals; pytest gates)
 }

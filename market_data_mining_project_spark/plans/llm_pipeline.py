@@ -924,6 +924,25 @@ FROM labels GROUP BY cluster
 """
 
 
+def q_dedup_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup PIPELINE's two report grains in ONE oracled entry
+    (slot merge): the exact-Jaccard pair table (former ``ngram_jaccard``,
+    25 rows) × its connected-component cluster rollup (former
+    ``dup_clusters``, 23 rows, broadcast) — literally stage N and stage
+    N+1 of the same dedup pipeline, every cell of both still
+    hash-checked. The freed slot oracles ``cohort_retention``."""
+    return q_ngram_jaccard(spark, sf_dir).crossJoin(
+        F.broadcast(q_dup_clusters(spark, sf_dir))
+    )
+
+
+def _sql_dedup_reports() -> str:
+    return f"""
+SELECT * FROM ({SQL_NGRAM_JACCARD}) nj
+CROSS JOIN ({SQL_DUP_CLUSTERS}) dc
+"""
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus preparation — the composition every piece
     above exists for: language ID → quality floor → exact dedup (md5
@@ -1309,7 +1328,8 @@ ORDER BY detected_lang
 
 
 QUERIES = {
-    "dup_clusters": q_dup_clusters,
+    # ngram_jaccard + dup_clusters serve through the merged dedup_reports entry
+    "dedup_reports": q_dedup_reports,
     "token_budget_sample": q_token_budget_sample,
     # decontamination + corpus_prep serve through the merged corpus_audit
     # entry; cosine_topk + embedding_label_centroids through embedding_reports
@@ -1330,14 +1350,13 @@ QUERIES = {
     "leakage_free_folds": q_leakage_free_folds,
     "incremental_ingest": q_incremental_ingest,
     "text_profile": q_text_profile,
-    "ngram_jaccard": q_ngram_jaccard,
     "span_dedup": q_span_dedup,
     "vocab_coverage": q_vocab_coverage,
     "embedding_reports": q_embedding_reports,
 }
 
 ORACLE = {
-    "dup_clusters": SQL_DUP_CLUSTERS,
+    "dedup_reports": _sql_dedup_reports(),
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     # corpus_audit carries the former token_stats + exact_dedup +
     # decontamination + corpus_prep entries (slot merge — all four remain
@@ -1350,7 +1369,6 @@ ORACLE = {
     "mixture_plan": SQL_MIXTURE_PLAN,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "text_profile": SQL_TEXT_PROFILE,
-    "ngram_jaccard": SQL_NGRAM_JACCARD,
     "span_dedup": SQL_SPAN_DEDUP,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     # embedding_reports carries the former cosine_topk +

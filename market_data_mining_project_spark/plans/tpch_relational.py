@@ -561,6 +561,66 @@ GROUP BY ROLLUP (yr, priority)
 """
 
 
+# --- cohort retention: acquisition-quarter × activity-offset matrix ----------------
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers grouped by acquisition quarter (their
+    first order), counted as retained in every quarter-offset in which
+    they ordered again — the (cohort, offset) matrix behind every
+    retention curve. Shape: one min-aggregate for the cohort anchor, one
+    broadcast-free equi-join back on the customer key (co-partitioned
+    with the activity aggregate), one distinct count per cell; quarter
+    indices are pure integer math (year*4 + quarter), so both engines
+    compare exact ints. ``retained_pct`` is the only double and divides
+    two exact longs."""
+    o = _orders(spark, sf_dir).select(
+        "o_custkey",
+        (F.year("o_orderdate") * 4 + F.quarter("o_orderdate") - 1).cast("long").alias("qidx"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("qidx").alias("cohort_q"))
+    cohort_sizes = cohort.groupBy("cohort_q").agg(
+        F.countDistinct("o_custkey").alias("cohort_customers")
+    )
+    activity = (
+        o.join(cohort, "o_custkey")
+        .groupBy("cohort_q", (F.col("qidx") - F.col("cohort_q")).alias("offset_q"))
+        .agg(F.countDistinct("o_custkey").alias("retained_customers"))
+    )
+    return activity.join(cohort_sizes, "cohort_q").select(
+        "cohort_q",
+        "offset_q",
+        "retained_customers",
+        "cohort_customers",
+        F.round(
+            F.col("retained_customers") / F.col("cohort_customers"), 6
+        ).alias("retained_pct"),
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(YEAR(o_orderdate) * 4 + QUARTER(o_orderdate) - 1 AS BIGINT) AS qidx
+  FROM orders
+), cohort AS (
+  SELECT o_custkey, MIN(qidx) AS cohort_q FROM o GROUP BY o_custkey
+), sizes AS (
+  SELECT cohort_q, COUNT(DISTINCT o_custkey) AS cohort_customers
+  FROM cohort GROUP BY cohort_q
+), activity AS (
+  SELECT c.cohort_q, o.qidx - c.cohort_q AS offset_q,
+         COUNT(DISTINCT o.o_custkey) AS retained_customers
+  FROM o JOIN cohort c USING (o_custkey)
+  GROUP BY c.cohort_q, o.qidx - c.cohort_q
+)
+SELECT a.cohort_q, a.offset_q, a.retained_customers, s.cohort_customers,
+       ROUND(CAST(a.retained_customers AS DOUBLE) / s.cohort_customers, 6)
+           AS retained_pct
+FROM activity a JOIN sizes s USING (cohort_q)
+"""
+
+
 # --- W1: deterministic stratified sample -------------------------------------------
 
 
@@ -773,11 +833,13 @@ QUERIES = {
     # stats_repair_audit entry (function + SQL stay here, reused there)
     "order_gaps": q_order_gaps,
     "monthly_sales": q_monthly_sales,
-    "conditional_horizons": q_conditional_horizons,
+    # conditional_horizons serves through analytics_domain's merged
+    # brand_outlook entry (function + SQL stay here, reused there)
     "semi_anti_customers": q_semi_anti_customers,
     # pivot_category_year serves through analytics_domain's merged
     # pivot_brand_matrices entry (function + SQL stay here, reused there)
     "sales_rollup": q_sales_rollup,
+    "cohort_retention": q_cohort_retention,
     "stratified_sample": q_stratified_sample,
     "relational_audits": q_relational_audits,
 }
@@ -791,9 +853,9 @@ ORACLE = {
     "pagination": SQL_PAGINATION,
     "order_gaps": SQL_ORDER_GAPS,
     "monthly_sales": SQL_MONTHLY_SALES,
-    "conditional_horizons": SQL_CONDITIONAL_HORIZONS,
     "semi_anti_customers": SQL_SEMI_ANTI_CUSTOMERS,
     "sales_rollup": SQL_SALES_ROLLUP,
+    "cohort_retention": SQL_COHORT_RETENTION,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "relational_audits": SQL_RELATIONAL_AUDITS,
 }

@@ -32,9 +32,10 @@ COPIES = 10
 PROBE_QUERIES = (
     "corpus_audit",
     "text_profile",
-    "ngram_jaccard",
+    # ngram_jaccard + dup_clusters now serve through the merged
+    # dedup_reports entry (pair table × cluster rollup timed together)
+    "dedup_reports",
     "span_dedup",
-    "dup_clusters",
     "minhash_candidates",
     "simhash_near_dups",
     "bm25_search",
