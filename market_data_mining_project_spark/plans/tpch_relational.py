@@ -571,16 +571,18 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention curve. Shape: one min-aggregate for the cohort anchor, one
     broadcast-free equi-join back on the customer key (co-partitioned
     with the activity aggregate), one distinct count per cell; quarter
-    indices are pure integer math (year*4 + quarter), so both engines
-    compare exact ints. ``retained_pct`` is the only double and divides
-    two exact longs."""
+    indices are pure integer math (year*4 + quarter) and the retention
+    ratio exports as parts-per-million integer division — nothing in the
+    row can hit a cross-engine double-rounding tie."""
     o = _orders(spark, sf_dir).select(
         "o_custkey",
         (F.year("o_orderdate") * 4 + F.quarter("o_orderdate") - 1).cast("long").alias("qidx"),
     )
     cohort = o.groupBy("o_custkey").agg(F.min("qidx").alias("cohort_q"))
+    # cohort has one row per customer by construction — plain count,
+    # not a needless two-phase distinct aggregate
     cohort_sizes = cohort.groupBy("cohort_q").agg(
-        F.countDistinct("o_custkey").alias("cohort_customers")
+        F.count(F.lit(1)).alias("cohort_customers")
     )
     activity = (
         o.join(cohort, "o_custkey")
@@ -592,9 +594,12 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "offset_q",
         "retained_customers",
         "cohort_customers",
-        F.round(
-            F.col("retained_customers") / F.col("cohort_customers"), 6
-        ).alias("retained_pct"),
+        # parts-per-million via integer division — a ROUND(double, 6)
+        # export here is the same x/2^k half-ulp tie family the
+        # rolling_user_features entry documents; integers can't tie
+        F.expr("(retained_customers * 1000000) DIV cohort_customers").alias(
+            "retained_ppm"
+        ),
     )
 
 
@@ -606,7 +611,7 @@ WITH o AS (
 ), cohort AS (
   SELECT o_custkey, MIN(qidx) AS cohort_q FROM o GROUP BY o_custkey
 ), sizes AS (
-  SELECT cohort_q, COUNT(DISTINCT o_custkey) AS cohort_customers
+  SELECT cohort_q, COUNT(*) AS cohort_customers
   FROM cohort GROUP BY cohort_q
 ), activity AS (
   SELECT c.cohort_q, o.qidx - c.cohort_q AS offset_q,
@@ -615,8 +620,7 @@ WITH o AS (
   GROUP BY c.cohort_q, o.qidx - c.cohort_q
 )
 SELECT a.cohort_q, a.offset_q, a.retained_customers, s.cohort_customers,
-       ROUND(CAST(a.retained_customers AS DOUBLE) / s.cohort_customers, 6)
-           AS retained_pct
+       (a.retained_customers * 1000000) // s.cohort_customers AS retained_ppm
 FROM activity a JOIN sizes s USING (cohort_q)
 """
 

@@ -32,9 +32,13 @@ COPIES = 10
 PROBE_QUERIES = (
     "corpus_audit",
     "text_profile",
-    # ngram_jaccard + dup_clusters now serve through the merged
-    # dedup_reports entry (pair table × cluster rollup timed together)
-    "dedup_reports",
+    # ngram_jaccard/dup_clusters are probed as the UNDERLYING plan
+    # functions, not the merged dedup_reports oracle entry: the slot-merge
+    # cross-join (|pairs| × |clusters| materialized cells) would inflate
+    # the timed output quadratically and fake a superlinear slope that
+    # belongs to the merge representation, not to either operator.
+    "ngram_jaccard",
+    "dup_clusters",
     "span_dedup",
     "minhash_candidates",
     "simhash_near_dups",
@@ -184,6 +188,11 @@ def main() -> None:
 
     spark = get_spark("mdmp-scale-probe", **{"spark.ui.enabled": "false"})
     queries = entry_mod.queries()
+    # granular dedup probe targets (see PROBE_QUERIES comment)
+    from market_data_mining_project_spark.plans import llm_pipeline as LLM
+
+    queries.setdefault("ngram_jaccard", LLM.q_ngram_jaccard)
+    queries.setdefault("dup_clusters", LLM.q_dup_clusters)
 
     rows = {}
     for fam in requested:

@@ -333,10 +333,9 @@ def test_asof_join_forward_matches_brute_force_on_events(spark, sf_dir):
             assert got == (want[1], int(want[0].timestamp())), row.event_id
 
 
-def test_rolling_user_features_boundary_inclusive(spark):
+def test_rolling_user_features_boundary_inclusive(spark, tmp_path):
     """RANGE frame boundary: an event exactly 7 days (604800 s) older is
     INCLUDED; one second older is not. Peers at the same second all count."""
-    import __spark_entry__ as entry_mod  # noqa: F401  (shape parity below)
     from market_data_mining_project_spark.plans.events_temporal import (
         q_rolling_user_features,
     )
@@ -350,8 +349,8 @@ def test_rolling_user_features_boundary_inclusive(spark):
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, ts timestamp, value double"
     )
-    import tempfile, os
-    d = tempfile.mkdtemp(prefix="rolling_fixture_")
+    import os
+    d = str(tmp_path)
     df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
     got = {r.event_id: (r.n_events_7d, r.value_7d_cents, r.avg_value_7d_microunits)
            for r in q_rolling_user_features(spark, d).collect()}
