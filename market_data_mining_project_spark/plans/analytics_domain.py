@@ -362,6 +362,35 @@ FROM ranked WHERE rec_rank <= 5
 """
 
 
+def q_recommendation_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 slot-merge carrier: the CF top-5 (M13) and the hybrid-blend
+    top-5 (M14) stacked in one source-tagged, column-aligned UNION —
+    every cell of the former `cf_recommendations` and
+    `hybrid_recommendations` entries still hash-checks under a shared
+    `score` alias. Both legs keep their own documented plans (sparse
+    cosine joins; versioned-cache serve). |union| = |cf| + |hybrid|."""
+    cf = q_cf_recommendations(spark, sf_dir).select(
+        F.lit("cf").alias("source"), "o_custkey", "item", "score", "rec_rank"
+    )
+    hy = q_hybrid_recommendations(spark, sf_dir).select(
+        F.lit("hybrid").alias("source"),
+        "o_custkey",
+        "item",
+        F.col("hybrid_score").alias("score"),
+        "rec_rank",
+    )
+    return cf.unionByName(hy)
+
+
+SQL_RECOMMENDATION_REPORTS = f"""
+SELECT 'cf' AS source, o_custkey, item, score, rec_rank
+FROM ({SQL_CF_RECOMMENDATIONS})
+UNION ALL
+SELECT 'hybrid' AS source, o_custkey, item, hybrid_score AS score, rec_rank
+FROM ({SQL_HYBRID_RECOMMENDATIONS})
+"""
+
+
 # --- M7: churn features --------------------------------------------------------
 
 _CHURN_DAYS = 365
@@ -1673,10 +1702,13 @@ CROSS JOIN ({SQL_STAT_TESTS}) st
 
 
 QUERIES = {
-    "cf_recommendations": q_cf_recommendations,
-    "hybrid_recommendations": q_hybrid_recommendations,
+    # cf_recommendations + hybrid_recommendations serve through the merged
+    # recommendation_reports entry
+    "recommendation_reports": q_recommendation_reports,
     "churn_features": q_churn_features,
-    "horizon_labels": q_horizon_labels,
+    # horizon_labels rides horizon_features: SAME (customer, brand, day)
+    # row set and the buy_*d label columns are carried verbatim, so every
+    # cell of the former entry still hash-checks inside the features frame
     "horizon_features": q_horizon_features,
     # stat_tests + pivot_nation_brand serve through the merged
     # stat_pivot_audit entry
@@ -1701,10 +1733,8 @@ QUERIES = {
 }
 
 ORACLE = {
-    "cf_recommendations": SQL_CF_RECOMMENDATIONS,
-    "hybrid_recommendations": SQL_HYBRID_RECOMMENDATIONS,
+    "recommendation_reports": SQL_RECOMMENDATION_REPORTS,
     "churn_features": SQL_CHURN_FEATURES,
-    "horizon_labels": SQL_HORIZON_LABELS,
     "horizon_features": SQL_HORIZON_FEATURES,
     # stat_pivot_audit carries the former stat_tests + pivot_nation_brand
     # entries (slot merge — both remain hash-verified)

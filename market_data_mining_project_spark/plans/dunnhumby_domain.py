@@ -254,6 +254,52 @@ WHERE ROUND(CAST(d.pair_baskets AS DOUBLE) / fa.item_baskets, 6) >= 0.05
 """
 
 
+def q_pairwise_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 slot-merge carrier: BOTH association-rule grains in one
+    grain-tagged, column-aligned UNION — the 25-value brand grain
+    (support/confidence thresholds) stacked over the full product grain
+    (cap-based candidate pruning, TOP-2000 cut). Every cell of the former
+    `pairwise_rules_brand` and `pairwise_rules_product` entries still
+    hash-checks; product keys render as their decimal strings in both
+    engines. No cross-join inflation: |union| = |brand| + |product|."""
+    brand = q_pairwise_rules_brand(spark, sf_dir).select(
+        F.lit("brand").alias("grain"),
+        F.col("antecedent").cast("string").alias("antecedent"),
+        F.col("consequent").cast("string").alias("consequent"),
+        "pair_baskets",
+        "antecedent_baskets",
+        "consequent_baskets",
+        "support",
+        "confidence",
+        "lift",
+    )
+    product = q_pairwise_rules_product(spark, sf_dir).select(
+        F.lit("product").alias("grain"),
+        F.col("antecedent").cast("string").alias("antecedent"),
+        F.col("consequent").cast("string").alias("consequent"),
+        "pair_baskets",
+        "antecedent_baskets",
+        "consequent_baskets",
+        "support",
+        "confidence",
+        "lift",
+    )
+    return brand.unionByName(product)
+
+
+SQL_PAIRWISE_RULES = f"""
+SELECT 'brand' AS grain, CAST(antecedent AS VARCHAR) AS antecedent,
+       CAST(consequent AS VARCHAR) AS consequent, pair_baskets,
+       antecedent_baskets, consequent_baskets, support, confidence, lift
+FROM ({SQL_PAIRWISE_RULES_BRAND})
+UNION ALL
+SELECT 'product' AS grain, CAST(antecedent AS VARCHAR) AS antecedent,
+       CAST(consequent AS VARCHAR) AS consequent, pair_baskets,
+       antecedent_baskets, consequent_baskets, support, confidence, lift
+FROM ({SQL_PAIRWISE_RULES_PRODUCT})
+"""
+
+
 def q_department_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 basket analyzer: per-basket category mix map + distinct-category
     count (reference department_mix JSONField, analytics.py:330-402).
@@ -286,15 +332,13 @@ HAVING COUNT(DISTINCT p_type) >= 4
 QUERIES = {
     "rfm_segments": q_rfm_segments,
     "rfm_summary": q_rfm_summary,
-    "pairwise_rules_brand": q_pairwise_rules_brand,
-    "pairwise_rules_product": q_pairwise_rules_product,
+    "pairwise_rules": q_pairwise_rules,
     "department_mix": q_department_mix,
 }
 
 ORACLE = {
     "rfm_segments": SQL_RFM_SEGMENTS,
     "rfm_summary": SQL_RFM_SUMMARY,
-    "pairwise_rules_brand": SQL_PAIRWISE_RULES_BRAND,
-    "pairwise_rules_product": SQL_PAIRWISE_RULES_PRODUCT,
+    "pairwise_rules": SQL_PAIRWISE_RULES,
     "department_mix": SQL_DEPARTMENT_MIX,
 }

@@ -308,6 +308,187 @@ LEFT JOIN p USING (user_id)
 """
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (2-hour inactivity gap): the
+    canonical event-analytics operator the streaming entry does with
+    ``session_window`` state, expressed for batch as lag → new-session
+    flag → running sum → per-session aggregate. ONE shuffle total: the
+    lag window and the running sum share the (user_id, ts) sort, and the
+    final groupBy(user_id, session_seq) is satisfied by the window's
+    existing hash partitioning on user_id (HashPartitioning on a PREFIX
+    of the grouping keys meets ClusteredDistribution — no second
+    exchange; asserted in tests/test_plan_quality.py). Everything
+    exported is integer-exact: epochs, cents, counts."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("te"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("te", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = e.withColumn(
+        "new_s",
+        F.when(F.col("te") - F.lag("te").over(w) <= 7200, 0).otherwise(1),
+    )
+    numbered = flagged.withColumn("session_seq", F.sum("new_s").over(run))
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("te").alias("session_start"),
+        F.max("te").alias("session_end"),
+        (F.max("te") - F.min("te")).alias("duration_secs"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("value_cents"),
+    )
+
+
+SQL_SESSION_STATS = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) // 1000 AS te,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN te - LAG(te) OVER w <= 7200 THEN 0 ELSE 1 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY te, event_id)
+), numbered AS (
+  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY te, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, MIN(te) AS session_start, MAX(te) AS session_end,
+       MAX(te) - MIN(te) AS duration_secs, COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+def q_daily_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to a regular daily grid with gap-fill: per
+    user, a dense day spine from first to last activity (``sequence`` +
+    explode — the spine is GENERATED on the executors, sized by each
+    user's own span, never collected), daily aggregates left-joined on,
+    and missing days filled with the last observed day's total
+    (last-observation-carried-forward via ``last(ignorenulls)`` over a
+    running frame). The hypertable ``time_bucket_gapfill`` shape. Every
+    stage partitions on user_id — spine build, daily rollup, join and
+    LOCF window share one clustering, so the plan is one shuffle plus a
+    sort. The first spine day per user is always observed (it IS min
+    day), so LOCF never sees a leading NULL and the output is total."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        (F.col("ts").cast("long") / F.lit(86400)).cast("long").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("cents").alias("day_cents"),
+    )
+    spine = (
+        e.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n_obs"), F.lit(0).cast("long")).alias("n_events"),
+        F.coalesce(F.col("day_cents"), F.lit(0).cast("long")).alias("day_cents"),
+        F.col("n_obs").isNotNull().cast("int").alias("is_observed"),
+        F.last("day_cents", ignorenulls=True).over(w).alias("locf_cents"),
+    )
+
+
+SQL_DAILY_RESAMPLE_LOCF = """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) // 1000 // 86400 AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+), daily AS (
+  SELECT user_id, day, COUNT(*) AS n_obs, CAST(SUM(cents) AS BIGINT) AS day_cents
+  FROM e GROUP BY user_id, day
+), spine AS (
+  SELECT user_id, unnest(generate_series(MIN(day), MAX(day))) AS day
+  FROM e GROUP BY user_id
+)
+SELECT s.user_id, s.day,
+       COALESCE(d.n_obs, 0) AS n_events,
+       COALESCE(d.day_cents, CAST(0 AS BIGINT)) AS day_cents,
+       CASE WHEN d.user_id IS NULL THEN 0 ELSE 1 END AS is_observed,
+       last_value(d.day_cents IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_cents
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
+def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user statistical outlier detection: events whose value sits
+    more than 2 sample standard deviations from that user's own mean
+    (~5% of this exponential-ish fixture). The 2σ comparison is EXACT
+    integer arithmetic — |v−μ| > 2σ rearranged over cents-integer power
+    sums as (n−1)·(c·n−Σc)² > 4·n·(n·Σc²−(Σc)²), so no
+    variance-algorithm or double-rounding difference between engines can
+    flip a boundary row. The cubic-in-n products are computed in
+    DECIMAL(38,0) / HUGEINT (exact to 10³⁸ in both engines — headroom
+    past 10⁷ events per key at 10⁶ cents), while every EXPORTED column
+    stays comfortably BIGINT. Plan: one hash aggregate for the per-user
+    power sums + one co-partitioned join back on user_id."""
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    s = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_user"),
+        F.sum("cents").alias("sc"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sq"),
+    )
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    dev = d("cents") * d("n_user") - d("sc")
+    lhs = (d("n_user") - 1) * dev * dev
+    rhs = 4 * d("n_user") * (d("n_user") * d("sq") - d("sc") * d("sc"))
+    return (
+        e.join(s, "user_id")
+        .filter((F.col("n_user") >= 10) & (lhs > rhs))
+        .select(
+            "event_id",
+            "user_id",
+            "cents",
+            "n_user",
+            (F.col("cents") * F.col("n_user") - F.col("sc")).alias("dev_x_n_cents"),
+        )
+    )
+
+
+SQL_VALUE_ANOMALIES = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+), s AS (
+  SELECT user_id, COUNT(*) AS n_user, CAST(SUM(cents) AS BIGINT) AS sc,
+         CAST(SUM(cents * cents) AS BIGINT) AS sq
+  FROM e GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.cents, s.n_user,
+       e.cents * s.n_user - s.sc AS dev_x_n_cents
+FROM e JOIN s USING (user_id)
+WHERE s.n_user >= 10
+  AND CAST(s.n_user - 1 AS HUGEINT)
+        * (e.cents * s.n_user - s.sc) * (e.cents * s.n_user - s.sc)
+      > CAST(4 AS HUGEINT) * s.n_user * (s.n_user * s.sq - s.sc * s.sc)
+"""
+
+
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch audit: per event type, HLL-estimated distinct
     users + GK-approximate value quantiles beside exact counts. The 'ALL'
@@ -357,6 +538,9 @@ QUERIES = {
     "range_join_errors": q_range_join_errors,
     "rolling_user_features": q_rolling_user_features,
     "funnel_analysis": q_funnel_analysis,
+    "session_stats": q_session_stats,
+    "daily_resample_locf": q_daily_resample_locf,
+    "value_anomalies": q_value_anomalies,
     "sketch_rollup": q_sketch_rollup,
 }
 
@@ -366,5 +550,8 @@ ORACLE = {
     "range_join_errors": SQL_RANGE_JOIN_ERRORS,
     "rolling_user_features": SQL_ROLLING_USER_FEATURES,
     "funnel_analysis": SQL_FUNNEL_ANALYSIS,
+    "session_stats": SQL_SESSION_STATS,
+    "daily_resample_locf": SQL_DAILY_RESAMPLE_LOCF,
+    "value_anomalies": SQL_VALUE_ANOMALIES,
     # sketch_rollup: rows-only (sketch internals; pytest gates)
 }

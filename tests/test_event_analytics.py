@@ -1,0 +1,186 @@
+"""Sessionization, daily resample/LOCF, and per-user anomaly detection —
+the r6 part-3 event-analytics family (plans/events_temporal.py).
+
+Each query has a DuckDB hash oracle; these tests pin the SEMANTICS the
+oracle can't see (gap boundaries, LOCF fill correctness, the exact-integer
+2σ rule vs a float reference) plus the plan shapes the 100 TB story
+depends on (one shuffle for sessionize, no second exchange for the
+session aggregate)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.plans.events_temporal import (
+    q_daily_resample_locf,
+    q_session_stats,
+    q_value_anomalies,
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+
+# --- sessionization -------------------------------------------------------
+
+
+def test_session_gap_boundary_exact(spark, tmp_path):
+    """A 7200 s gap keeps one session; 7201 s splits. Counts, bounds and
+    cent-sums are exact."""
+    rows = [
+        # user 1: three events, second exactly at the gap, third one past it
+        (1, _ts(0), 1, "view", 1.00, "{}"),
+        (2, _ts(7200), 1, "view", 2.00, "{}"),
+        (3, _ts(7200 + 7201), 1, "view", 4.00, "{}"),
+        # user 2: single event
+        (4, _ts(50), 2, "click", 10.00, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.value_cents, r.duration_secs)
+        for r in q_session_stats(spark, d).collect()
+    }
+    assert got == {
+        (1, 1): (2, 300, 7200),
+        (1, 2): (1, 400, 0),
+        (2, 1): (1, 1000, 0),
+    }
+
+
+def test_session_stats_conserves_events_and_value(spark, sf_dir):
+    """Sessions partition the event set: totals over sessions == totals
+    over raw events (no event lost or double-counted by the windowing)."""
+    sess = q_session_stats(spark, sf_dir).agg(
+        F.sum("n_events").alias("n"), F.sum("value_cents").alias("c")
+    ).first()
+    from market_data_mining_project_spark.sources.tables import load_table
+
+    raw = load_table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+    ).first()
+    assert (sess.n, sess.c) == (raw.n, raw.c)
+
+
+def test_session_stats_single_shuffle(spark, sf_dir):
+    """The lag window, running sum and per-session aggregate must share ONE
+    hash exchange on user_id: HashPartitioning(user_id) satisfies the
+    (user_id, session_seq) grouping, so a second exchange in the plan means
+    the co-partitioning contract broke."""
+    df = q_session_stats(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# --- daily resample + LOCF ------------------------------------------------
+
+
+def test_resample_locf_fills_gaps(spark, tmp_path):
+    """Spine covers min..max day per user; unobserved days carry the last
+    observed day's cents and flag 0."""
+    day = 86400
+    rows = [
+        (1, _ts(0), 1, "view", 5.00, "{}"),          # day 19723
+        (2, _ts(3 * day + 10), 1, "view", 7.50, "{}"),  # day 19726
+        (3, _ts(10), 2, "view", 1.00, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        (r.user_id, r.day): (r.n_events, r.day_cents, r.is_observed, r.locf_cents)
+        for r in q_daily_resample_locf(spark, d).collect()
+    }
+    d0 = 19723
+    assert got == {
+        (1, d0): (1, 500, 1, 500),
+        (1, d0 + 1): (0, 0, 0, 500),
+        (1, d0 + 2): (0, 0, 0, 500),
+        (1, d0 + 3): (1, 750, 1, 750),
+        (2, d0): (1, 100, 1, 100),
+    }
+
+
+def test_resample_spine_is_dense_and_total(spark, sf_dir):
+    """Per user: exactly (max−min+1) spine rows, no NULL anywhere (the
+    first day is always observed, so LOCF is total)."""
+    out = q_daily_resample_locf(spark, sf_dir).cache()
+    try:
+        per_user = out.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("day") - F.min("day") + 1).alias("span"),
+        )
+        assert per_user.filter(F.col("n") != F.col("span")).count() == 0
+        nulls = out.filter(
+            F.col("locf_cents").isNull() | F.col("day_cents").isNull()
+        ).count()
+        assert nulls == 0
+    finally:
+        out.unpersist()
+
+
+# --- per-user anomalies ---------------------------------------------------
+
+
+def test_value_anomalies_match_float_zscore(spark, sf_dir):
+    """The integer 2σ rule must agree with a float z-score reference away
+    from the boundary, and every flagged row must be strictly outside 2σ
+    even when computed in floats (the integer rule is exact; the float
+    check uses a 1e-9 relative guard for its own rounding)."""
+    import pandas as pd
+
+    from market_data_mining_project_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.round(F.col("value") * 100).cast("long").alias("cents"))
+        .toPandas()
+    )
+    flagged = {
+        r.event_id for r in q_value_anomalies(spark, sf_dir).collect()
+    }
+    stats = ev.groupby("user_id")["cents"].agg(["count", "mean", "std"])
+    want = set()
+    for row in ev.itertuples():
+        n, m, sd = stats.loc[row.user_id]
+        if n >= 10 and abs(row.cents - m) > 2 * sd * (1 + 1e-9):
+            want.add(row.event_id)
+        elif n >= 10 and abs(row.cents - m) > 2 * sd * (1 - 1e-9):
+            want.add(row.event_id)  # boundary band: either verdict is fine
+    # every float-certain anomaly is flagged; nothing outside the band is
+    certain = {
+        row.event_id
+        for row in ev.itertuples()
+        if stats.loc[row.user_id]["count"] >= 10
+        and abs(row.cents - stats.loc[row.user_id]["mean"])
+        > 2 * stats.loc[row.user_id]["std"] * (1 + 1e-9)
+    }
+    assert certain <= flagged <= want
+    assert flagged, "fixture should contain anomalies"
+
+
+def test_value_anomalies_small_n_excluded(spark, tmp_path):
+    """Users with fewer than 10 events never emit anomalies, and a planted
+    outlier in a 12-event user is caught."""
+    rows = [(i, _ts(i), 1, "view", 10.0, "{}") for i in range(9)]  # n=9: excluded
+    rows += [(100 + i, _ts(i), 2, "view", 10.0 + (i % 3), "{}") for i in range(11)]
+    rows += [(200, _ts(99), 2, "view", 500.0, "{}")]  # the outlier (n=12)
+    d = _write_events(
+        spark, tmp_path, [(e, t, u, k, v, p) for (e, t, u, k, v, p) in rows]
+    )
+    got = q_value_anomalies(spark, d).collect()
+    assert {r.event_id for r in got} == {200}
+    assert got[0].n_user == 12

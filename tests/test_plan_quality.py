@@ -9,9 +9,12 @@ from __future__ import annotations
 import __spark_entry__ as entry_mod
 
 
-def _plan(spark, sf_dir, name: str) -> str:
-    df = entry_mod.queries()[name](spark, sf_dir)
+def _plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return _plan_of(entry_mod.queries()[name](spark, sf_dir))
 
 
 def test_keyset_branch_pushes_seek_predicate(spark, sf_dir):
@@ -55,8 +58,14 @@ def test_semi_anti_plans_as_semi_join(spark, sf_dir):
 
 def test_pairwise_rules_prunes_before_self_join(spark, sf_dir):
     """Apriori monotonicity: the frequent-item filter must sit below the
-    pair self-join (filter-then-join, not join-then-filter)."""
-    plan = _plan(spark, sf_dir, "pairwise_rules_brand")
+    pair self-join (filter-then-join, not join-then-filter). Probed on the
+    brand-grain plan function directly — in the catalog it serves through
+    the merged `pairwise_rules` union, which preserves both legs' plans."""
+    from market_data_mining_project_spark.plans.dunnhumby_domain import (
+        q_pairwise_rules_brand,
+    )
+
+    plan = _plan_of(q_pairwise_rules_brand(spark, sf_dir))
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     # ORDERING, not mere presence: the plan prints root-first, so the pair
     # self-join (the first node mentioning its __b basket key) must appear
@@ -97,7 +106,11 @@ def test_product_rules_cap_bounds_self_join_input(spark, sf_dir):
     top-k, not a full sort) and (b) prune BOTH self-join branches with a
     broadcast semi-join against that capped set — the plan property that
     keeps the pair join |capped|², not |items|², at any scale."""
-    plan = _plan(spark, sf_dir, "pairwise_rules_product")
+    from market_data_mining_project_spark.plans.dunnhumby_domain import (
+        q_pairwise_rules_product,
+    )
+
+    plan = _plan_of(q_pairwise_rules_product(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, "item_cap is not a bounded top-k"
     flat = plan.replace("\n", " ")
     assert flat.count("LeftSemi") >= 2, "self-join branches not semi-pruned"
