@@ -250,6 +250,127 @@ def ohlc_rollup(
     )
 
 
+def ewma(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    tiebreak_col: str,
+    bucket_secs: int | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponential moving average per key over time order — the canonical
+    stateful linear recurrence (momentum/trend smoothing) that NO standard
+    SQL window can express: ``y_t = (1-α)·y_{t-1} + α·v_t`` with the
+    pandas ``adjust=False`` convention ``y_0 = v_0`` (equivalently: the
+    pre-history state IS the key's first value).
+
+    Plain path (``bucket_secs=None``): one shuffle on ``key``, one
+    Arrow-batched ``applyInPandas`` pass running the C-speed ``ewm``
+    recursion per key — linear, but the whole key history sits in one
+    task (same caveat as an unbucketed as-of window).
+
+    ``bucket_secs`` — the bounded-state SKEW path, exploiting that the
+    recurrence is LINEAR: within bucket ``b`` holding values v_1..v_m and
+    entering with carry state s, every row decomposes as
+    ``y_i = local_i + (1-α)^i · s`` where ``local_i`` is the same
+    recursion started from 0. So: (1) a per-(key, bucket) Arrow pass
+    emits ``local_i`` and the decay ``(1-α)^i`` — per-task state bounded
+    by bucket occupancy; (2) the carry states chain over the TINY
+    per-(key, bucket) summary frame (``s_{b+1} = local_end_b +
+    (1-α)^{m_b}·s_b`` — one Python loop per key over ≤ |buckets| rows,
+    the same prefix-carry idiom as :func:`_stitch_bucket_carry`); (3) one
+    co-partitioned join puts the carry back. Deep history decays through
+    denormals to exact 0 — the mathematically correct forgetting.
+    Bucketed == plain to float associativity (pytest-pinned at two
+    widths)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    import pandas as pd  # noqa: F401  (Arrow path)
+
+    ts_long = F.col(ts_col).cast("timestamp").cast("long")
+    base = df.withColumn("__ts", ts_long)
+    schema_base = base.schema
+
+    def _sorted(pdf):
+        return pdf.sort_values(["__ts", tiebreak_col], kind="mergesort")
+
+    if bucket_secs is None:
+        out_schema = ", ".join(
+            [f"`{f.name}` {f.dataType.simpleString()}" for f in schema_base.fields]
+            + [f"`{out_col}` double"]
+        )
+
+        def _plain(pdf):
+            pdf = _sorted(pdf)
+            pdf[out_col] = (
+                pdf[value_col].astype("float64").ewm(alpha=alpha, adjust=False).mean()
+            )
+            return pdf
+
+        return (
+            base.groupBy(key)
+            .applyInPandas(_plain, schema=out_schema)
+            .drop("__ts")
+        )
+
+    base = base.withColumn("__bkt", F.floor(F.col("__ts") / bucket_secs))
+    local_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields]
+        + ["`__local` double", "`__decay` double"]
+    )
+
+    def _local(pdf):
+        import numpy as np
+
+        pdf = _sorted(pdf)
+        v = pdf[value_col].astype("float64")
+        # recursion from state 0: prepend a 0 so adjust=False's y0=x0
+        # convention realizes y_i = (1-a)*y_{i-1} + a*v_i from zero
+        seeded = pd.concat([pd.Series([0.0]), v], ignore_index=True)
+        pdf["__local"] = (
+            seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1:].to_numpy()
+        )
+        pdf["__decay"] = (1.0 - alpha) ** np.arange(1, len(pdf) + 1)
+        return pdf
+
+    local = base.groupBy(key, "__bkt").applyInPandas(_local, schema=local_schema)
+    summary = (
+        local.groupBy(key, "__bkt")
+        .agg(
+            F.count(F.lit(1)).alias("__m"),
+            F.max_by("__local", _tiebroken(F.col("__ts"), F.col(tiebreak_col))).alias(
+                "__local_end"
+            ),
+            F.min_by(
+                F.col(value_col).cast("double"),
+                _tiebroken(F.col("__ts"), F.col(tiebreak_col)),
+            ).alias("__first_val"),
+        )
+    )
+    key_type = summary.schema[key].dataType.simpleString()
+    carry_schema = f"`{key}` {key_type}, `__bkt` bigint, `__cin` double"
+
+    def _carry(pdf):
+        pdf = pdf.sort_values("__bkt")
+        s = float(pdf["__first_val"].iloc[0])  # pre-history state = first value
+        cins = []
+        for m, le in zip(pdf["__m"], pdf["__local_end"]):
+            cins.append(s)
+            s = float(le) + (1.0 - alpha) ** int(m) * s
+        pdf = pdf[[key, "__bkt"]].copy()
+        pdf["__cin"] = cins
+        return pdf
+
+    carry = summary.groupBy(key).applyInPandas(_carry, schema=carry_schema)
+    return (
+        local.join(carry, [key, "__bkt"])
+        .withColumn(out_col, F.col("__local") + F.col("__decay") * F.col("__cin"))
+        .drop("__ts", "__bkt", "__local", "__decay")
+    )
+
+
 def range_join_count(
     left: DataFrame,
     right: DataFrame,

@@ -178,7 +178,19 @@ def q_rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents×10⁴ — a ROUND(AVG(double)) export hit a genuine half-ulp tie at
     sf0.1 (sum/2ᵏ frames land exactly on the .5 boundary at any rounding
     precision, and the two engines' double-rounding paths break the tie
-    differently), so no double leaves this query except the raw value."""
+    differently), so no double leaves this query except the raw value.
+
+    r6 widening, same grain/window family so ZERO extra plan cost beyond
+    three more window expressions over the already-sorted frames: the
+    trailing 7-day variance NUMERATOR n·Σc²−(Σc)² (the exact-integer
+    volatility signal — divide by n·(n−1) downstream for σ²), the
+    running all-time high, and the drawdown from it in parts-per-million
+    (the market-data running-max-relative-decline indicator; cents are
+    positive so the ppm division is tie-free integer math). The variance
+    numerator is n²-scaled: it stays inside int64 while
+    frame_rows² × max_cents² < 2⁶³ (≈3×10⁴ frame rows at 10⁵ cents) —
+    frames past that need the DECIMAL(38,0)/HUGEINT cast the
+    `value_anomalies` comparison uses."""
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir).select(
@@ -193,16 +205,37 @@ def q_rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_epoch")
         .rangeBetween(-7 * 86400, 0)
     )
-    return ev.select(
-        "event_id",
-        "user_id",
-        "ts_epoch",
-        "value",
-        F.count(F.lit(1)).over(w).alias("n_events_7d"),
-        F.sum("__cents").over(w).alias("value_7d_cents"),
-    ).withColumn(
-        "avg_value_7d_microunits",
-        F.expr("(value_7d_cents * 10000) DIV n_events_7d"),
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_epoch")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts_epoch",
+            "value",
+            "__cents",
+            F.count(F.lit(1)).over(w).alias("n_events_7d"),
+            F.sum("__cents").over(w).alias("value_7d_cents"),
+            F.sum(F.col("__cents") * F.col("__cents")).over(w).alias("__sq_7d"),
+            F.max("__cents").over(wrun).alias("run_max_cents"),
+        )
+        .withColumn(
+            "avg_value_7d_microunits",
+            F.expr("(value_7d_cents * 10000) DIV n_events_7d"),
+        )
+        .withColumn(
+            "var_7d_numerator",
+            F.col("n_events_7d") * F.col("__sq_7d")
+            - F.col("value_7d_cents") * F.col("value_7d_cents"),
+        )
+        .withColumn(
+            "drawdown_ppm",
+            F.expr("((run_max_cents - __cents) * 1000000) DIV run_max_cents"),
+        )
+        .drop("__cents", "__sq_7d")
     )
 
 
@@ -215,11 +248,19 @@ WITH e AS (
 SELECT event_id, user_id, ts_epoch, value,
        COUNT(*) OVER w AS n_events_7d,
        CAST(SUM(cents) OVER w AS BIGINT) AS value_7d_cents,
+       CAST(MAX(cents) OVER wrun AS BIGINT) AS run_max_cents,
        (CAST(SUM(cents) OVER w AS BIGINT) * 10000) // (COUNT(*) OVER w)
-           AS avg_value_7d_microunits
+           AS avg_value_7d_microunits,
+       COUNT(*) OVER w * CAST(SUM(cents * cents) OVER w AS BIGINT)
+         - CAST(SUM(cents) OVER w AS BIGINT) * CAST(SUM(cents) OVER w AS BIGINT)
+           AS var_7d_numerator,
+       ((CAST(MAX(cents) OVER wrun AS BIGINT) - cents) * 1000000)
+         // CAST(MAX(cents) OVER wrun AS BIGINT) AS drawdown_ppm
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch
-             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW),
+       wrun AS (PARTITION BY user_id ORDER BY ts_epoch
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
 
@@ -489,6 +530,28 @@ WHERE s.n_user >= 10
 """
 
 
+def q_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average of event value (α=0.2) beside
+    the raw value and its deviation from trend — the stateful
+    linear-recurrence smoothing no standard SQL window expresses (hence
+    rows-only: DuckDB has no EWMA; pytest pins the recursion exactly
+    against a pure-Python reference, and the bounded-state bucketed path
+    against the plain one). Plan: one shuffle on user_id, one Arrow pass
+    (operators/temporal.ewma)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", F.col("value").cast("double").alias("value")
+    )
+    out = TEMP.ewma(ev, "user_id", "ts", "value", alpha=0.2, tiebreak_col="event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "value",
+        F.round("ewma", 6).alias("ewma_value"),
+        F.round(F.col("value") - F.col("ewma"), 6).alias("trend_deviation"),
+    )
+
+
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch audit: per event type, HLL-estimated distinct
     users + GK-approximate value quantiles beside exact counts. The 'ALL'
@@ -541,6 +604,9 @@ QUERIES = {
     "session_stats": q_session_stats,
     "daily_resample_locf": q_daily_resample_locf,
     "value_anomalies": q_value_anomalies,
+    # ewma_trend: rows-only (stateful linear recurrence — no SQL-window
+    # equivalent in any engine; exact pytest recursion parity instead)
+    "ewma_trend": q_ewma_trend,
     "sketch_rollup": q_sketch_rollup,
 }
 

@@ -184,3 +184,82 @@ def test_value_anomalies_small_n_excluded(spark, tmp_path):
     got = q_value_anomalies(spark, d).collect()
     assert {r.event_id for r in got} == {200}
     assert got[0].n_user == 12
+
+
+# --- EWMA -----------------------------------------------------------------
+
+
+def _ewma_ref(values, alpha):
+    """Pure-Python reference: y0 = v0; y = (1-a)y + a v."""
+    y = values[0]
+    out = [y]
+    for v in values[1:]:
+        y = (1.0 - alpha) * y + alpha * v
+        out.append(y)
+    return out
+
+
+def test_ewma_matches_python_recursion(spark, tmp_path):
+    from market_data_mining_project_spark.operators.temporal import ewma
+
+    vals = [10.0, 20.0, 5.0, 80.0, 1.0, 33.0]
+    rows = [(i, _ts(i * 60), 7, "view", v, "{}") for i, v in enumerate(vals)]
+    d = _write_events(spark, tmp_path, rows)
+    from market_data_mining_project_spark.sources.tables import load_table
+
+    ev = load_table(spark, d, "events")
+    got = (
+        ewma(ev, "user_id", "ts", "value", alpha=0.3, tiebreak_col="event_id")
+        .orderBy("event_id")
+        .collect()
+    )
+    want = _ewma_ref(vals, 0.3)
+    for r, w in zip(got, want):
+        assert abs(r.ewma - w) < 1e-12, (r.event_id, r.ewma, w)
+
+
+def test_ewma_bucketed_equals_plain(spark, sf_dir):
+    """The bounded-state bucket-stitch path must reproduce the plain
+    single-task recursion at two bucket widths (float associativity)."""
+    from market_data_mining_project_spark.operators.temporal import ewma
+    from market_data_mining_project_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    plain = {
+        r.event_id: r.ewma
+        for r in ewma(ev, "user_id", "ts", "value", 0.2, "event_id").collect()
+    }
+    for bucket in (86400, 6 * 3600):
+        b = {
+            r.event_id: r.ewma
+            for r in ewma(
+                ev, "user_id", "ts", "value", 0.2, "event_id", bucket_secs=bucket
+            ).collect()
+        }
+        assert b.keys() == plain.keys()
+        for eid, v in plain.items():
+            assert abs(b[eid] - v) <= 1e-9 * max(1.0, abs(v)), (bucket, eid)
+
+
+def test_ewma_trend_entry_bounds(spark, sf_dir):
+    """Catalog entry: EWMA lies within each user's running min/max prefix
+    envelope (a smoothing must not overshoot)."""
+    from market_data_mining_project_spark.plans.events_temporal import q_ewma_trend
+    from pyspark.sql import Window
+
+    out = q_ewma_trend(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_epoch", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    checked = out.withColumn("lo", F.min("value").over(w)).withColumn(
+        "hi", F.max("value").over(w)
+    )
+    bad = checked.filter(
+        (F.col("ewma_value") < F.col("lo") - 1e-6)
+        | (F.col("ewma_value") > F.col("hi") + 1e-6)
+    ).count()
+    assert bad == 0
