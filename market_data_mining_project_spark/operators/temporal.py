@@ -275,7 +275,9 @@ def ewma(
     recurrence is LINEAR: within bucket ``b`` holding values v_1..v_m and
     entering with carry state s, every row decomposes as
     ``y_i = local_i + (1-α)^i · s`` where ``local_i`` is the same
-    recursion started from 0. So: (1) a per-(key, bucket) Arrow pass
+    recursion started from 0 (NULL-valued rows are dropped up front —
+    they carry no state and emit no row, identically on both paths). So:
+    (1) a per-(key, bucket) Arrow pass
     emits ``local_i`` and the decay ``(1-α)^i`` — per-task state bounded
     by bucket occupancy; (2) the carry states chain over the TINY
     per-(key, bucket) summary frame (``s_{b+1} = local_end_b +
@@ -290,7 +292,11 @@ def ewma(
     import pandas as pd  # noqa: F401  (Arrow path)
 
     ts_long = F.col(ts_col).cast("timestamp").cast("long")
-    base = df.withColumn("__ts", ts_long)
+    # NULL-valued rows carry no state and emit no row (documented
+    # contract): without this, the two paths would DIVERGE — pandas ewm
+    # skips NaN mid-series, but a NULL first value would seed the bucketed
+    # carry with NaN and poison the whole key
+    base = df.filter(F.col(value_col).isNotNull()).withColumn("__ts", ts_long)
     schema_base = base.schema
 
     def _sorted(pdf):

@@ -232,8 +232,14 @@ def q_rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("value_7d_cents") * F.col("value_7d_cents"),
         )
         .withColumn(
+            # a zero running high (first value rounds to 0 cents) would be
+            # a NULL division — sentinel 0 per the non-null export rule
             "drawdown_ppm",
-            F.expr("((run_max_cents - __cents) * 1000000) DIV run_max_cents"),
+            F.expr(
+                "CASE WHEN run_max_cents > 0 THEN"
+                " ((run_max_cents - __cents) * 1000000) DIV run_max_cents"
+                " ELSE 0 END"
+            ),
         )
         .drop("__cents", "__sq_7d")
     )
@@ -254,8 +260,10 @@ SELECT event_id, user_id, ts_epoch, value,
        COUNT(*) OVER w * CAST(SUM(cents * cents) OVER w AS BIGINT)
          - CAST(SUM(cents) OVER w AS BIGINT) * CAST(SUM(cents) OVER w AS BIGINT)
            AS var_7d_numerator,
-       ((CAST(MAX(cents) OVER wrun AS BIGINT) - cents) * 1000000)
-         // CAST(MAX(cents) OVER wrun AS BIGINT) AS drawdown_ppm
+       CASE WHEN CAST(MAX(cents) OVER wrun AS BIGINT) > 0 THEN
+         ((CAST(MAX(cents) OVER wrun AS BIGINT) - cents) * 1000000)
+           // CAST(MAX(cents) OVER wrun AS BIGINT)
+       ELSE 0 END AS drawdown_ppm
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch
              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW),
@@ -358,7 +366,7 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     final groupBy(user_id, session_seq) is satisfied by the window's
     existing hash partitioning on user_id (HashPartitioning on a PREFIX
     of the grouping keys meets ClusteredDistribution — no second
-    exchange; asserted in tests/test_plan_quality.py). Everything
+    exchange; asserted in tests/test_event_analytics.py). Everything
     exported is integer-exact: epochs, cents, counts."""
     from pyspark.sql import Window
 
@@ -412,11 +420,17 @@ def q_daily_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's own span, never collected), daily aggregates left-joined on,
     and missing days filled with the last observed day's total
     (last-observation-carried-forward via ``last(ignorenulls)`` over a
-    running frame). The hypertable ``time_bucket_gapfill`` shape. Every
-    stage partitions on user_id — spine build, daily rollup, join and
-    LOCF window share one clustering, so the plan is one shuffle plus a
-    sort. The first spine day per user is always observed (it IS min
-    day), so LOCF never sees a leading NULL and the output is total."""
+    running frame). The hypertable ``time_bucket_gapfill`` shape.
+
+    Plan (two exchanges, DELIBERATELY not one): the daily rollup
+    partially aggregates map-side and shuffles only its combined
+    (user, day) rows — at scale strictly fewer bytes than repartitioning
+    every raw event by user_id would move to force single-exchange
+    reuse; the bounds aggregate, spine explode and LOCF window share the
+    user_id clustering from the second exchange. Exchange count pinned
+    in tests/test_event_analytics.py. The first spine day per user is
+    always observed (it IS min day), so LOCF never sees a leading NULL
+    and the output is total."""
     from pyspark.sql import Window
 
     e = _events(spark, sf_dir).select(
@@ -479,11 +493,14 @@ def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic — |v−μ| > 2σ rearranged over cents-integer power
     sums as (n−1)·(c·n−Σc)² > 4·n·(n·Σc²−(Σc)²), so no
     variance-algorithm or double-rounding difference between engines can
-    flip a boundary row. The cubic-in-n products are computed in
-    DECIMAL(38,0) / HUGEINT (exact to 10³⁸ in both engines — headroom
-    past 10⁷ events per key at 10⁶ cents), while every EXPORTED column
-    stays comfortably BIGINT. Plan: one hash aggregate for the per-user
-    power sums + one co-partitioned join back on user_id."""
+    flip a boundary row. Wide-integer discipline END-TO-END: Σc² is
+    ACCUMULATED in DECIMAL/HUGEINT (a 64-bit power sum wraps silently in
+    Spark and errors in DuckDB already at ~10⁵ events of 10⁵ cents), and
+    the cubic-in-n comparison products are DECIMAL(38,0)/HUGEINT — exact
+    to 10³⁸ in both engines, i.e. unbounded for any physical per-key
+    history. Every EXPORTED column stays comfortably BIGINT. Plan: one
+    hash aggregate for the per-user power sums + one co-partitioned join
+    back on user_id."""
     e = _events(spark, sf_dir).select(
         "event_id",
         "user_id",
@@ -492,12 +509,18 @@ def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_user"),
         F.sum("cents").alias("sc"),
-        F.sum(F.col("cents") * F.col("cents")).alias("sq"),
+        F.sum(F.col("cents").cast("decimal(19,0)") * F.col("cents")).alias("sq"),
     )
-    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
-    dev = d("cents") * d("n_user") - d("sc")
-    lhs = (d("n_user") - 1) * dev * dev
-    rhs = 4 * d("n_user") * (d("n_user") * d("sq") - d("sc") * d("sc"))
+    dec = "decimal(38,0)"
+    n_, sc_, sq_, c_ = (
+        F.col("n_user").cast(dec),
+        F.col("sc").cast(dec),
+        F.col("sq").cast(dec),
+        F.col("cents").cast(dec),
+    )
+    dev = c_ * n_ - sc_
+    lhs = (n_ - F.lit(1)) * dev * dev
+    rhs = F.lit(4) * n_ * (n_ * sq_ - sc_ * sc_)
     return (
         e.join(s, "user_id")
         .filter((F.col("n_user") >= 10) & (lhs > rhs))
@@ -516,8 +539,10 @@ WITH e AS (
   SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
   FROM events
 ), s AS (
+  -- Σc² accumulates in HUGEINT (cents*cents in 64-bit wraps/errors at
+  -- ~10⁵ events of 10⁵ cents); comparison terms likewise stay HUGEINT
   SELECT user_id, COUNT(*) AS n_user, CAST(SUM(cents) AS BIGINT) AS sc,
-         CAST(SUM(cents * cents) AS BIGINT) AS sq
+         SUM(CAST(cents AS HUGEINT) * cents) AS sq
   FROM e GROUP BY user_id
 )
 SELECT e.event_id, e.user_id, e.cents, s.n_user,
@@ -525,8 +550,10 @@ SELECT e.event_id, e.user_id, e.cents, s.n_user,
 FROM e JOIN s USING (user_id)
 WHERE s.n_user >= 10
   AND CAST(s.n_user - 1 AS HUGEINT)
-        * (e.cents * s.n_user - s.sc) * (e.cents * s.n_user - s.sc)
-      > CAST(4 AS HUGEINT) * s.n_user * (s.n_user * s.sq - s.sc * s.sc)
+        * (CAST(e.cents AS HUGEINT) * s.n_user - s.sc)
+        * (CAST(e.cents AS HUGEINT) * s.n_user - s.sc)
+      > CAST(4 AS HUGEINT) * s.n_user
+        * (CAST(s.n_user AS HUGEINT) * s.sq - CAST(s.sc AS HUGEINT) * s.sc)
 """
 
 

@@ -72,6 +72,14 @@ EVENTS_PROBE_QUERIES = (
     "streaming_window_stats",
     "streaming_sessions",
     "running_user_totals",
+    # r6 part-3 family: history extension grows sessions/spine-days/
+    # anomaly-candidates ~linearly while per-user per-window density is
+    # constant — any superlinear slope is a real plan cliff
+    "session_stats",
+    "daily_resample_locf",
+    "value_anomalies",
+    "rolling_user_features",
+    "ewma_trend",
 )
 
 

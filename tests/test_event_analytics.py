@@ -104,7 +104,10 @@ def test_resample_locf_fills_gaps(spark, tmp_path):
         (r.user_id, r.day): (r.n_events, r.day_cents, r.is_observed, r.locf_cents)
         for r in q_daily_resample_locf(spark, d).collect()
     }
-    d0 = 19723
+    # derive the expected day index the same way the query does (epoch of
+    # the naive fixture timestamp under the local session timezone) — a
+    # hard-coded 19723 would break east-of-UTC hosts
+    d0 = int(_ts(0).timestamp()) // 86400
     assert got == {
         (1, d0): (1, 500, 1, 500),
         (1, d0 + 1): (0, 0, 0, 500),
@@ -112,6 +115,20 @@ def test_resample_locf_fills_gaps(spark, tmp_path):
         (1, d0 + 3): (1, 750, 1, 750),
         (2, d0): (1, 100, 1, 100),
     }
+
+
+def test_resample_locf_two_exchange_plan(spark, sf_dir):
+    """The documented plan: the daily rollup shuffles its map-side-combined
+    (user, day) rows and everything else shares one user_id exchange —
+    exactly two hash exchanges (repartitioning raw events by user to force
+    one would move strictly more bytes at scale)."""
+    plan = (
+        q_daily_resample_locf(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
 def test_resample_spine_is_dense_and_total(spark, sf_dir):
@@ -263,3 +280,55 @@ def test_ewma_trend_entry_bounds(spark, sf_dir):
         | (F.col("ewma_value") > F.col("hi") + 1e-6)
     ).count()
     assert bad == 0
+
+
+def test_value_anomalies_wide_integer_power_sums(spark, tmp_path):
+    """Magnitudes that overflow an int64 power sum (12 events of ~$10M →
+    Σc² ≈ 1.2×10¹⁹ > 2⁶³) must still flag correctly in BOTH engines —
+    the decimal/hugeint accumulation regression. The Spark flags are
+    checked against a float reference and against the DuckDB oracle text
+    run on the same parquet."""
+    import duckdb
+    import numpy as np
+
+    base = 10_000_000.0  # $10M → 10⁹ cents, c² = 10¹⁸
+    vals = [base + i * 1000 for i in range(11)] + [base * 3]  # planted outlier
+    rows = [(i, _ts(i * 60), 1, "view", v, "{}") for i, v in enumerate(vals)]
+    d = _write_events(spark, tmp_path, rows)
+    got = {r.event_id for r in q_value_anomalies(spark, d).collect()}
+
+    cents = np.round(np.array(vals) * 100)
+    m, sd = cents.mean(), cents.std(ddof=1)
+    want = {i for i, c in enumerate(cents) if abs(c - m) > 2 * sd}
+    assert got == want == {11}
+
+    from market_data_mining_project_spark.plans.events_temporal import (
+        SQL_VALUE_ANOMALIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    oracle = {r[0] for r in con.execute(SQL_VALUE_ANOMALIES).fetchall()}
+    assert oracle == got
+
+
+def test_drawdown_zero_high_sentinel(spark, tmp_path):
+    """A first value that rounds to 0 cents makes the running high 0 —
+    drawdown_ppm must export the 0 sentinel, never NULL."""
+    from market_data_mining_project_spark.plans.events_temporal import (
+        q_rolling_user_features,
+    )
+
+    rows = [
+        (1, _ts(0), 1, "view", 0.001, "{}"),   # 0 cents → run max 0
+        (2, _ts(60), 1, "view", 2.00, "{}"),   # high becomes 200
+        (3, _ts(120), 1, "view", 1.00, "{}"),  # 50% drawdown
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_id: (r.run_max_cents, r.drawdown_ppm)
+        for r in q_rolling_user_features(spark, d).collect()
+    }
+    assert got == {1: (0, 0), 2: (200, 0), 3: (200, 500000)}
