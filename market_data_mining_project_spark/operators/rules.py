@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 try:  # MLlib import gated so a missing mllib build degrades gracefully
-    from pyspark.ml.fpm import FPGrowth
+    from pyspark.ml.fpm import FPGrowth, PrefixSpan
 
     HAS_FPGROWTH = True
 except ImportError:  # pragma: no cover
@@ -254,4 +254,65 @@ def fpgrowth_rules(
         F.round("support", 6).alias("support"),
         F.round("confidence", 6).alias("confidence"),
         F.round("lift", 6).alias("lift"),
+    )
+
+
+def sequence_itemsets(
+    fact: DataFrame, key: str, step: str, item: str
+) -> DataFrame:
+    """Per-key ordered sequence of itemsets for PrefixSpan: distinct items
+    per (key, step) collected into a step-sorted array of arrays. Items
+    inside a step are sorted and the steps ordered by the step column, so
+    the sequence frame is deterministic under shuffles. Two hash
+    aggregates / two exchanges, both map-side combinable — shuffling the
+    combined per-(key, step) rows then the per-step arrays moves fewer
+    bytes than one raw repartition by key would (same deliberate
+    trade-off as `daily_resample_locf`; note partitioning on (key, step)
+    does NOT satisfy a key-only regroup, so exchange reuse is
+    impossible in that direction)."""
+    per_step = (
+        fact.select(key, step, item)
+        .distinct()
+        .groupBy(key, step)
+        .agg(F.sort_array(F.collect_set(item)).alias("__items"))
+    )
+    return per_step.groupBy(key).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col(step).alias("s"), F.col("__items").alias("i")))),
+            lambda x: x["i"],
+        ).alias("sequence")
+    )
+
+
+def sequential_patterns(
+    sequences: DataFrame,
+    min_support: float = 0.1,
+    max_pattern_length: int = 3,
+    max_local_proj_db_size: int = 32_000_000,
+) -> DataFrame:
+    """Frequent sequential patterns via MLlib PrefixSpan (Pei et al. 2001,
+    the projected-database algorithm MLlib distributes) — the ORDERED
+    sibling of the FPGrowth basket rules: "customers who buy brand A in
+    one order later buy brand B". Input is the ``sequence`` frame from
+    :func:`sequence_itemsets`; output flattens each pattern to a
+    canonical string (steps ``>``-joined, items ``|``-joined — item
+    arrays arrive sorted from the sequence build) beside its absolute
+    frequency. No SQL oracle can recount subsequence containment, so
+    catalog exposure is rows-only with an exact containment-recount
+    pytest gate."""
+    if not HAS_FPGROWTH:  # pragma: no cover
+        raise NotImplementedError("pyspark.ml.fpm.PrefixSpan unavailable in this build")
+    ps = PrefixSpan(
+        minSupport=min_support,
+        maxPatternLength=max_pattern_length,
+        maxLocalProjDBSize=max_local_proj_db_size,
+        sequenceCol="sequence",
+    )
+    pats = ps.findFrequentSequentialPatterns(sequences)
+    return pats.select(
+        F.array_join(
+            F.transform("sequence", lambda s: F.array_join(s, "|")), ">"
+        ).alias("pattern"),
+        F.size("sequence").alias("n_steps"),
+        F.col("freq").cast("long").alias("freq"),
     )

@@ -1423,6 +1423,22 @@ def q_fpgrowth_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent ORDERED purchase patterns via distributed PrefixSpan
+    (Pei et al. 2001) — the sequence-mining sibling of `fpgrowth_rules`:
+    which brand sets customers buy in successive orders ("A then B"),
+    not merely together. Sequences: per customer, the day-ordered list
+    of distinct-brand order baskets (deterministic: items sorted within
+    step, steps sorted by day). Rows-only — subsequence-containment
+    support has no SQL twin; the pytest gate recounts the top patterns'
+    frequencies exactly by containment over the collected fixture
+    sequences (tests/test_rules_ml.py)."""
+    fact = _brand_fact(spark, sf_dir)
+    seqs = RULES.sequence_itemsets(fact, "o_custkey", "day", "p_brand")
+    out = RULES.sequential_patterns(seqs, min_support=0.3, max_pattern_length=2)
+    return out.orderBy(F.desc("freq"), "pattern")
+
+
 # Exact frequent-itemset enumeration up to size 3 (antecedent size ≤ 2) — at
 # minSupport 0.02 no larger itemsets are frequent on this data, and the
 # pair/triple branches mirror Spark's AssociationRules (single-item consequent,
@@ -1721,6 +1737,9 @@ QUERIES = {
     # brand_outlook entry
     "brand_outlook": q_brand_outlook,
     "fpgrowth_rules": q_fpgrowth_rules,
+    # sequential_patterns: rows-only (subsequence-containment support has
+    # no SQL twin; exact containment recount in tests/test_rules_ml.py)
+    "sequential_patterns": q_sequential_patterns,
     "horizon_predictions": q_horizon_predictions,
     "model_grid_metrics": q_model_grid_metrics,
     "als_recommendations": q_als_recommendations,

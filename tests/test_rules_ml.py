@@ -262,3 +262,45 @@ def test_quality_classifier_gates(spark, sf_dir):
     # full-corpus agreement with the heuristic label should be strong
     agree = sum(1 for r in out if r.predicted == r.heuristic_label) / len(out)
     assert agree >= 0.8, f"classifier agrees with heuristic on only {agree:.0%}"
+
+
+def test_sequential_patterns_containment_recount(spark, sf_dir):
+    """PrefixSpan frequencies recounted EXACTLY: a pattern's freq must
+    equal the number of customers whose day-ordered basket sequence
+    contains it as an ordered subsequence with itemset-subset step
+    matching (gaps allowed) — the Pei et al. support definition."""
+    from market_data_mining_project_spark.operators import rules as RULES
+    from market_data_mining_project_spark.plans.analytics_domain import (
+        _brand_fact,
+        q_sequential_patterns,
+    )
+
+    fact = _brand_fact(spark, sf_dir)
+    seqs = {
+        r[0]: [set(step) for step in r[1]]
+        for r in RULES.sequence_itemsets(
+            fact, "o_custkey", "day", "p_brand"
+        ).collect()
+    }
+    pats = q_sequential_patterns(spark, sf_dir).collect()
+    assert pats, "fixture should yield frequent sequential patterns"
+
+    def contains(seq, pattern_steps):
+        i = 0
+        for step in seq:
+            if i < len(pattern_steps) and pattern_steps[i] <= step:
+                i += 1
+        return i == len(pattern_steps)
+
+    # exact recount for a deterministic slice: top-5 by (freq, pattern)
+    # plus the 5 rarest — covers both ends of the support range
+    check = pats[:5] + pats[-5:]
+    for row in check:
+        steps = [set(s.split("|")) for s in row.pattern.split(">")]
+        want = sum(1 for s in seqs.values() if contains(s, steps))
+        assert want == row.freq, (row.pattern, want, row.freq)
+    # support floor: nothing below ceil(0.3 * n_customers)
+    import math
+
+    floor = math.ceil(0.3 * len(seqs))
+    assert all(r.freq >= floor for r in pats)
