@@ -308,7 +308,16 @@ def sequential_patterns(
         maxLocalProjDBSize=max_local_proj_db_size,
         sequenceCol="sequence",
     )
-    pats = ps.findFrequentSequentialPatterns(sequences)
+    # PrefixSpan iterates (one distributed pass per pattern length):
+    # an uncached input replays the sequence-build aggregates every
+    # iteration. Cache for the duration of the mine; the result frame is
+    # materialized internally (findFrequentSequentialPatterns returns a
+    # local-relation-backed DF), so unpersisting right after is safe.
+    sequences = sequences.cache()
+    try:
+        pats = ps.findFrequentSequentialPatterns(sequences)
+    finally:
+        sequences.unpersist()
     return pats.select(
         F.array_join(
             F.transform("sequence", lambda s: F.array_join(s, "|")), ">"
