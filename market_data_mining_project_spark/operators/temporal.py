@@ -250,6 +250,90 @@ def ohlc_rollup(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_secs: int,
+    tiebreak_col: str,
+    bucket_secs: int | None = None,
+    out_col: str = "session_seq",
+) -> DataFrame:
+    """Gap-based session assignment: per key, rows more than ``gap_secs``
+    after their predecessor start a new session; ``out_col`` numbers
+    sessions 1..N in time order. Exported rows = input rows + the
+    session counter (plus a ``__ts`` epoch column dropped here).
+
+    Plain path: ONE shuffle on ``key`` — the lag test and the running
+    session-start sum share one sorted window (and a downstream
+    ``groupBy(key, session)`` still reuses the exchange: prefix
+    partitioning satisfies the grouping).
+
+    ``bucket_secs`` — the bounded-state SKEW path, all-JVM (the session
+    counter is a PREFIX SUM of start flags, so it bucket-stitches like
+    every linear carry here): (1) a per-(key, time-bucket) window
+    computes in-bucket start flags and their running sum — per-task
+    state bounded by bucket occupancy; (2) the TINY per-bucket summary
+    frame (first/last ts + in-bucket start count) decides each bucket's
+    BOUNDARY flag against the previous non-empty bucket's last event
+    (empty buckets simply don't appear, so ``lag`` over the summary IS
+    the previous event) and prefix-sums the session starts before each
+    bucket; (3) one co-partitioned join adds boundary + prefix to the
+    in-bucket running sum. Integer logic throughout — bucketed == plain
+    EXACTLY, any width (pytest-pinned)."""
+    t = F.col(ts_col).cast("timestamp").cast("long")
+    base = df.withColumn("__ts", t)
+    if bucket_secs is None:
+        w = Window.partitionBy(key).orderBy("__ts", tiebreak_col)
+        start = F.when(
+            F.col("__ts") - F.lag("__ts").over(w) <= gap_secs, 0
+        ).otherwise(1)
+        return base.withColumn(
+            out_col,
+            F.sum(start).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        ).drop("__ts")
+
+    base = base.withColumn("__bkt", F.floor(F.col("__ts") / bucket_secs))
+    wb = Window.partitionBy(key, "__bkt").orderBy("__ts", tiebreak_col)
+    # first row of a bucket gets start=0 locally; its true start flag is
+    # the bucket's boundary flag, added from the summary carry below
+    local_start = F.when(F.lag("__ts").over(wb).isNull(), 0).when(
+        F.col("__ts") - F.lag("__ts").over(wb) > gap_secs, 1
+    ).otherwise(0)
+    local = base.withColumn(
+        "__lcum",
+        F.sum(local_start).over(wb.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    summary = local.groupBy(key, "__bkt").agg(
+        F.min("__ts").alias("__first_ts"),
+        F.max("__ts").alias("__last_ts"),
+        F.max("__lcum").alias("__local_flags"),
+    )
+    ws = Window.partitionBy(key).orderBy("__bkt")
+    prev_last = F.lag("__last_ts").over(ws)
+    boundary = F.when(prev_last.isNull(), 1).when(
+        F.col("__first_ts") - prev_last > gap_secs, 1
+    ).otherwise(0)
+    carry = summary.withColumn("__f", boundary).withColumn(
+        "__before",
+        F.coalesce(
+            F.sum(F.col("__f") + F.col("__local_flags")).over(
+                ws.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return (
+        local.join(
+            carry.select(key, "__bkt", "__f", "__before"), [key, "__bkt"]
+        )
+        .withColumn(
+            out_col, (F.col("__before") + F.col("__f") + F.col("__lcum")).cast("long")
+        )
+        .drop("__ts", "__bkt", "__lcum", "__f", "__before")
+    )
+
+
 def ewma(
     df: DataFrame,
     key: str,

@@ -367,22 +367,17 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing hash partitioning on user_id (HashPartitioning on a PREFIX
     of the grouping keys meets ClusteredDistribution — no second
     exchange; asserted in tests/test_event_analytics.py). Everything
-    exported is integer-exact: epochs, cents, counts."""
-    from pyspark.sql import Window
-
+    exported is integer-exact: epochs, cents, counts. Hot-key histories
+    take `operators/temporal.sessionize`'s `bucket_secs` path — the
+    session counter is a prefix sum, so it bucket-stitches with bounded
+    per-task state; bucketed == plain exactly (pytest-pinned)."""
     e = _events(spark, sf_dir).select(
         "event_id",
         "user_id",
         F.col("ts").cast("long").alias("te"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    w = Window.partitionBy("user_id").orderBy("te", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
-    flagged = e.withColumn(
-        "new_s",
-        F.when(F.col("te") - F.lag("te").over(w) <= 7200, 0).otherwise(1),
-    )
-    numbered = flagged.withColumn("session_seq", F.sum("new_s").over(run))
+    numbered = TEMP.sessionize(e, "user_id", "te", 7200, "event_id")
     return numbered.groupBy("user_id", "session_seq").agg(
         F.min("te").alias("session_start"),
         F.max("te").alias("session_end"),

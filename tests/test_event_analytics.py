@@ -332,3 +332,28 @@ def test_drawdown_zero_high_sentinel(spark, tmp_path):
         for r in q_rolling_user_features(spark, d).collect()
     }
     assert got == {1: (0, 0), 2: (200, 0), 3: (200, 500000)}
+
+
+def test_sessionize_bucketed_equals_plain_exactly(spark, sf_dir):
+    """The bounded-state bucket-stitch sessionizer is integer logic end to
+    end — bucketed must equal plain EXACTLY at multiple widths, including
+    widths smaller than the gap (boundary flags then hinge on the
+    previous non-empty bucket, the hardest case)."""
+    from market_data_mining_project_spark.operators.temporal import sessionize
+    from market_data_mining_project_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("te")
+    )
+    plain = {
+        r.event_id: r.session_seq
+        for r in sessionize(e, "user_id", "te", 7200, "event_id").collect()
+    }
+    for width in (86400, 3600, 1800):  # 1800 < the 7200 gap
+        b = {
+            r.event_id: r.session_seq
+            for r in sessionize(
+                e, "user_id", "te", 7200, "event_id", bucket_secs=width
+            ).collect()
+        }
+        assert b == plain, width
