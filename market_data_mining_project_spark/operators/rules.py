@@ -272,7 +272,6 @@ def sequence_itemsets(
     impossible in that direction)."""
     per_step = (
         fact.select(key, step, item)
-        .distinct()
         .groupBy(key, step)
         .agg(F.sort_array(F.collect_set(item)).alias("__items"))
     )
@@ -308,14 +307,17 @@ def sequential_patterns(
         maxLocalProjDBSize=max_local_proj_db_size,
         sequenceCol="sequence",
     )
-    # PrefixSpan iterates (one distributed pass per pattern length):
-    # an uncached input replays the sequence-build aggregates every
-    # iteration. Cache for the duration of the mine; the result frame is
-    # materialized internally (findFrequentSequentialPatterns returns a
-    # local-relation-backed DF), so unpersisting right after is safe.
+    # PrefixSpan makes several passes over its input (item counting +
+    # the distributed mining stages), and the RETURNED frame is lazy —
+    # its lineage reaches back through groupByKey/LocalPrefixSpan to the
+    # input scan, so every downstream action would re-mine. Cache the
+    # input for the passes, then localCheckpoint the (small) pattern
+    # frame to truncate that lineage BEFORE releasing the cache.
     sequences = sequences.cache()
     try:
-        pats = ps.findFrequentSequentialPatterns(sequences)
+        pats = ps.findFrequentSequentialPatterns(sequences).localCheckpoint(
+            eager=True
+        )
     finally:
         sequences.unpersist()
     return pats.select(

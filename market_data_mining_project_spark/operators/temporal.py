@@ -280,9 +280,15 @@ def sessionize(
     the previous event) and prefix-sums the session starts before each
     bucket; (3) one co-partitioned join adds boundary + prefix to the
     in-bucket running sum. Integer logic throughout — bucketed == plain
-    EXACTLY, any width (pytest-pinned)."""
+    EXACTLY, any width (pytest-pinned).
+
+    Rows with a NULL timestamp carry no ordering information and are
+    EXCLUDED from both paths (documented contract, same as NULL values
+    in :func:`ewma`) — without the filter the two paths would diverge:
+    the plain window sorts NULLs into sessions while a NULL bucket id
+    can never survive the bucketed path's equi-join."""
     t = F.col(ts_col).cast("timestamp").cast("long")
-    base = df.withColumn("__ts", t)
+    base = df.filter(t.isNotNull()).withColumn("__ts", t)
     if bucket_secs is None:
         w = Window.partitionBy(key).orderBy("__ts", tiebreak_col)
         start = F.when(

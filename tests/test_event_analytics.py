@@ -357,3 +357,21 @@ def test_sessionize_bucketed_equals_plain_exactly(spark, sf_dir):
             ).collect()
         }
         assert b == plain, width
+
+
+def test_sessionize_null_timestamps_excluded_both_paths(spark):
+    """NULL-timestamp rows are excluded identically on both paths (the
+    documented contract) — without the filter the plain window would
+    session them while the bucketed join would silently drop them."""
+    from market_data_mining_project_spark.operators.temporal import sessionize
+
+    df = spark.createDataFrame(
+        [(1, None, 5), (2, None, 5), (3, 100, 5), (4, 10000, 5)],
+        "event_id long, te long, user_id long",
+    )
+    plain = {(r.event_id, r.session_seq) for r in sessionize(df, "user_id", "te", 7200, "event_id").collect()}
+    bucketed = {
+        (r.event_id, r.session_seq)
+        for r in sessionize(df, "user_id", "te", 7200, "event_id", bucket_secs=3600).collect()
+    }
+    assert plain == bucketed == {(3, 1), (4, 2)}
