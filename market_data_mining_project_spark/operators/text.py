@@ -489,3 +489,58 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         dup_token_ratio(t).alias("dup_token_ratio"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def document_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 120,
+    overlap: int = 30,
+) -> DataFrame:
+    """Split each document into fixed-width overlapping character chunks —
+    the RAG/context-window splitter every training-data pipeline runs
+    before embedding or packing. Pure Catalyst column math (no UDF, no
+    shuffle: the explode is partition-preserving and chunk counts derive
+    from ``length()`` alone):
+
+    - stride = chunk_size − overlap; chunk *i* covers 1-based positions
+      ``[1 + i·stride, i·stride + chunk_size]``; the last chunk may be
+      short but always starts inside the text and reaches its end, so
+      chunks cover every character and adjacent chunks share exactly
+      ``overlap`` characters (pytest conservation gates).
+    - ``n_chunks = 1 + ceil((len − chunk_size)/stride)`` for texts longer
+      than one chunk, computed with integer DIV (float ceil could differ
+      cross-engine at exact multiples).
+    - NULL texts are excluded (no content to chunk — documented, same
+      contract as the other NULL-input operators).
+
+    Output: (id, chunk_idx, chunk_start, chunk_len, chunk_md5) — the md5
+    stands in for chunk text so oracles hash content without shipping it.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    stride = chunk_size - overlap
+    t = F.col(text_col)
+    # last chunk index = ceil((len − size)/stride) as integer DIV, 0 when
+    # the text fits in one chunk
+    last_idx = F.when(F.length(t) <= chunk_size, F.lit(0).cast("long")).otherwise(
+        F.expr(
+            f"CAST((length({text_col}) - {chunk_size} + {stride - 1}) DIV {stride} AS LONG)"
+        )
+    )
+    exploded = (
+        docs.filter(t.isNotNull())
+        .withColumn(
+            "chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), last_idx))
+        )
+        .withColumn("chunk_start", (F.col("chunk_idx") * stride + 1).cast("long"))
+    )
+    chunk = F.substring(t, F.col("chunk_start").cast("int"), chunk_size)
+    return exploded.select(
+        F.col(id_col),
+        "chunk_idx",
+        "chunk_start",
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )

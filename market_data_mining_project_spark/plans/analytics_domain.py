@@ -1731,8 +1731,8 @@ QUERIES = {
     "stat_pivot_audit": q_stat_pivot_audit,
     "pivot_brand_matrices": q_pivot_brand_matrices,
     # stats_assessment + (tpch) repair_recompute_audit serve through the
-    # merged stats_repair_audit entry
-    "stats_repair_audit": q_stats_repair_audit,
+    # stats_repair_audit now rides the llm_pipeline vocab_stats_audit
+    # carrier (r6 slot merge funding the document_chunks oracle)
     # conditional_horizons + brand_predictions serve through the merged
     # brand_outlook entry
     "brand_outlook": q_brand_outlook,
@@ -1759,7 +1759,6 @@ ORACLE = {
     # entries (slot merge — both remain hash-verified)
     "stat_pivot_audit": SQL_STAT_PIVOT_AUDIT,
     "pivot_brand_matrices": _sql_pivot_brand_matrices(),
-    "stats_repair_audit": _sql_stats_repair_audit(),
     "brand_outlook": _sql_brand_outlook(),
     "fpgrowth_rules": SQL_FPGROWTH_RULES,
     # als_recommendations / churn_model_scores / churn_threshold_sweep /

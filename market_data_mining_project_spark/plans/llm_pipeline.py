@@ -424,6 +424,65 @@ FROM ranked r CROSS JOIN tot t
 """
 
 
+def q_vocab_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 slot-merge carrier: the 50-row vocabulary-coverage report with
+    the 1-row TPC-H stats/repair audit scalars riding every row (the
+    proven 1-row cross-join idiom — every cell of the former
+    `vocab_coverage` and `stats_repair_audit` entries still
+    hash-checks). Slot freed funds the `document_chunks` oracle."""
+    from market_data_mining_project_spark.plans.analytics_domain import (
+        q_stats_repair_audit,
+    )
+
+    return q_vocab_coverage(spark, sf_dir).crossJoin(
+        F.broadcast(q_stats_repair_audit(spark, sf_dir))
+    )
+
+
+def _sql_vocab_stats_audit() -> str:
+    from market_data_mining_project_spark.plans.analytics_domain import (
+        _sql_stats_repair_audit,
+    )
+
+    return f"""
+SELECT * FROM ({SQL_VOCAB_COVERAGE}) v CROSS JOIN ({_sql_stats_repair_audit()}) s
+"""
+
+
+def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width overlapping chunking of every document (120 chars,
+    30 overlap) — the RAG/context-window splitter run before embedding
+    or packing (operators/text.document_chunks). Pure Catalyst column
+    math: chunk counts from length() with integer DIV, partition-
+    preserving explode, no UDF and no shuffle; chunk content exported as
+    md5 so the oracle hash-verifies every chunk's exact bytes without
+    shipping text. Conservation gates (full coverage, exact overlap
+    width, reassembly identity) in tests/test_text_lm.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TXT.document_chunks(docs, chunk_size=120, overlap=30)
+
+
+SQL_DOCUMENT_CHUNKS = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS len FROM documents WHERE text IS NOT NULL
+), counts AS (
+  SELECT doc_id, text,
+         CASE WHEN len <= 120 THEN CAST(0 AS BIGINT)
+              ELSE (len - 120 + 89) // 90 END AS last_idx
+  FROM d
+), exploded AS (
+  SELECT doc_id, text, unnest(generate_series(0, last_idx)) AS chunk_idx
+  FROM counts
+)
+SELECT doc_id, chunk_idx,
+       CAST(chunk_idx * 90 + 1 AS BIGINT) AS chunk_start,
+       CAST(length(substring(text, CAST(chunk_idx * 90 + 1 AS INT), 120)) AS BIGINT)
+           AS chunk_len,
+       md5(substring(text, CAST(chunk_idx * 90 + 1 AS INT), 120)) AS chunk_md5
+FROM exploded
+"""
+
+
 def q_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus accounting in one oracled entry (slot-merge of the former
     ``token_stats`` + ``exact_dedup`` + ``decontamination`` entries — the
@@ -1351,7 +1410,10 @@ QUERIES = {
     "incremental_ingest": q_incremental_ingest,
     "text_profile": q_text_profile,
     "span_dedup": q_span_dedup,
-    "vocab_coverage": q_vocab_coverage,
+    # vocab_coverage + (analytics) stats_repair_audit serve through the
+    # merged vocab_stats_audit entry
+    "vocab_stats_audit": q_vocab_stats_audit,
+    "document_chunks": q_document_chunks,
     "embedding_reports": q_embedding_reports,
 }
 
@@ -1370,7 +1432,8 @@ ORACLE = {
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "text_profile": SQL_TEXT_PROFILE,
     "span_dedup": SQL_SPAN_DEDUP,
-    "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "vocab_stats_audit": _sql_vocab_stats_audit(),
+    "document_chunks": SQL_DOCUMENT_CHUNKS,
     # embedding_reports carries the former cosine_topk +
     # embedding_label_centroids entries (slot merge)
     "embedding_reports": SQL_EMBEDDING_REPORTS,

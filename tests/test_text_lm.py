@@ -82,3 +82,57 @@ def test_lm_empty_reference_corpus_degenerates_to_zero(spark):
            TXT.lm_nll_scores(docs, counts, total, vocab, "text", "doc_id", n=3).collect()}
     assert all(v[1] == 0.0 for v in out.values())
     assert out[0][0] == len(SCORE[0][1]) - 2
+
+
+def test_document_chunks_conservation(spark, sf_dir):
+    """Chunking invariants on the real corpus: chunks cover every
+    character, adjacent chunks overlap by exactly 30 chars, stripping the
+    overlaps reassembles the original text byte-for-byte, and every
+    chunk_md5 matches a locally recomputed md5 of the same slice."""
+    import hashlib
+
+    from market_data_mining_project_spark.operators.text import document_chunks
+    from market_data_mining_project_spark.sources.tables import load_table
+
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()}
+    rows = document_chunks(
+        load_table(spark, sf_dir, "documents"), chunk_size=120, overlap=30
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        text = docs[doc_id]
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        rebuilt = ""
+        for c in chunks:
+            piece = text[c.chunk_start - 1 : c.chunk_start - 1 + 120]
+            assert c.chunk_len == len(piece)
+            assert c.chunk_md5 == hashlib.md5(piece.encode()).hexdigest()
+            rebuilt += piece if not rebuilt else piece[30:]
+        assert rebuilt == text, doc_id
+        # full coverage: last chunk reaches the end; starts strictly inside
+        last = chunks[-1]
+        assert last.chunk_start - 1 + last.chunk_len == len(text)
+        assert last.chunk_start <= len(text)
+
+
+def test_document_chunks_short_and_null(spark):
+    """A text shorter than one chunk yields exactly one chunk; NULL text
+    rows are excluded by contract."""
+    from market_data_mining_project_spark.operators.text import document_chunks
+
+    df = spark.createDataFrame(
+        [(1, "short"), (2, None), (3, "x" * 120), (4, "y" * 121)],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in document_chunks(df, chunk_size=120, overlap=30).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_len))
+    assert got == {
+        1: [(0, 5)],
+        3: [(0, 120)],
+        4: [(0, 120), (1, 31)],
+    }
