@@ -40,6 +40,7 @@ PROBE_QUERIES = (
     "ngram_jaccard",
     "dup_clusters",
     "span_dedup",
+    "document_chunks",
     "minhash_candidates",
     "simhash_near_dups",
     "bm25_search",
