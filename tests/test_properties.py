@@ -426,3 +426,54 @@ def test_apply_mixture_copy_bounds_any_rates(spark, rates):
         per_doc_copies.setdefault(r.doc_id, []).append(r.copy)
     for d, cps in per_doc_copies.items():
         assert sorted(cps) == list(range(len(cps)))
+
+
+# --- sessionize bucket-stitch (r6p3) --------------------------------------
+
+session_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),        # user
+        st.integers(min_value=0, max_value=100_000),  # epoch seconds
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(events=session_events, gap=st.sampled_from([1, 600, 7200]),
+       bucket=st.sampled_from([100, 3600, 86400]))
+@settings(**_SETTINGS)
+def test_sessionize_bucketed_equals_plain_property(spark, events, gap, bucket):
+    """For ANY event set, gap and bucket width (including widths smaller
+    than the gap and duplicate timestamps), the bounded-state bucket path
+    must number sessions exactly like the plain single-window path, and a
+    brute-force Python sessionizer must agree with both."""
+    from market_data_mining_project_spark.operators.temporal import sessionize
+
+    rows = [(i, u, t) for i, (u, t) in enumerate(events)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, te long")
+    plain = {
+        r.event_id: r.session_seq
+        for r in sessionize(df, "user_id", "te", gap, "event_id").collect()
+    }
+    bucketed = {
+        r.event_id: r.session_seq
+        for r in sessionize(
+            df, "user_id", "te", gap, "event_id", bucket_secs=bucket
+        ).collect()
+    }
+    assert bucketed == plain
+    # brute force: sort each user's events by (ts, event_id), count starts
+    brute = {}
+    by_user: dict = {}
+    for i, u, t in rows:
+        by_user.setdefault(u, []).append((t, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        seq, prev = 0, None
+        for t, i in evs:
+            if prev is None or t - prev > gap:
+                seq += 1
+            brute[i] = seq
+            prev = t
+    assert plain == brute
