@@ -506,9 +506,11 @@ def document_chunks(
 
     - stride = chunk_size − overlap; chunk *i* covers 1-based positions
       ``[1 + i·stride, i·stride + chunk_size]``; the last chunk may be
-      short but always starts inside the text and reaches its end, so
-      chunks cover every character and adjacent chunks share exactly
-      ``overlap`` characters (pytest conservation gates).
+      short but (for non-empty texts) always starts inside the text and
+      reaches its end, so chunks cover every character and adjacent
+      chunks share exactly ``overlap`` characters (pytest conservation
+      gates). An EMPTY text yields one zero-length chunk — a row per
+      document survives, identically in both engines.
     - ``n_chunks = 1 + ceil((len − chunk_size)/stride)`` for texts longer
       than one chunk, computed with integer DIV (float ceil could differ
       cross-engine at exact multiples).
@@ -522,15 +524,16 @@ def document_chunks(
         raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
     stride = chunk_size - overlap
     t = F.col(text_col)
-    # last chunk index = ceil((len − size)/stride) as integer DIV, 0 when
-    # the text fits in one chunk
-    last_idx = F.when(F.length(t) <= chunk_size, F.lit(0).cast("long")).otherwise(
-        F.expr(
-            f"CAST((length({text_col}) - {chunk_size} + {stride - 1}) DIV {stride} AS LONG)"
-        )
+    # last chunk index = ceil((len − size)/stride) via integer DIV (no
+    # float in the path) on a locally-aliased length column — the caller's
+    # column name is never interpolated into SQL text, so quoted/nested
+    # names keep working; 0 when the text fits in one chunk
+    last_idx = F.when(F.col("__len") <= chunk_size, F.lit(0).cast("long")).otherwise(
+        F.expr(f"CAST((__len - {chunk_size} + {stride - 1}) DIV {stride} AS LONG)")
     )
     exploded = (
         docs.filter(t.isNotNull())
+        .withColumn("__len", F.length(t))
         .withColumn(
             "chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), last_idx))
         )

@@ -833,8 +833,9 @@ QUERIES = {
     "filtered_scan": q_filtered_scan,
     "search_icontains": q_search,
     "pagination": q_pagination,
-    # repair_recompute_audit serves through analytics_domain's merged
-    # stats_repair_audit entry (function + SQL stay here, reused there)
+    # repair_recompute_audit serves through llm_pipeline's merged
+    # vocab_stats_audit entry (stats_repair_audit rode vocab_coverage in
+    # r6p3; function + SQL stay here, reused through the chain)
     "order_gaps": q_order_gaps,
     "monthly_sales": q_monthly_sales,
     # conditional_horizons serves through analytics_domain's merged

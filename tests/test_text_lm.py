@@ -113,10 +113,12 @@ def test_document_chunks_conservation(spark, sf_dir):
             assert c.chunk_md5 == hashlib.md5(piece.encode()).hexdigest()
             rebuilt += piece if not rebuilt else piece[30:]
         assert rebuilt == text, doc_id
-        # full coverage: last chunk reaches the end; starts strictly inside
+        # full coverage: last chunk reaches the end; starts inside the
+        # text (an empty text would still emit one zero-length chunk at
+        # start 1 — the documented per-document-row guarantee)
         last = chunks[-1]
         assert last.chunk_start - 1 + last.chunk_len == len(text)
-        assert last.chunk_start <= len(text)
+        assert last.chunk_start <= max(1, len(text))
 
 
 def test_document_chunks_short_and_null(spark):
@@ -125,7 +127,7 @@ def test_document_chunks_short_and_null(spark):
     from market_data_mining_project_spark.operators.text import document_chunks
 
     df = spark.createDataFrame(
-        [(1, "short"), (2, None), (3, "x" * 120), (4, "y" * 121)],
+        [(1, "short"), (2, None), (3, "x" * 120), (4, "y" * 121), (5, "")],
         "doc_id long, text string",
     )
     got = {}
@@ -135,4 +137,5 @@ def test_document_chunks_short_and_null(spark):
         1: [(0, 5)],
         3: [(0, 120)],
         4: [(0, 120), (1, 31)],
+        5: [(0, 0)],  # empty text keeps its one-row-per-document guarantee
     }
