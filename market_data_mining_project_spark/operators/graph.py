@@ -1,0 +1,122 @@
+"""Iterative graph analytics over DataFrame edge lists.
+
+Not in the reference (its graph-adjacent output is the pairwise
+co-occurrence table, ``Website/market/views.py:199-235``) — added as an
+engine capability alongside the pointer-doubled connected components in
+``dedup.dup_clusters``: the OTHER canonical iterative distributed graph
+computation, weighted PageRank, expressed as per-iteration DataFrame
+joins with explicit lineage control.
+
+Scale shape: the rank frame is |nodes| rows; each iteration is one
+co-partitioned join of ranks onto the (larger) edge list, one hash
+aggregate back to nodes, and a broadcast of two scalars (dangling mass,
+convergence delta). Lineage is cut every iteration with
+``localCheckpoint`` — the ``dup_clusters`` idiom — so 20 iterations
+don't build a 20-deep plan. Hot destination nodes are ordinary
+aggregation skew (AQE/salting territory), never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    max_iterations: int = 30,
+    tol: float = 1e-8,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list.
+
+    ``rank(v) = (1−d)/N + d·(Σ_{u→v} rank(u)·w(u→v)/out_w(u) + dangling/N)``
+    where ``out_w(u)`` is u's total outgoing weight and ``dangling`` is the
+    rank mass sitting on nodes with no outgoing edges (redistributed
+    uniformly, the standard correction — without it rank mass leaks and
+    the result is not a distribution). Unweighted graphs pass
+    ``weight=None`` (every edge weighs 1).
+
+    Iterates to ``max_iterations`` or until ``max |Δrank| <= tol``.
+    Returns (node, rank, n_iterations) — ranks sum to 1 up to float
+    rounding; ``n_iterations`` is constant on every row so callers can
+    audit convergence. Duplicate (src, dst) edges are summed into one
+    weighted edge up front.
+
+    Exact parity with a dense numpy power iteration on the collected
+    edge list is pytest-pinned (tests/test_graph.py) — both run the SAME
+    update, so they agree to float tolerance, not merely in ranking
+    order."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = (
+        edges.select(
+            F.col(src).alias("__src"), F.col(dst).alias("__dst"), w.alias("__w")
+        )
+        .groupBy("__src", "__dst")
+        .agg(F.sum("__w").alias("__w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0)).withColumn(
+            "n_iterations", F.lit(0)
+        )
+    out_w = e.groupBy(F.col("__src").alias("node")).agg(
+        F.sum("__w").alias("__out_w")
+    )
+    # per-edge transition probability, fixed across iterations
+    trans = (
+        e.join(out_w.withColumnRenamed("node", "__src"), "__src")
+        .select("__src", "__dst", (F.col("__w") / F.col("__out_w")).alias("__p"))
+        .localCheckpoint(eager=True)
+    )
+    has_out = out_w.select("node")
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    iterations = 0
+    for _ in range(max_iterations):
+        iterations += 1
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            trans.join(ranks.withColumnRenamed("node", "__src"), "__src")
+            .groupBy(F.col("__dst").alias("node"))
+            .agg(F.sum(F.col("__p") * F.col("rank")).alias("__in"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new_ranks.join(
+                ranks.withColumnRenamed("rank", "__old"), "node"
+            )
+            .agg(F.max(F.abs(F.col("rank") - F.col("__old"))))
+            .first()[0]
+        )
+        ranks = new_ranks
+        if delta <= tol:
+            break
+    return ranks.withColumn("n_iterations", F.lit(iterations))

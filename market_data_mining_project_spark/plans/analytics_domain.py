@@ -1423,6 +1423,35 @@ def q_fpgrowth_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_brand_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the brand co-occurrence graph (edges =
+    basket pair counts, both directions — which brands anchor baskets):
+    the OTHER canonical iterative graph computation beside the
+    pointer-doubled dup-cluster components, run as per-iteration
+    DataFrame joins with localCheckpoint lineage control
+    (operators/graph.pagerank). Rows-only — iterative fixpoints have no
+    SQL twin; gates: exact numpy power-iteration parity on the collected
+    edges, rank mass sums to 1, convergence within the iteration cap
+    (tests/test_graph.py)."""
+    from market_data_mining_project_spark.operators.graph import pagerank
+
+    ib = _basket_brands(spark, sf_dir)
+    pairs = RULES.pair_counts(None, basket="l_orderkey", item="p_brand", min_count=1, ib=ib)
+    edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst"), "pair_baskets"
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("src"), F.col("item_a").alias("dst"), "pair_baskets"
+        )
+    )
+    out = pagerank(edges, weight="pair_baskets", damping=0.85, tol=1e-10)
+    return out.select(
+        F.col("node").alias("p_brand"),
+        F.round("rank", 8).alias("rank"),
+        "n_iterations",
+    ).orderBy(F.desc("rank"), "p_brand")
+
+
 def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent ORDERED purchase patterns via distributed PrefixSpan
     (Pei et al. 2001) — the sequence-mining sibling of `fpgrowth_rules`:
@@ -1740,6 +1769,9 @@ QUERIES = {
     # sequential_patterns: rows-only (subsequence-containment support has
     # no SQL twin; exact containment recount in tests/test_rules_ml.py)
     "sequential_patterns": q_sequential_patterns,
+    # brand_centrality: rows-only (iterative fixpoint; numpy power-iteration
+    # parity gate in tests/test_graph.py)
+    "brand_centrality": q_brand_centrality,
     "horizon_predictions": q_horizon_predictions,
     "model_grid_metrics": q_model_grid_metrics,
     "als_recommendations": q_als_recommendations,

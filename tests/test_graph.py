@@ -1,0 +1,83 @@
+"""PageRank gates: exact numpy power-iteration parity (same update, same
+dangling correction), mass conservation, convergence, and known-value
+checks on a hand-solvable graph."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_mining_project_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(edges, damping, iterations):
+    """Reference: the SAME per-iteration update as operators/graph.py on a
+    dense matrix — not a different convergence criterion."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for s, d, wt in edges:
+        w[idx[s], idx[d]] += wt
+    out_w = w.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        dangling = r[out_w == 0].sum()
+        contrib = np.zeros(n)
+        for i in range(n):
+            if out_w[i] > 0:
+                contrib += r[i] * w[i] / out_w[i]
+        r = base + damping * (contrib + dangling / n)
+    return dict(zip(nodes, r))
+
+
+def test_pagerank_matches_numpy_same_update(spark):
+    edges = [
+        (1, 2, 3.0), (2, 1, 1.0), (2, 3, 2.0), (3, 1, 5.0),
+        (4, 1, 1.0),  # 5 is dangling (appears only as dst)
+        (1, 5, 1.0),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r.node: (r.rank, r.n_iterations)
+        for r in pagerank(df, weight="w", max_iterations=12, tol=0.0).collect()
+    }
+    iters = next(iter(got.values()))[1]
+    assert iters == 12  # tol=0 forces the full run — parity at exact count
+    want = _numpy_pagerank(edges, 0.85, 12)
+    assert set(got) == set(want)
+    for node, (rank, _) in got.items():
+        assert rank == pytest.approx(want[node], abs=1e-12), node
+    assert sum(r for r, _ in got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_converges_and_conserves_mass(spark, sf_dir):
+    from market_data_mining_project_spark.plans.analytics_domain import (
+        q_brand_centrality,
+    )
+
+    rows = q_brand_centrality(spark, sf_dir).collect()
+    assert rows
+    assert sum(r.rank for r in rows) == pytest.approx(1.0, abs=1e-5)
+    assert rows[0].n_iterations < 30  # converged before the cap
+    # co-occurrence graph is symmetric and dense here: no rank collapses
+    assert min(r.rank for r in rows) > 0
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    """A symmetric unweighted cycle is vertex-transitive — every node must
+    get exactly rank 1/N."""
+    n = 5
+    edges = [(i, (i + 1) % n) for i in range(n)] + [((i + 1) % n, i) for i in range(n)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = pagerank(df, max_iterations=20).collect()
+    for r in got:
+        assert r.rank == pytest.approx(1.0 / n, abs=1e-9)
+
+
+def test_pagerank_rejects_bad_damping(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)
