@@ -42,7 +42,9 @@ def test_pagerank_matches_numpy_same_update(spark):
     df = spark.createDataFrame(edges, "src long, dst long, w double")
     got = {
         r.node: (r.rank, r.n_iterations)
-        for r in pagerank(df, weight="w", max_iterations=12, tol=0.0).collect()
+        for r in pagerank(
+            df, weight="w", max_iterations=12, tol=0.0, small_graph_nodes=0
+        ).collect()  # force the DISTRIBUTED path — the local one has its own test
     }
     iters = next(iter(got.values()))[1]
     assert iters == 12  # tol=0 forces the full run — parity at exact count
@@ -75,6 +77,27 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
     got = pagerank(df, max_iterations=20).collect()
     for r in got:
         assert r.rank == pytest.approx(1.0 / n, abs=1e-9)
+
+
+def test_pagerank_local_path_equals_distributed(spark):
+    """The small-graph driver solve and the distributed join loop run the
+    same update — identical ranks to float tolerance at a fixed iteration
+    count."""
+    edges = [(1, 2, 2.0), (2, 3, 1.0), (3, 1, 4.0), (1, 3, 1.0), (4, 2, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    local = {
+        r.node: r.rank
+        for r in pagerank(df, weight="w", max_iterations=10, tol=0.0).collect()
+    }
+    dist = {
+        r.node: r.rank
+        for r in pagerank(
+            df, weight="w", max_iterations=10, tol=0.0, small_graph_nodes=0
+        ).collect()
+    }
+    assert set(local) == set(dist)
+    for node in local:
+        assert local[node] == pytest.approx(dist[node], abs=1e-12), node
 
 
 def test_pagerank_rejects_bad_damping(spark):
