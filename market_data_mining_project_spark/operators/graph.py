@@ -73,6 +73,41 @@ def pagerank(
         .agg(F.sum("__w").alias("__w"))
         .localCheckpoint(eager=True)
     )
+    # one pass validates weights AND sizes the dual-path decision: a zero,
+    # negative or NULL edge weight corrupts both paths differently (NULL
+    # transition probabilities drop rank mass distributed; 0/0 → NaN
+    # poisons the local solve), so it is an input error, not a semantics
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(
+            F.when(F.col("__w").isNull() | (F.col("__w") <= 0), 1).otherwise(0)
+        ).alias("bad"),
+    ).first()
+    if stats.n_edges and stats.bad:
+        raise ValueError(
+            f"pagerank requires strictly positive edge weights; "
+            f"{stats.bad} of {stats.n_edges} aggregated edges are NULL or <= 0"
+        )
+    if stats.n_edges == 0:
+        spark = e.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        node_type = e.schema["__src"].dataType
+        return spark.createDataFrame(
+            [],
+            StructType([StructField("node", node_type)]),
+        ).withColumn("rank", F.lit(0.0)).withColumn("n_iterations", F.lit(0))
+    if stats.n_edges <= small_graph_edges:
+        # the edge list is collectable: ONE collect supplies edges, node
+        # set and n — zero further Spark jobs on the path whose purpose
+        # is avoiding per-job scheduling overhead
+        rows = e.collect()
+        node_set = {r["__src"] for r in rows} | {r["__dst"] for r in rows}
+        if len(node_set) <= small_graph_nodes:
+            return _pagerank_local(
+                e.sparkSession, e.schema["__src"].dataType, rows,
+                sorted(node_set), damping, max_iterations, tol,
+            )
     nodes = (
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))
@@ -80,12 +115,6 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0)).withColumn(
-            "n_iterations", F.lit(0)
-        )
-    if n <= small_graph_nodes and e.count() <= small_graph_edges:
-        return _pagerank_local(e, nodes, n, damping, max_iterations, tol)
     out_w = e.groupBy(F.col("__src").alias("node")).agg(
         F.sum("__w").alias("__out_w")
     )
@@ -95,7 +124,11 @@ def pagerank(
         .select("__src", "__dst", (F.col("__w") / F.col("__out_w")).alias("__p"))
         .localCheckpoint(eager=True)
     )
-    has_out = out_w.select("node")
+    # derived from the CHECKPOINTED trans, then checkpointed itself: the
+    # per-iteration dangling anti-join must not re-run the edge aggregate
+    has_out = (
+        trans.select(F.col("__src").alias("node")).distinct().localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     iterations = 0
@@ -142,20 +175,20 @@ def pagerank(
 
 
 def _pagerank_local(
-    e: DataFrame, nodes: DataFrame, n: int, damping: float,
+    spark, node_type, edge_rows, node_list, damping: float,
     max_iterations: int, tol: float,
 ) -> DataFrame:
     """Driver-local power iteration for small graphs — the SAME update as
-    the distributed loop (dangling correction included), on the collected
-    aggregated edge list. Bounded by the small_graph_* caps checked by
-    the caller."""
+    the distributed loop (dangling correction included), on the
+    already-collected aggregated edge list. Bounded by the small_graph_*
+    caps checked by the caller."""
     import numpy as np
 
-    node_rows = [r[0] for r in nodes.collect()]
-    idx = {v: i for i, v in enumerate(node_rows)}
+    idx = {v: i for i, v in enumerate(node_list)}
+    n = len(node_list)
     srcs, dsts, ws = [], [], []
     out_w = np.zeros(n)
-    for r in e.collect():
+    for r in edge_rows:
         srcs.append(idx[r["__src"]])
         dsts.append(idx[r["__dst"]])
         ws.append(r["__w"])
@@ -175,8 +208,22 @@ def _pagerank_local(
         r = new_r
         if delta <= tol:
             break
-    spark = e.sparkSession
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    # a FRESH StructType — StructType.add mutates in place, so extending a
+    # source frame's cached schema object would corrupt that frame
+    schema = StructType(
+        [
+            StructField("node", node_type),
+            StructField("rank", DoubleType()),
+            StructField("n_iterations", IntegerType()),
+        ]
+    )
     return spark.createDataFrame(
-        [(v, float(r[i]), iterations) for v, i in idx.items()],
-        nodes.schema.add("rank", "double").add("n_iterations", "integer"),
+        [(v, float(r[i]), iterations) for v, i in idx.items()], schema
     )

@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from pyspark.sql import functions as F
 
 from market_data_mining_project_spark.operators.graph import pagerank
 
@@ -104,3 +103,15 @@ def test_pagerank_rejects_bad_damping(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank(df, damping=1.0)
+
+
+def test_pagerank_rejects_nonpositive_weights(spark):
+    """Zero/negative/NULL weights corrupt the two paths differently (NULL
+    transition probs drop mass; 0/0 poisons the local solve) — both must
+    refuse loudly instead."""
+    for rows in ([(1, 2, 0.0)], [(1, 2, -1.0)], [(1, 2, None)]):
+        df = spark.createDataFrame(rows, "src long, dst long, w double")
+        with pytest.raises(ValueError, match="strictly positive"):
+            pagerank(df, weight="w")
+        with pytest.raises(ValueError, match="strictly positive"):
+            pagerank(df, weight="w", small_graph_nodes=0)
