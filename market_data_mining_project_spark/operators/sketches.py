@@ -62,3 +62,98 @@ def merge_sketches(rollup: DataFrame, keys: list[str]) -> DataFrame:
     return g.agg(*agg).withColumn(
         "distinct_estimate", F.hll_sketch_estimate("hll_sketch").cast("long")
     )
+
+
+def cms_build(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """Count-Min frequency sketch as a (row, bucket, cnt) counter table —
+    the third mergeable sketch beside HLL (distinct) and GK (quantiles):
+    bounded-memory frequency estimation with the one-sided guarantee
+    ``estimate >= true`` and ``estimate <= true + (e/width)·N`` with
+    probability ``1 − e^(−depth)`` (Cormode & Muthukrishnan 2005).
+
+    Spark shape: each item explodes to its ``depth`` (row, hash-bucket)
+    cells (``xxhash64`` seeded per row — deterministic across runs and
+    engines) and ONE map-side-combinable hash aggregate counts cells.
+    The artifact is ≤ depth×width rows regardless of input size — the
+    100 TB point: partial sketches from any partitioning of the data
+    MERGE by integer addition (:func:`cms_merge`, pytest-pinned EXACTLY
+    equal to a one-shot build), so frequency tables compose across
+    ingest batches without rescanning."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}/{width}")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.pmod(
+                    F.xxhash64(F.col(item_col).cast("string"), F.lit(seed + i)),
+                    F.lit(width),
+                ).alias("b"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(F.explode(cells).alias("__cell"))
+        .groupBy(
+            F.col("__cell.r").alias("row"), F.col("__cell.b").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge partial CMS counter tables built with the SAME
+    (depth, width, seed): counters add cell-wise — integer-exact, so a
+    merged sketch is bit-identical to one built over the concatenated
+    input."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """Point-estimate frequencies for candidate ``items`` against a CMS
+    counter table: each item probes its ``depth`` cells and takes the MIN
+    (absent cell = 0 — the item was never counted there). The counter
+    table is ≤ depth×width rows, so the probe join broadcasts it; output
+    adds ``cms_freq`` to the items frame."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.pmod(
+                    F.xxhash64(F.col(item_col).cast("string"), F.lit(seed + i)),
+                    F.lit(width),
+                ).alias("b"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probes = items.select(item_col, F.explode(cells).alias("__cell")).select(
+        item_col,
+        F.col("__cell.r").alias("row"),
+        F.col("__cell.b").alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["row", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_freq"))
+    )

@@ -483,6 +483,43 @@ FROM exploded
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketched token frequencies beside exact counts for the
+    corpus top-20 (operators/sketches.cms_build/estimate): the mergeable
+    bounded-memory frequency path — at 100 TB the ≤ depth×width counter
+    table composes across ingest batches by integer addition while the
+    exact groupBy re-shuffles the corpus. Rows-only (sketch internals);
+    gates: overestimate-only over the FULL vocabulary, ε-bound coverage,
+    and EXACT merge associativity (two half-corpus sketches merge
+    bit-identical to one full build) in tests/test_sketches.py."""
+    from market_data_mining_project_spark.operators import sketches as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TXT.lower_tokens(F.col("text"))).alias("token"))
+    cms = SK.cms_build(toks, "token")
+    exact_top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_freq"))
+        .orderBy(F.desc("exact_freq"), F.asc("token"))
+        .limit(20)
+    )
+    est = SK.cms_estimate(cms, exact_top.select("token"), "token")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("exact_freq"), F.asc("token"))
+    return (
+        exact_top.join(est, "token")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank",
+            "token",
+            "exact_freq",
+            "cms_freq",
+            (F.col("cms_freq") - F.col("exact_freq")).alias("overcount"),
+        )
+    )
+
+
 def q_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus accounting in one oracled entry (slot-merge of the former
     ``token_stats`` + ``exact_dedup`` + ``decontamination`` entries — the
@@ -1414,6 +1451,9 @@ QUERIES = {
     # merged vocab_stats_audit entry
     "vocab_stats_audit": q_vocab_stats_audit,
     "document_chunks": q_document_chunks,
+    # heavy_hitters: rows-only (CMS sketch internals; overestimate/merge
+    # gates in tests/test_sketches.py)
+    "heavy_hitters": q_heavy_hitters,
     "embedding_reports": q_embedding_reports,
 }
 

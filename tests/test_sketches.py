@@ -92,3 +92,68 @@ def test_sketch_rollup_catalog_entry_shape(spark, sf_dir):
     for r in rows:
         assert r.p50 <= r.p95 <= r.p99
         assert 0 < r.distinct_estimate <= by_type["ALL"].distinct_estimate * 1.05
+
+
+# --- Count-Min sketch (r6p3) ----------------------------------------------
+
+
+def test_cms_overestimate_only_and_bound(spark, sf_dir):
+    """CMS guarantees, checked over the FULL vocabulary on the fixed
+    corpus+seed (deterministic): every estimate >= the true frequency,
+    and at least 90% sit within the (e/width)*N one-row bound (the
+    1 - e^-depth probabilistic guarantee, with margin)."""
+    import math
+
+    from market_data_mining_project_spark.operators import sketches as SK
+    from market_data_mining_project_spark.operators import text as TXT
+    from market_data_mining_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TXT.lower_tokens(F.col("text"))).alias("token"))
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_freq"))
+    cms = SK.cms_build(toks, "token", depth=4, width=1024)
+    est = SK.cms_estimate(cms, exact.select("token"), "token", depth=4, width=1024)
+    joined = exact.join(est, "token").collect()
+    n_total = sum(r.exact_freq for r in joined)
+    bound = math.e / 1024 * n_total
+    assert joined
+    assert all(r.cms_freq >= r.exact_freq for r in joined)
+    within = sum(1 for r in joined if r.cms_freq - r.exact_freq <= bound)
+    assert within / len(joined) >= 0.90, (within, len(joined))
+
+
+def test_cms_merge_is_exact(spark, sf_dir):
+    """Two half-corpus sketches merged == one full-corpus build, cell for
+    cell (integer addition — not approximately)."""
+    from market_data_mining_project_spark.operators import sketches as SK
+    from market_data_mining_project_spark.operators import text as TXT
+    from market_data_mining_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def toks(d):
+        return d.select(F.explode(TXT.lower_tokens(F.col("text"))).alias("token"))
+
+    full = {
+        (r.row, r.bucket): r.cnt for r in SK.cms_build(toks(docs), "token").collect()
+    }
+    halves = [
+        SK.cms_build(toks(docs.filter(F.col("doc_id") % 2 == i)), "token")
+        for i in (0, 1)
+    ]
+    merged = {
+        (r.row, r.bucket): r.cnt for r in SK.cms_merge(halves).collect()
+    }
+    assert merged == full
+
+
+def test_heavy_hitters_entry(spark, sf_dir):
+    from market_data_mining_project_spark.plans.llm_pipeline import q_heavy_hitters
+
+    rows = q_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert [r.rank for r in rows] == list(range(1, 21))
+    assert all(r.overcount >= 0 for r in rows)
+    # deterministic across invocations (fixed seed, fixed corpus)
+    again = q_heavy_hitters(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
