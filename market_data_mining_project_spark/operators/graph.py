@@ -32,6 +32,7 @@ def pagerank(
     tol: float = 1e-8,
     small_graph_nodes: int = 10_000,
     small_graph_edges: int = 1_000_000,
+    check_every: int = 5,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list.
 
@@ -47,6 +48,18 @@ def pagerank(
     rounding; ``n_iterations`` is constant on every row so callers can
     audit convergence. Duplicate (src, dst) edges are summed into one
     weighted edge up front.
+
+    ``check_every`` — distributed-loop economics: the convergence test is
+    a driver action, so the distributed path evaluates it only every
+    ``check_every``-th iteration (and at the cap); Δrank rides INSIDE the
+    checkpointed rank frame (the update joins the old ranks anyway, so
+    the per-row |Δ| is free), making the test a cheap scan of |nodes|
+    rows, never a re-join. A run may therefore overshoot convergence by
+    up to ``check_every − 1`` cheap extra iterations — the standard
+    trade against one driver round-trip per iteration. The driver-local
+    path checks every iteration (no job cost there), so ``n_iterations``
+    can differ between paths by design; ranks still agree to float
+    tolerance.
 
     Exact parity with a dense numpy power iteration on the collected
     edge list is pytest-pinned (tests/test_graph.py) — both run the SAME
@@ -98,12 +111,19 @@ def pagerank(
             StructType([StructField("node", node_type)]),
         ).withColumn("rank", F.lit(0.0)).withColumn("n_iterations", F.lit(0))
     if stats.n_edges <= small_graph_edges:
-        # the edge list is collectable: ONE collect supplies edges, node
-        # set and n — zero further Spark jobs on the path whose purpose
-        # is avoiding per-job scheduling overhead
-        rows = e.collect()
-        node_set = {r["__src"] for r in rows} | {r["__dst"] for r in rows}
-        if len(node_set) <= small_graph_nodes:
+        # node-count gate BEFORE the speculative collect: a small
+        # aggregate job (no row transfer) decides the path, so a
+        # 1M-edge/20K-node graph never pays a discarded 1M-row driver
+        # collect just to learn it must run distributed anyway
+        n_nodes = (
+            e.select(F.col("__src").alias("node"))
+            .unionByName(e.select(F.col("__dst").alias("node")))
+            .distinct()
+            .count()
+        )
+        if n_nodes <= small_graph_nodes:
+            rows = e.collect()
+            node_set = {r["__src"] for r in rows} | {r["__dst"] for r in rows}
             return _pagerank_local(
                 e.sparkSession, e.schema["__src"].dataType, rows,
                 sorted(node_set), damping, max_iterations, tol,
@@ -129,13 +149,15 @@ def pagerank(
     has_out = (
         trans.select(F.col("__src").alias("node")).distinct().localCheckpoint(eager=True)
     )
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     iterations = 0
     for _ in range(max_iterations):
         iterations += 1
         # dangling mass stays IN the plan as a broadcast 1-row frame — a
-        # driver .first() here would add a third action per iteration and
+        # driver .first() here would add another action per iteration and
         # a driver round-trip the distributed shape doesn't need
         dangling = ranks.join(has_out, "node", "left_anti").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
@@ -145,32 +167,29 @@ def pagerank(
             .groupBy(F.col("__dst").alias("node"))
             .agg(F.sum(F.col("__p") * F.col("rank")).alias("__in"))
         )
+        # the update joins the OLD ranks (not the bare node list) so the
+        # per-row |Δrank| lands inside the same checkpointed frame — the
+        # convergence test below is then a scan of materialized |nodes|
+        # rows, never a second join or a re-run of the contrib aggregate
+        new_rank = F.lit(base) + F.lit(damping) * (
+            F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("__dangling") / n
+        )
         new_ranks = (
-            nodes.join(contribs, "node", "left")
+            ranks.withColumnRenamed("rank", "__old")
+            .join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("__in"), F.lit(0.0))
-                        + F.col("__dangling") / n
-                    )
-                ).alias("rank"),
+                new_rank.alias("rank"),
+                F.abs(new_rank - F.col("__old")).alias("__delta"),
             )
             .localCheckpoint(eager=True)
         )
-        delta = (
-            new_ranks.join(
-                ranks.withColumnRenamed("rank", "__old"), "node"
-            )
-            .agg(F.max(F.abs(F.col("rank") - F.col("__old"))))
-            .first()[0]
-        )
-        ranks = new_ranks
-        if delta <= tol:
-            break
+        ranks = new_ranks.select("node", "rank")
+        if iterations % check_every == 0 or iterations == max_iterations:
+            delta = new_ranks.agg(F.max("__delta")).first()[0]
+            if delta <= tol:
+                break
     return ranks.withColumn("n_iterations", F.lit(iterations))
 
 

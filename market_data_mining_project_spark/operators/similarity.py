@@ -240,6 +240,14 @@ class CentroidModel:
 #: matmul is one pass whatever k is.
 ASSIGN_EXPR_MAX_CELLS = 32
 
+#: At/above this many centroids the matmul path ships the centroid matrix
+#: as an explicit ``SparkContext.broadcast`` variable instead of a closure
+#: constant: a closure serializes into EVERY pickled task, while a
+#: broadcast transfers once per executor over the torrent protocol — the
+#: difference between ~MB-scale task descriptions and a one-time shipment
+#: at real IVF widths (10⁴–10⁵ cells × 10²–10³ dims of float64).
+ASSIGN_BROADCAST_MIN_CELLS = 1024
+
 
 def assign_cells(
     corpus: DataFrame,
@@ -262,10 +270,13 @@ def assign_cells(
       over the stacked batch (the ``lsh_topk`` machinery), since an
       expression per centroid would not compile at 10⁴–10⁵ cells. The
       |x|² term is constant per row and dropped; ``np.argmin`` returns the
-      FIRST minimum, matching the struct-min tie rule. The centroid matrix
-      rides as a closure constant (fine to ~10³×10³ doubles); a 10⁵-cell
-      deployment should ship it as an explicit Spark broadcast variable
-      instead.
+      FIRST minimum, matching the struct-min tie rule. Below
+      ``ASSIGN_BROADCAST_MIN_CELLS`` the centroid matrix rides as a
+      closure constant (cheap at ~10³×10³ doubles); at/above it the
+      matrix ships as an explicit ``SparkContext.broadcast`` variable —
+      one torrent transfer per executor instead of a copy inside every
+      serialized task — so 10⁴–10⁵-cell deployments are first-class, not
+      a documented residual. Identical math on both (pytest-pinned).
 
     The two paths may disagree only on exact distance TIES broken
     differently by float summation order (fold vs BLAS) — measure-zero for
@@ -290,12 +301,24 @@ def assign_cells(
     from pyspark.sql.pandas.functions import pandas_udf
 
     cmat = np.asarray(centroids, dtype="float64")  # (k, dim)
-    c2 = (cmat * cmat).sum(axis=1)  # |c|² per centroid
 
-    def _nearest(vecs):
-        m = np.stack(vecs.to_numpy()).astype("float64")  # (batch, dim)
-        scores = c2[None, :] - 2.0 * (m @ cmat.T)  # ∝ squared distance
-        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+    if len(centroids) >= ASSIGN_BROADCAST_MIN_CELLS:
+        bc = base.sparkSession.sparkContext.broadcast(cmat)
+
+        def _nearest(vecs):
+            cm = bc.value
+            c2 = (cm * cm).sum(axis=1)  # k doubles per batch — negligible
+            m = np.stack(vecs.to_numpy()).astype("float64")  # (batch, dim)
+            scores = c2[None, :] - 2.0 * (m @ cm.T)  # ∝ squared distance
+            return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+
+    else:
+        c2 = (cmat * cmat).sum(axis=1)  # |c|² per centroid
+
+        def _nearest(vecs):
+            m = np.stack(vecs.to_numpy()).astype("float64")  # (batch, dim)
+            scores = c2[None, :] - 2.0 * (m @ cmat.T)  # ∝ squared distance
+            return pd.Series(np.argmin(scores, axis=1).astype("int32"))
 
     # real class annotations: the module-wide `from __future__ import
     # annotations` stringifies inline hints (same note as lsh_topk)

@@ -134,7 +134,13 @@ def cms_estimate(
     counter table: each item probes its ``depth`` cells and takes the MIN
     (absent cell = 0 — the item was never counted there). The counter
     table is ≤ depth×width rows, so the probe join broadcasts it; output
-    adds ``cms_freq`` to the items frame."""
+    adds ``cms_freq`` to the items frame.
+
+    NULL items are excluded, mirroring :func:`cms_build`: a NULL never
+    enters the sketch, but ``xxhash64`` of a NULL string still yields a
+    seed-derived hash, so probing it would return a spurious non-zero
+    count from whatever real items share those cells."""
+    items = items.filter(F.col(item_col).isNotNull())
     cells = F.array(
         *[
             F.struct(

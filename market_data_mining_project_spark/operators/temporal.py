@@ -15,7 +15,7 @@ All three avoid the naive O(n·m) inequality-join plan:
   deterministic ``(ts, tiebreak)`` struct): open/close need no window and
   no second scan, and partial aggregation runs map-side.
 - :func:`range_join_count` — banded blocking: the left side is exploded to
-  the (bounded, ⌈radius/band⌉+1-wide) set of bands its radius can touch
+  the (bounded, 2·⌈radius/band⌉+1-wide) set of bands its radius can touch
   and joined band-to-band, so the join degree is bounded by band
   occupancy, never |left|×|right|.
 """
@@ -77,6 +77,14 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        # the final select re-emits payload names from the matched struct —
+        # a colliding left column would be silently replaced, not joined
+        raise ValueError(
+            f"payload_cols collide with left columns: {sorted(clash)}; "
+            "rename the left columns or the right payload before joining"
+        )
     dirs = ("backward", "forward") if direction == "nearest" else (direction,)
     lt = F.col(left_ts).cast("timestamp")
     rt = F.col(right_ts).cast("timestamp")

@@ -34,9 +34,15 @@ def q_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic under ties. No-prior-purchase events keep the row with
     sentinel values (-1.0 / -1, the non-null canonicalization rule).
 
-    Spark plan: one shuffle on user_id + one sorted window pass
-    (operators/temporal.asof_join); the oracle is DuckDB's native ASOF
-    LEFT JOIN — two independent algorithms, hash-identical output."""
+    Spark plan: the BOUNDED-STATE bucketed as-of path
+    (operators/temporal.asof_join with ``bucket_secs=86400``) — the
+    carry window is grained (user, day-bucket) so one hot key never
+    sorts its whole history in a single task; buckets stitch through
+    the tiny per-(key, bucket) summary carry. Bucketed == plain is
+    exact (integer/struct carry, pytest-pinned), so the DuckDB native
+    ASOF LEFT JOIN oracle hash is unchanged — two independent
+    algorithms, hash-identical output. The daily width is the tick-data
+    default; any width gives the same rows."""
     ev = _events(spark, sf_dir)
     left = ev.filter(F.col("event_type").isin("view", "click")).select(
         "event_id", "user_id", "event_type", "ts", "value"
@@ -46,7 +52,9 @@ def q_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("pvalue"))
     )
-    j = TEMP.asof_join(left, right, "user_id", "ts", "ts", ["pvalue"])
+    j = TEMP.asof_join(
+        left, right, "user_id", "ts", "ts", ["pvalue"], bucket_secs=86400
+    )
     return j.select(
         "event_id",
         "user_id",
@@ -367,17 +375,23 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing hash partitioning on user_id (HashPartitioning on a PREFIX
     of the grouping keys meets ClusteredDistribution — no second
     exchange; asserted in tests/test_event_analytics.py). Everything
-    exported is integer-exact: epochs, cents, counts. Hot-key histories
-    take `operators/temporal.sessionize`'s `bucket_secs` path — the
-    session counter is a prefix sum, so it bucket-stitches with bounded
-    per-task state; bucketed == plain exactly (pytest-pinned)."""
+    exported is integer-exact: epochs, cents, counts.
+
+    This catalog entry SHIPS the bounded-state ``bucket_secs`` path
+    (weekly buckets): the session counter is a prefix sum, so it
+    bucket-stitches with per-task state bounded by bucket occupancy —
+    the 100×-safe plan under one hot key. Bucketed == plain EXACTLY at
+    any width (integer logic, pytest-pinned), so the oracle hash is
+    identical to the plain path's."""
     e = _events(spark, sf_dir).select(
         "event_id",
         "user_id",
         F.col("ts").cast("long").alias("te"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    numbered = TEMP.sessionize(e, "user_id", "te", 7200, "event_id")
+    numbered = TEMP.sessionize(
+        e, "user_id", "te", 7200, "event_id", bucket_secs=7 * 86400
+    )
     return numbered.groupBy("user_id", "session_seq").agg(
         F.min("te").alias("session_start"),
         F.max("te").alias("session_end"),
@@ -558,12 +572,26 @@ def q_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-recurrence smoothing no standard SQL window expresses (hence
     rows-only: DuckDB has no EWMA; pytest pins the recursion exactly
     against a pure-Python reference, and the bounded-state bucketed path
-    against the plain one). Plan: one shuffle on user_id, one Arrow pass
-    (operators/temporal.ewma)."""
+    against the plain one).
+
+    This catalog entry SHIPS the bounded-state ``bucket_secs`` path
+    (weekly buckets), exploiting the recurrence's linearity: per-bucket
+    Arrow passes emit local + decay with state bounded by bucket
+    occupancy, carry states chain over the tiny per-bucket summary, one
+    join back — no task ever holds a hot key's full history. Bucketed
+    == plain to float associativity (pytest-pinned at two widths)."""
     ev = _events(spark, sf_dir).select(
         "event_id", "user_id", "ts", F.col("value").cast("double").alias("value")
     )
-    out = TEMP.ewma(ev, "user_id", "ts", "value", alpha=0.2, tiebreak_col="event_id")
+    out = TEMP.ewma(
+        ev,
+        "user_id",
+        "ts",
+        "value",
+        alpha=0.2,
+        tiebreak_col="event_id",
+        bucket_secs=7 * 86400,
+    )
     return out.select(
         "event_id",
         "user_id",

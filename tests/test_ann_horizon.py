@@ -260,3 +260,49 @@ def test_assign_cells_matches_python_argmin(spark, sf_dir):
         dists = [sum((x - c[d]) ** 2 for d, x in enumerate(v)) for c in cents]
         want = min(range(4), key=lambda i: (dists[i], i))
         assert got[vid] == want, vid
+
+
+def test_assign_cells_broadcast_path_matches_closure_path(
+    spark, sf_dir, monkeypatch
+):
+    """At/above ASSIGN_BROADCAST_MIN_CELLS the centroid matrix ships as an
+    explicit SparkContext broadcast variable (one torrent transfer per
+    executor) instead of a closure constant copied into every task — same
+    math, cell-for-cell identical. Also the 10⁴-cell completion gate: a
+    real IVF width runs end-to-end on the broadcast path."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(64).collect()
+    ]
+    closure = sorted(
+        (r.vec_id, r.cell)
+        for r in SIM.assign_cells(emb, cents, "embedding", "vec_id").collect()
+    )
+    monkeypatch.setattr(SIM, "ASSIGN_BROADCAST_MIN_CELLS", 64)
+    broadcast = sorted(
+        (r.vec_id, r.cell)
+        for r in SIM.assign_cells(emb, cents, "embedding", "vec_id").collect()
+    )
+    assert broadcast == closure
+
+    # 10⁴ cells — the deployment width the closure path only documented:
+    # deterministic synthetic centroids, assignment must complete and
+    # match a local numpy argmin on a sample
+    dim = len(cents[0])
+    rng = np.random.default_rng(7)
+    wide = rng.normal(size=(10_000, dim)).astype("float64")
+    sample = emb.orderBy("vec_id").limit(50)
+    got = {
+        r.vec_id: r.cell
+        for r in SIM.assign_cells(
+            sample, wide.tolist(), "embedding", "vec_id"
+        ).collect()
+    }
+    c2 = (wide * wide).sum(axis=1)
+    for r in sample.collect():
+        v = np.asarray([float(x) for x in r.embedding])
+        want = int(np.argmin(c2 - 2.0 * (wide @ v)))
+        assert got[r.vec_id] == want, r.vec_id

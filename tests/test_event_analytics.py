@@ -77,14 +77,27 @@ def test_session_stats_conserves_events_and_value(spark, sf_dir):
     assert (sess.n, sess.c) == (raw.n, raw.c)
 
 
-def test_session_stats_single_shuffle(spark, sf_dir):
-    """The lag window, running sum and per-session aggregate must share ONE
-    hash exchange on user_id: HashPartitioning(user_id) satisfies the
-    (user_id, session_seq) grouping, so a second exchange in the plan means
-    the co-partitioning contract broke."""
+def test_session_stats_bucketed_exchange_shape(spark, sf_dir):
+    """The shipped entry is the bounded-state bucketed sessionizer; its
+    exchange budget is the documented skew trade-off: every full-data
+    exchange is at the (user_id, __bkt) grain (so one hot user spreads
+    over its buckets — the 100× guarantee) except the final
+    per-session regroup; the only bare-user_id exchange carries the TINY
+    per-(key, bucket) summary frame. More bare-key full-data exchanges
+    would mean the hot-key-unsafe plain path leaked back in."""
     df = q_session_stats(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    lines = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    bucketed = [ln for ln in lines if "__bkt" in ln]
+    bare = [ln for ln in lines if "__bkt" not in ln and "session_seq" not in ln]
+    final = [ln for ln in lines if "session_seq" in ln]
+    # two (user, bucket) window exchanges (local + recomputed summary side),
+    # one tiny-summary carry exchange, one final regroup
+    assert len(bucketed) == 2, plan
+    assert len(bare) == 1, plan  # the summary carry — |key × bucket| rows only
+    assert len(final) == 1, plan
 
 
 # --- daily resample + LOCF ------------------------------------------------

@@ -115,3 +115,47 @@ def test_pagerank_rejects_nonpositive_weights(spark):
             pagerank(df, weight="w")
         with pytest.raises(ValueError, match="strictly positive"):
             pagerank(df, weight="w", small_graph_nodes=0)
+
+
+def test_pagerank_check_every_overshoot_bounded(spark):
+    """Distributed-loop economics: the convergence test runs only every
+    check_every-th iteration, so a run stops at the first multiple of
+    check_every at/after true convergence (≤ check_every−1 overshoot) —
+    and check_every=1 reproduces the per-iteration stop. Ranks at both
+    settings agree (extra iterations past convergence move ranks < tol)."""
+    n = 5
+    edges = [(i, (i + 1) % n) for i in range(n)] + [
+        ((i + 1) % n, i) for i in range(n)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    every = {
+        r.node: (r.rank, r.n_iterations)
+        for r in pagerank(
+            df, max_iterations=30, small_graph_nodes=0, check_every=1
+        ).collect()
+    }
+    batched = {
+        r.node: (r.rank, r.n_iterations)
+        for r in pagerank(
+            df, max_iterations=30, small_graph_nodes=0, check_every=5
+        ).collect()
+    }
+    it1 = next(iter(every.values()))[1]
+    it5 = next(iter(batched.values()))[1]
+    assert it5 % 5 == 0 or it5 == 30
+    assert it1 <= it5 < it1 + 5, (it1, it5)
+    for node in every:
+        assert every[node][0] == pytest.approx(batched[node][0], abs=1e-7)
+
+
+def test_pagerank_node_gate_precedes_collect(spark):
+    """Few edges but too many nodes for the local path: the reordered gate
+    must route to the distributed loop (node count decided BEFORE any
+    collect) and still produce a rank distribution."""
+    edges = [(i, i + 1) for i in range(20)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = pagerank(
+        df, max_iterations=10, small_graph_nodes=5, small_graph_edges=1000
+    ).collect()
+    assert len(rows) == 21
+    assert sum(r.rank for r in rows) == pytest.approx(1.0, abs=1e-6)

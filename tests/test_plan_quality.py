@@ -231,3 +231,51 @@ def test_span_dedup_no_crossjoin_and_prunes_scan(spark, sf_dir):
     read = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
     assert "text" in read and "doc_id" in read
     assert "lang" not in read and "source" not in read, f"unpruned scan: {read}"
+
+
+def _grain_lines(plan: str, node: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if node in ln]
+
+
+def test_temporal_catalog_entries_ship_bucketed_grain(spark, sf_dir):
+    """The three formerly hot-key-unsafe catalog entries must DEMONSTRATE
+    the bounded-state bucketed plans, not just test them: the carry
+    window / Arrow group node must be grained (key, __bkt) so no task
+    ever holds one key's full history (the 100× hot-symbol guarantee).
+    Hashes are unchanged — bucketed == plain is pytest-pinned exact."""
+    import re
+
+    # asof_enrichment: the match-carry window partitions on (user_id, __bkt)
+    plan = _plan(spark, sf_dir, "asof_enrichment")
+    carry = [
+        ln
+        for ln in _grain_lines(plan, "windowspecdefinition")
+        if "__m_backward" in ln
+    ]
+    assert carry, plan
+    assert all(
+        re.search(r"windowspecdefinition\(user_id#\d+L?, __bkt#\d+", ln)
+        for ln in carry
+    ), carry[0]
+
+    # session_stats: the in-bucket running-sum window is (user_id, __bkt)
+    plan = _plan(spark, sf_dir, "session_stats")
+    lcum = [
+        ln for ln in _grain_lines(plan, "windowspecdefinition") if "__lcum" in ln
+    ]
+    assert lcum, plan
+    assert all(
+        re.search(r"windowspecdefinition\(user_id#\d+L?, __bkt#\d+", ln)
+        for ln in lcum
+    ), lcum[0]
+
+    # ewma_trend: the local Arrow pass groups on (user_id, __bkt); only the
+    # tiny per-bucket summary carry may group on the bare key
+    plan = _plan(spark, sf_dir, "ewma_trend")
+    pandas_nodes = _grain_lines(plan, "FlatMapGroupsInPandas")
+    locals_ = [ln for ln in pandas_nodes if "_local(" in ln]
+    assert locals_, plan
+    assert all(
+        re.search(r"FlatMapGroupsInPandas \[user_id#\d+L?, __bkt#\d+", ln)
+        for ln in locals_
+    ), locals_[0]

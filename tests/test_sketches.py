@@ -157,3 +157,20 @@ def test_heavy_hitters_entry(spark, sf_dir):
     # deterministic across invocations (fixed seed, fixed corpus)
     again = q_heavy_hitters(spark, sf_dir).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_cms_estimate_excludes_null_items(spark):
+    """cms_build filters NULL items; cms_estimate must mirror it — probing
+    a NULL (xxhash64 of NULL still yields a seed-derived hash) would
+    return a spurious non-zero count from colliding real items."""
+    df = spark.createDataFrame([("a",)] * 40 + [("b",)] * 3, "item string")
+    cms = SK.cms_build(df, "item", depth=4, width=64)
+    cand = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "item string"
+    )
+    got = {
+        r.item: r.cms_freq
+        for r in SK.cms_estimate(cms, cand, "item", depth=4, width=64).collect()
+    }
+    assert None not in got
+    assert got["a"] >= 40 and got["b"] >= 3

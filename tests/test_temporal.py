@@ -179,12 +179,15 @@ def test_temporal_plans_avoid_cartesian_and_python(spark, sf_dir):
     assert "Window" not in plan_of("ohlc_rollup"), (
         "OHLC must be one hash aggregate, not a window"
     )
+    # the shipped catalog entry is the BUCKETED as-of: the in-bucket carry
+    # window plus the per-(key,bucket) summary carry window, stitched by an
+    # EQUI-join on (key, bucket) — never an inequality join (those appear
+    # as Cartesian/BNLJ, excluded above). Exactly two Window nodes: more
+    # would mean a per-payload carry regression (the match must ride ONE
+    # struct).
     asof = plan_of("asof_enrichment")
-    assert "SortMergeJoin" not in asof and "ShuffledHashJoin" not in asof, (
-        "as-of must be union+window, not an inequality join"
-    )
-    assert asof.count("Window") == 1, (
-        "matched_ts + payload carries must share ONE Window node (one sort)"
+    assert asof.count("windowspecdefinition") == 2, (
+        "bucketed as-of = in-bucket carry + summary carry, sharing structs"
     )
 
 
@@ -357,3 +360,17 @@ def test_rolling_user_features_boundary_inclusive(spark, tmp_path):
     assert got[1] == (1, 1000, 10_000_000)
     assert got[2] == (2, 1500, 7_500_000), "event exactly 604800 s earlier must be in frame"
     assert got[3] == (2, 700, 3_500_000), "frame slid past the first event"
+
+
+def test_asof_join_rejects_payload_name_collision(spark, asof_frames):
+    """A payload column that collides with a left column would silently
+    REPLACE the caller's column (the final select re-emits payload names
+    from the matched struct) — must raise instead."""
+    left, right = asof_frames
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        TEMP.asof_join(
+            left, right.withColumnRenamed("pvalue", "event_id"),
+            "user_id", "ts", "ts", ["event_id"],
+        )
