@@ -101,7 +101,16 @@ def atomic_publish(staging: str, final: str, overwrite: bool) -> None:
     swap — the documented force trade-off.
     """
     if overwrite:
-        shutil.rmtree(final, ignore_errors=True)
+        # the pre-delete must FAIL LOUDLY on real errors (EACCES, a file
+        # where a dir is expected): with ignore_errors the subsequent
+        # rename would fail against the surviving old artifact, the
+        # adopt-the-winner branch would then delete OUR staging, and a
+        # force-publish would silently keep the stale artifact. Only a
+        # concurrent deleter's FileNotFoundError is benign.
+        try:
+            shutil.rmtree(final)
+        except FileNotFoundError:
+            pass
         try:
             os.replace(staging, final)
         except OSError:
@@ -122,15 +131,38 @@ def atomic_publish(staging: str, final: str, overwrite: bool) -> None:
         shutil.rmtree(staging, ignore_errors=True)
 
 
-_DATA_VERSION_MEMO: dict[tuple[str, tuple[str, ...]], str] = {}
+_DATA_VERSION_MEMO: dict[tuple, str] = {}
+
+
+def _quick_table_sig(sf_dir: str, tables: tuple[str, ...]) -> tuple:
+    """O(|tables|) staleness probe for the memo: (size, mtime_ns) of each
+    table's top-level parquet entry. A rewrite replaces the file (or
+    touches the dataset directory), changing this signature and forcing a
+    full re-fingerprint — so the memo can no longer serve a blend for
+    data rewritten mid-process. Residual (documented): an in-place edit
+    of one nested part-file that leaves its parent directory's mtime
+    untouched slips past the probe; parquet writers don't do that
+    (datasets are replaced wholesale), and the full :func:`data_version`
+    still catches it across processes."""
+    sig = []
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            sig.append((t, st.st_size, st.st_mtime_ns))
+        except FileNotFoundError:
+            sig.append((t, -1, -1))
+    return tuple(sig)
 
 
 def data_version_cached(sf_dir: str, tables: tuple[str, ...] = ("lineitem", "orders", "part")) -> str:
-    """Process-memoized :func:`data_version` — for fast paths that would
-    otherwise re-stat every source file on every call (the session-scoped
-    derived-table caches already freeze their materialization for the
-    process, so memoizing the fingerprint alongside them loses nothing)."""
-    key = (os.path.realpath(sf_dir), tables)
+    """Memoized :func:`data_version` — for fast paths that would otherwise
+    re-stat every source file on every call. The memo key includes a cheap
+    per-table (size, mtime) signature (:func:`_quick_table_sig`), so a
+    mid-process data rewrite invalidates the memo instead of serving a
+    stale fingerprint — a handful of stats per call, versus the full
+    recursive walk only when the signature moves."""
+    key = (os.path.realpath(sf_dir), tables, _quick_table_sig(sf_dir, tables))
     v = _DATA_VERSION_MEMO.get(key)
     if v is None:
         v = _DATA_VERSION_MEMO[key] = data_version(sf_dir, tables)

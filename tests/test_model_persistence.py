@@ -148,3 +148,63 @@ def test_grid_metrics_served_from_cached_artifact(spark, sf_dir, model_root):
         for r in out.collect()
     ]
     assert rows == sentinel  # served from cache, no 16-fit training pass
+
+
+def test_data_version_cached_sees_midprocess_rewrite(tmp_path):
+    """The memo key carries a cheap per-table (size, mtime) signature, so
+    a data rewrite INSIDE one process invalidates the memoized
+    fingerprint — a stale memo here meant a cached blend could be served
+    for data that no longer exists."""
+    sf = tmp_path / "sfY"
+    sf.mkdir()
+    f = sf / "lineitem.parquet"
+    f.write_bytes(b"aaaa")
+    v1 = P.data_version_cached(str(sf), tables=("lineitem",))
+    assert v1 == P.data_version_cached(str(sf), tables=("lineitem",))
+    f.write_bytes(b"bbbbbb")  # rewrite in the SAME process
+    v2 = P.data_version_cached(str(sf), tables=("lineitem",))
+    assert v2 != v1
+    assert v2 == P.data_version(str(sf), tables=("lineitem",))
+
+
+def test_atomic_publish_force_raises_on_undeletable_final(tmp_path, monkeypatch):
+    """overwrite=True must not silently keep the OLD artifact: when the
+    pre-delete of `final` fails for a real reason (EACCES, simulated —
+    the suite runs as root so a real chmod wouldn't bite), the error
+    surfaces instead of the rename failing against the survivor and the
+    adopt-the-winner branch discarding our staging as if a concurrent
+    force-publisher had won."""
+    import shutil as _sh
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    (staging / "payload").write_text("new")
+    final = tmp_path / "final"
+    final.mkdir()
+    (final / "payload").write_text("old")
+
+    real_rmtree = _sh.rmtree
+
+    def guarded(path, *a, **kw):
+        if os.path.realpath(str(path)) == os.path.realpath(str(final)):
+            raise PermissionError(13, "Permission denied", str(path))
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(P.shutil, "rmtree", guarded)
+    with pytest.raises(PermissionError):
+        P.atomic_publish(str(staging), str(final), overwrite=True)
+    # our staging survives the failure — the caller decides its fate —
+    # and the old artifact was not silently adopted as "the winner"
+    assert (staging / "payload").read_text() == "new"
+    assert (final / "payload").read_text() == "old"
+
+
+def test_atomic_publish_force_tolerates_absent_final(tmp_path):
+    """FileNotFoundError from the pre-delete is benign (nothing to
+    replace): publish proceeds."""
+    staging = tmp_path / "staging2"
+    staging.mkdir()
+    (staging / "payload").write_text("v2")
+    final = tmp_path / "final2"
+    P.atomic_publish(str(staging), str(final), overwrite=True)
+    assert (final / "payload").read_text() == "v2"
