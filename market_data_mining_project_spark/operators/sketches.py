@@ -64,6 +64,112 @@ def merge_sketches(rollup: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def value_histogram(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    out_value: str = "value",
+) -> DataFrame:
+    """Bounded counting histogram — the EXACT mergeable quantile artifact
+    for bounded integer domains (money-in-cents, durations-in-seconds):
+    one (keys…, value, cnt) row per distinct value per grain, built in a
+    single map-side-combinable hash aggregate.
+
+    Where GK (``percentile_approx``) is approximate and NOT mergeable as
+    a Spark column (a coarser-grain quantile pays a second fact scan —
+    the honest caveat in :func:`sketch_rollup`'s catalog entry before
+    this), counting histograms merge by integer ADDITION: any
+    partitioning/grain of the data sums to the same table, so quantiles
+    at every coarser grain derive from one fine-grain build with ZERO
+    re-scan — the same exact-integer move the ``value_anomalies``
+    comparison makes. Artifact size is bounded by the value domain
+    (≤ |distinct values| per grain — ~10⁵ rows for any cents-priced
+    catalog), independent of row count. NULL values carry no quantile
+    information and are excluded."""
+    v = F.col(value_col)
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, v.alias(out_value))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    keys: list[str],
+    quantiles: tuple[float, ...],
+    value_col: str = "value",
+    prefix: str = "q",
+) -> DataFrame:
+    """Merge a counting histogram to the ``keys`` grain (``[]`` = global)
+    and derive EXACT quantiles by cumulative walk — Spark's exact
+    ``percentile`` semantics reproduced from the merged counts: position
+    ``p = q·(n−1)``, linear interpolation between the bracketing values
+    (``lo`` = smallest value with cumulative count ≥ ⌊p⌋+1, ``hi`` = the
+    next one), so the result equals ``F.percentile`` over the raw rows
+    bit-for-bit (pytest-pinned).
+
+    Plan: one hash aggregate re-merges the histogram (integer addition),
+    one window walks the ≤|distinct values| summary rows per grain, one
+    final aggregate picks the brackets — the fact table is never
+    touched. The global grain windows over a single partition, which is
+    fine BECAUSE the frame is the bounded histogram, not the data.
+    Output: ``keys… , {prefix}0..{prefix}k-1`` (double), ``n_values``."""
+    from pyspark.sql import Window
+
+    merged = hist.groupBy(*keys, value_col).agg(F.sum("cnt").alias("__c"))
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    base = merged.select(
+        *keys,
+        F.col(value_col),
+        F.sum("__c").over(w_cum).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    aggs = []
+    for i, q in enumerate(quantiles):
+        pos = F.lit(float(q)) * (F.col("__n") - 1).cast("double")
+        k = F.floor(pos)
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= k + 1, F.col(value_col))).alias(
+                f"__lo{i}"
+            )
+        )
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= k + 2, F.col(value_col))).alias(
+                f"__hi{i}"
+            )
+        )
+    aggs.append(F.max("__n").alias("__n"))
+    g = base.groupBy(*keys) if keys else base.groupBy()
+    agged = g.agg(*aggs)
+    out: list = list(keys)
+    for i, q in enumerate(quantiles):
+        pos = F.lit(float(q)) * (F.col("__n") - 1).cast("double")
+        lower = F.floor(pos)
+        higher = F.ceil(pos)
+        lo = F.col(f"__lo{i}").cast("double")
+        # the top value has no successor: hi falls back to lo (the weight
+        # on hi is 0 there by construction; the coalesce keeps it total)
+        hi = F.coalesce(F.col(f"__hi{i}"), F.col(f"__lo{i}")).cast("double")
+        # EXACTLY Spark's Percentile interpolation — the weighted form
+        # (higher−pos)·lo + (pos−lower)·hi, NOT lo + frac·(hi−lo): the two
+        # differ in the last ulp and the gate is bit-for-bit equality
+        interp = F.when(higher == lower, lo).otherwise(
+            (higher.cast("double") - pos) * lo
+            + (pos - lower.cast("double")) * hi
+        )
+        out.append(interp.alias(f"{prefix}{i}"))
+    out.append(F.col("__n").alias("n_values"))
+    return agged.select(*out)
+
+
 def cms_build(
     df: DataFrame,
     item_col: str,

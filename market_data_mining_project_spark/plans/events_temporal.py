@@ -604,42 +604,61 @@ def q_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch audit: per event type, HLL-estimated distinct
-    users + GK-approximate value quantiles beside exact counts. The 'ALL'
-    row's DISTINCT COUNT is produced by UNIONING the per-type HLL
-    sketches (zero re-scan of the fact table — the rollup-lattice move
-    that makes 100 TB distinct counts composable); its quantile columns
-    are a second direct ``percentile_approx`` pass over events — Spark
-    does not expose the GK sketch as a mergeable column, so global
-    quantiles cost one extra scan, stated here because a rollup budget
-    must include it. Rows-only: sketch internals have no DuckDB twin;
-    pytest gates pin estimate-vs-exact relative error, the sketch-union
-    vs direct-sketch bound, and quantile accuracy
-    (tests/test_sketches.py)."""
+    users + EXACT value quantiles beside exact counts. Every coarse-grain
+    column derives from fine-grain MERGEABLE artifacts with zero re-scan
+    of the fact table — the rollup-lattice move that makes 100 TB rollups
+    composable: the 'ALL' row's distinct count UNIONS the per-type HLL
+    sketches, and BOTH quantile grains walk ONE per-(type, cents)
+    counting histogram (``sketches.value_histogram``). The histogram
+    replaces the r6 entry's honest caveat (GK isn't a mergeable Spark
+    column, so global quantiles paid a second ``percentile_approx``
+    scan): the value domain is integer cents, so the bounded histogram
+    merges by addition and the derived quantiles are EXACT — pinned
+    bit-for-bit against ``F.percentile`` in tests/test_sketches.py.
+    Rows-only: sketch internals have no DuckDB twin; pytest gates pin
+    estimate-vs-exact error, sketch-union bounds, and the histogram
+    exactness."""
     from market_data_mining_project_spark.operators import sketches as SK
 
-    ev = _events(spark, sf_dir)
-    fine = SK.sketch_rollup(ev, ["event_type"], "user_id", "value").cache()
-    per_type = fine.select(
+    ev = _events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    # drop the GK column BEFORE caching: an InMemoryRelation freezes its
+    # schema, so pruning the unused percentile_approx out of the aggregate
+    # only happens if the projection precedes the cache (plan-asserted in
+    # tests/test_sketches.py)
+    fine = (
+        SK.sketch_rollup(ev, ["event_type"], "user_id", "value")
+        .drop("value_quantiles")
+        .cache()
+    )
+    hist = SK.value_histogram(ev, ["event_type"], "cents").cache()
+
+    def _money(col: str):  # cents-domain quantile → 2-decimal money
+        return F.round(F.col(col) / 100.0, 2)
+
+    per_type_q = SK.histogram_quantiles(
+        hist, ["event_type"], (0.5, 0.95, 0.99)
+    )
+    per_type = fine.join(per_type_q, "event_type").select(
         "event_type",
         "n_rows",
         "distinct_estimate",
-        F.round(F.col("value_quantiles")[0], 2).alias("p50"),
-        F.round(F.col("value_quantiles")[1], 2).alias("p95"),
-        F.round(F.col("value_quantiles")[2], 2).alias("p99"),
+        _money("q0").alias("p50"),
+        _money("q1").alias("p95"),
+        _money("q2").alias("p99"),
     )
-    gq = ev.agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("q")
-    )
+    all_q = SK.histogram_quantiles(hist, [], (0.5, 0.95, 0.99))
     merged = (
         SK.merge_sketches(fine, [])
-        .crossJoin(gq)
+        .crossJoin(all_q)
         .select(
             F.lit("ALL").alias("event_type"),
             "n_rows",
             "distinct_estimate",
-            F.round(F.col("q")[0], 2).alias("p50"),
-            F.round(F.col("q")[1], 2).alias("p95"),
-            F.round(F.col("q")[2], 2).alias("p99"),
+            _money("q0").alias("p50"),
+            _money("q1").alias("p95"),
+            _money("q2").alias("p99"),
         )
     )
     return per_type.unionByName(merged)

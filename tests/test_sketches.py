@@ -174,3 +174,82 @@ def test_cms_estimate_excludes_null_items(spark):
     }
     assert None not in got
     assert got["a"] >= 40 and got["b"] >= 3
+
+
+# --- counting-histogram exact mergeable quantiles (r7) ---------------------
+
+
+def test_histogram_quantiles_exact_vs_percentile(spark, events):
+    """THE exactness gate: quantiles derived from the merged counting
+    histogram must equal Spark's exact F.percentile over the raw rows —
+    same interpolation (p = q·(n−1), linear between brackets), same
+    doubles — at BOTH the fine grain and the zero-re-scan global grain."""
+    qs = (0.5, 0.95, 0.99)
+    ev = events.withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    hist = SK.value_histogram(ev, ["event_type"], "cents")
+
+    per_type = {
+        r.event_type: (r.q0, r.q1, r.q2, r.n_values)
+        for r in SK.histogram_quantiles(
+            hist, ["event_type"], qs
+        ).collect()
+    }
+    direct = {
+        r.event_type: (r.d0, r.d1, r.d2, r.n)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile("cents", F.lit(0.5)).alias("d0"),
+            F.percentile("cents", F.lit(0.95)).alias("d1"),
+            F.percentile("cents", F.lit(0.99)).alias("d2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(per_type) == set(direct)
+    for t in direct:
+        assert per_type[t] == direct[t], t  # bit-for-bit, no approx
+
+    # global grain: merged from the SAME per-type histogram, no re-scan
+    g = SK.histogram_quantiles(hist, [], qs).collect()[0]
+    gd = ev.agg(
+        F.percentile("cents", F.lit(0.5)).alias("d0"),
+        F.percentile("cents", F.lit(0.95)).alias("d1"),
+        F.percentile("cents", F.lit(0.99)).alias("d2"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert (g.q0, g.q1, g.q2, g.n_values) == (gd.d0, gd.d1, gd.d2, gd.n)
+
+
+def test_histogram_merge_is_exact(spark, events):
+    """Histograms built over any partitioning of the data merge by
+    integer addition to the one-shot build — cell for cell."""
+    ev = events.withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    full = {
+        (r.value,): r.cnt
+        for r in SK.value_histogram(ev, [], "cents").collect()
+    }
+    halves = [
+        SK.value_histogram(ev.filter(F.col("event_id") % 2 == i), [], "cents")
+        for i in (0, 1)
+    ]
+    merged_df = halves[0].unionByName(halves[1]).groupBy("value").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    merged = {(r.value,): r.cnt for r in merged_df.collect()}
+    assert merged == full
+
+
+def test_sketch_rollup_all_row_skips_fact_rescan(spark, sf_dir):
+    """The catalog entry's quantile columns (both grains) come from the
+    counting histogram — no percentile_approx (GK) node anywhere in the
+    plan, i.e. the r6 'global quantiles pay one extra scan' caveat is
+    gone."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["sketch_rollup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "percentile_approx" not in plan, plan
