@@ -285,9 +285,19 @@ def run_bounded(
     checkpoint_dir: str,
     output_mode: str = "append",
     state_partitions: int | None = None,
+    sink_path: str | None = None,
 ) -> None:
     """Execute a streaming plan as a bounded backfill: availableNow trigger,
-    in-memory sink, block until drained.
+    block until drained. Default sink is the in-memory table
+    ``sink_table`` — inspection-friendly, but it does NOT support
+    checkpoint RECOVERY (Spark refuses to resume a memory-sink query), so
+    it is a single-replay surface. Pass ``sink_path`` to write a parquet
+    FILE sink instead: exactly-once via the checkpoint + file manifest,
+    and resuming the same checkpoint continues from the frozen state —
+    the production shape (the resume contract is pytest-pinned in
+    tests/test_streaming_io.py, including that ``state_partitions``
+    stays at its first-batch value across a resume under a different
+    session default).
 
     ``state_partitions`` sizes the stateful operators' state stores: the
     number of store instances per operator is ``spark.sql.shuffle.
@@ -304,14 +314,16 @@ def run_bounded(
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q = (
-            query_df.writeStream.format("memory")
-            .queryName(sink_table)
+        w = (
+            query_df.writeStream.queryName(sink_table)
             .outputMode(output_mode)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
-            .start()
         )
+        if sink_path is None:
+            q = w.format("memory").start()
+        else:
+            q = w.format("parquet").option("path", sink_path).start()
         q.awaitTermination()
     finally:
         if state_partitions is not None:
