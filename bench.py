@@ -18,11 +18,18 @@ all-caches-warm one):
   session, which is strictly warmer than a fresh second session would be
   (reference ml_models.py:197-210 is the cross-session analogue). Reported
   as ``queries_warm`` / ``value_warm``.
+- **warm_fresh**: the catalog run ONCE MORE in a SUBPROCESS — a fresh
+  JVM + Python session against the persisted artifacts the cold pass
+  published, with no in-process memos. This is the real
+  second-session serving profile (the number the in-process warm pass
+  could only caveat); reported as ``queries_warm_fresh`` /
+  ``value_warm_fresh``. Set ``SPARK_GRAFT_BENCH_FRESH=0`` to skip it.
 
 Prints ONE JSON line:
 ``{"metric": ..., "value": cold_total, "unit": "sec", "queries": {...},
-   "value_warm": warm_total, "queries_warm": {...}, "cache_state":
-   "cold+warm", "sf": ...}``
+   "value_warm": warm_total, "queries_warm": {...},
+   "value_warm_fresh": ..., "queries_warm_fresh": {...}, "cache_state":
+   "cold+warm+warm_fresh", "sf": ...}``
 
 ``SPARK_GRAFT_BENCH_REPEATS=N`` (default 1) re-times each WARM-pass query
 N times and reports the per-query MINIMUM — the standard ambient-load
@@ -63,10 +70,70 @@ def _time_catalog(spark, queries, sf_dir: str, repeats: int) -> dict[str, float]
     return timings
 
 
+def _warmup(spark) -> None:
+    # JVM codegen + shuffle machinery spin-up, not counted. Runs OUTSIDE
+    # the catalog (a synthetic aggregate over spark.range) so no timed
+    # query gets its scan/derived state pre-warmed — warming with
+    # category_rollup understated that entry's (and the headline's) cold
+    # cost.
+    from pyspark.sql import functions as _F
+
+    _materialize(
+        spark.range(1_000_000).groupBy((_F.col("id") % 100).alias("g")).count()
+    )
+
+
+def _child_main(sf_dir: str) -> None:
+    """Fresh-session warm pass: a NEW process (new JVM, no in-process
+    memos) timing the catalog against the artifacts the parent's cold
+    pass persisted under the inherited SPARK_GRAFT_MODEL_DIR. Emits the
+    per-query timings as one JSON line on stdout."""
+    from market_data_mining_project_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("mdmp-bench-fresh", **{"spark.ui.enabled": "false"})
+    _warmup(spark)
+    timings = _time_catalog(spark, entry_mod.queries(), sf_dir, repeats=1)
+    print(json.dumps(timings))
+
+
+def _fresh_warm_pass(sf_dir: str, cache_root: str) -> dict[str, float]:
+    import subprocess
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_CHILD="1",
+        SPARK_GRAFT_MODEL_DIR=cache_root,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"fresh-warm child failed (rc={proc.returncode}): "
+            f"{proc.stderr[-2000:]}"
+        )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"fresh-warm child emitted no JSON: {proc.stdout[-2000:]}")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1":
+        _child_main(sf_dir)
+        return
 
     # fresh persistence root: the cold pass must not see artifacts from a
     # previous bench/session, and the warm pass must see exactly what the
@@ -85,17 +152,7 @@ def main() -> None:
 
     spark = get_spark("mdmp-bench", **{"spark.ui.enabled": "false"})
     queries = entry_mod.queries()
-
-    # Warm-up: JVM codegen + shuffle machinery spin-up, not counted. Runs
-    # OUTSIDE the catalog (a synthetic aggregate over spark.range) so no
-    # timed query gets its scan/derived state pre-warmed — warming with
-    # category_rollup understated that entry's (and the headline's) cold
-    # cost.
-    from pyspark.sql import functions as _F
-
-    _materialize(
-        spark.range(1_000_000).groupBy((_F.col("id") % 100).alias("g")).count()
-    )
+    _warmup(spark)
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
     # cold is ALWAYS single-shot: a second repeat would serve the caches the
@@ -103,20 +160,25 @@ def main() -> None:
     cold = _time_catalog(spark, queries, sf_dir, repeats=1)
     warm = _time_catalog(spark, queries, sf_dir, repeats)
 
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": round(sum(cold.values()), 3),
-                "unit": "sec",
-                "queries": cold,
-                "value_warm": round(sum(warm.values()), 3),
-                "queries_warm": warm,
-                "cache_state": "cold+warm",
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "catalog_total_runtime",
+        "value": round(sum(cold.values()), 3),
+        "unit": "sec",
+        "queries": cold,
+        "value_warm": round(sum(warm.values()), 3),
+        "queries_warm": warm,
+        "cache_state": "cold+warm",
+        "sf": sf,
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_FRESH", "1") != "0":
+        # measured AFTER the in-process passes so the child sees exactly
+        # the artifacts they published; its own JVM spin-up is excluded by
+        # the child's warm-up, same as here
+        fresh = _fresh_warm_pass(sf_dir, cache_root)
+        out["value_warm_fresh"] = round(sum(fresh.values()), 3)
+        out["queries_warm_fresh"] = fresh
+        out["cache_state"] = "cold+warm+warm_fresh"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
