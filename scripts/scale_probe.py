@@ -160,6 +160,95 @@ def build_events_fixture(spark) -> str:
     return out
 
 
+#: iterative-ML carriers (the one family with no slope datapoint through
+#: r6): FPGrowth (steepest cross-SF batch entry at 3.7), PrefixSpan, and
+#: the PageRank carrier. The 10× fixture replicates orders+lineitem with
+#: shifted dates, so per-customer sequences extend ~10× in length and
+#: baskets multiply 10× while the brand dimension (and so the
+#: co-occurrence GRAPH) stays fixed — isolating the mining cost from
+#: graph growth, which the synthetic distributed-PageRank probe below
+#: measures separately.
+ITERML_PROBE_QUERIES = (
+    "fpgrowth_rules",
+    "sequential_patterns",
+    "brand_centrality",
+)
+
+
+def build_orders_fixture(spark) -> str:
+    """Replicate orders+lineitem 10× (copy k re-keys orderkeys and shifts
+    dates +7·k days so sequences EXTEND rather than duplicate in place);
+    dimension tables are symlinked unchanged."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(WORK, "orders10x")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out, exist_ok=True)
+    orders = spark.read.parquet(os.path.join(BASE, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(BASE, "lineitem.parquet"))
+    n_ord = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    copies = spark.range(COPIES).withColumnRenamed("id", "copy")
+    big_orders = orders.crossJoin(F.broadcast(copies)).select(
+        (F.col("o_orderkey") + F.col("copy") * n_ord).alias("o_orderkey"),
+        *[c for c in orders.columns if c not in ("o_orderkey", "o_orderdate")],
+        F.expr("date_add(o_orderdate, CAST(copy * 7 AS INT))").alias(
+            "o_orderdate"
+        ),
+    )
+    big_orders.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(out, "orders.parquet")
+    )
+    big_li = li.crossJoin(F.broadcast(copies)).select(
+        (F.col("l_orderkey") + F.col("copy") * n_ord).alias("l_orderkey"),
+        *[c for c in li.columns if c != "l_orderkey"],
+    )
+    big_li.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
+    for dim in ("part", "customer", "nation", "region", "supplier"):
+        src = os.path.join(BASE, f"{dim}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(out, f"{dim}.parquet"))
+    return out
+
+
+def probe_distributed_pagerank(spark) -> dict:
+    """The distributed PageRank loop's own slope datapoint (every catalog
+    fixture routes to the driver-local solve — its parity is tested but
+    its scaling wasn't measured): two deterministic synthetic graphs,
+    10⁴ nodes/10⁵ edges and 10⁵ nodes/10⁶ edges, forced onto the
+    distributed path, fixed 5 iterations (tol=0 — slope must measure
+    per-iteration cost, not convergence luck)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from market_data_mining_project_spark.operators.graph import pagerank
+
+    def run(n_nodes: int, n_edges: int) -> float:
+        edges = spark.range(n_edges).select(
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_nodes)).alias("src"),
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_nodes)).alias("dst"),
+        )
+        t0 = time.perf_counter()
+        out = pagerank(
+            edges, max_iterations=5, tol=0.0, small_graph_nodes=0,
+            check_every=5,
+        )
+        out.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    small = run(10_000, 100_000)
+    big = run(100_000, 1_000_000)
+    print(f"  pagerank_distributed 1x: {small}s  10x: {big}s", flush=True)
+    return {
+        "x1_sec": small,
+        "x10_sec": big,
+        "slope": round(big / small, 1) if small else None,
+    }
+
+
 def time_catalog(spark, queries, sf_dir: str, names) -> dict[str, float]:
     """Delegates to bench._time_catalog (single timing implementation —
     a drifting local copy would make probe slopes non-comparable with
@@ -181,6 +270,7 @@ def main() -> None:
     FAMILIES = {
         "docs": (build_fixture, PROBE_QUERIES),
         "events": (build_events_fixture, EVENTS_PROBE_QUERIES),
+        "iterml": (build_orders_fixture, ITERML_PROBE_QUERIES),
     }
     # validate BEFORE paying the Spark session startup
     requested = sys.argv[1:] or list(FAMILIES)
@@ -220,6 +310,8 @@ def main() -> None:
             }
             for name in names
         })
+        if fam == "iterml":
+            rows["pagerank_distributed"] = probe_distributed_pagerank(spark)
 
     print(json.dumps({"copies": COPIES, "queries": rows}, indent=1))
 
