@@ -375,16 +375,24 @@ def ewma(
     ``y_i = local_i + (1-α)^i · s`` where ``local_i`` is the same
     recursion started from 0 (NULL-valued rows are dropped up front —
     they carry no state and emit no row, identically on both paths). So:
-    (1) a per-(key, bucket) Arrow pass
-    emits ``local_i`` and the decay ``(1-α)^i`` — per-task state bounded
-    by bucket occupancy; (2) the carry states chain over the TINY
-    per-(key, bucket) summary frame (``s_{b+1} = local_end_b +
-    (1-α)^{m_b}·s_b`` — one Python loop per key over ≤ |buckets| rows,
-    the same prefix-carry idiom as :func:`_stitch_bucket_carry`); (3) one
-    co-partitioned join puts the carry back. Deep history decays through
-    denormals to exact 0 — the mathematically correct forgetting.
-    Bucketed == plain to float associativity (pytest-pinned at two
-    widths)."""
+    (1) ONE ``mapInPandas`` pass over (key, bucket)-hash-partitioned,
+    partition-sorted rows emits ``local_i`` and the decay ``(1-α)^i`` —
+    per-task state is one PARTITION (sized by the shuffle setting), never
+    one key's history, and the Arrow overhead is per-partition, NOT
+    per-group (an earlier ``applyInPandas`` grouping on (key, bucket)
+    was semantically identical but paid per-group Arrow batches: 10×
+    slower on real widths where |keys×buckets| ≫ |keys|). Groups are
+    contiguous after the sort, so the vectorized in-batch recursion uses
+    pandas' cython ``groupby(...).ewm`` with a zero-state correction
+    (``z_i = y_i − (1−α)^i·v_first``, exact algebra), and the single
+    group that can straddle an Arrow-batch boundary chains through the
+    same linearity; (2) the carry states chain over the TINY per-(key,
+    bucket) summary frame (``s_{b+1} = local_end_b + (1-α)^{m_b}·s_b`` —
+    one Python loop per key over ≤ |buckets| rows, the same prefix-carry
+    idiom as :func:`_stitch_bucket_carry`); (3) one co-partitioned join
+    puts the carry back. Deep history decays through denormals to exact
+    0 — the mathematically correct forgetting. Bucketed == plain to
+    float associativity (pytest-pinned at two widths)."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     import pandas as pd  # noqa: F401  (Arrow path)
@@ -424,22 +432,63 @@ def ewma(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields]
         + ["`__local` double", "`__decay` double"]
     )
+    decay = 1.0 - alpha
 
-    def _local(pdf):
+    def _local_iter(batches):
         import numpy as np
 
-        pdf = _sorted(pdf)
-        v = pdf[value_col].astype("float64")
-        # recursion from state 0: prepend a 0 so adjust=False's y0=x0
-        # convention realizes y_i = (1-a)*y_{i-1} + a*v_i from zero
-        seeded = pd.concat([pd.Series([0.0]), v], ignore_index=True)
-        pdf["__local"] = (
-            seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1:].to_numpy()
-        )
-        pdf["__decay"] = (1.0 - alpha) ** np.arange(1, len(pdf) + 1)
-        return pdf
+        # the single (key, bucket) group that can straddle an Arrow-batch
+        # boundary (groups are contiguous after the partition sort, so at
+        # most the LAST group of a batch continues): (key, bkt) -> (z, i)
+        tail: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            g = pdf.groupby([key, "__bkt"], sort=False)
+            i = (g.cumcount() + 1).to_numpy()
+            v = pdf[value_col].astype("float64")
+            # cython grouped recursion with pandas' y_1 = v_1 convention;
+            # zero-state correction z_i = y_i − (1−α)^i·v_first is exact
+            # algebra (both satisfy the same linear recursion).
+            # GroupBy.ewm does NOT return rows in first-appearance order
+            # (verified on real batches — groups can come back key-sorted),
+            # so realign through the original-index level explicitly;
+            # .to_numpy() straight off the result silently misassigns
+            # whole group blocks.
+            y_ser = g[value_col].ewm(alpha=alpha, adjust=False).mean()
+            y = (
+                y_ser.droplevel(list(range(y_ser.index.nlevels - 1)))
+                .reindex(pdf.index)
+                .to_numpy()
+            )
+            vfirst = g[value_col].transform("first").astype("float64").to_numpy()
+            d_i = decay ** i.astype("float64")
+            z = y - d_i * vfirst
+            first_gid = (pdf[key].iat[0], pdf["__bkt"].iat[0])
+            if first_gid in tail:
+                # continuation: fold the prior state in via linearity and
+                # shift this group's decay exponents by the prior length
+                z_prev, i_prev = tail.pop(first_gid)
+                cont = (
+                    (pdf[key] == first_gid[0])
+                    & (pdf["__bkt"] == first_gid[1])
+                ).to_numpy()
+                z[cont] = z[cont] + d_i[cont] * z_prev
+                d_i[cont] = d_i[cont] * (decay ** float(i_prev))
+                i = i.copy()
+                i[cont] += i_prev
+            last_gid = (pdf[key].iat[-1], pdf["__bkt"].iat[-1])
+            tail = {last_gid: (float(z[-1]), int(i[-1]))}
+            out = pdf.copy()
+            out["__local"] = z
+            out["__decay"] = d_i
+            yield out
 
-    local = base.groupBy(key, "__bkt").applyInPandas(_local, schema=local_schema)
+    local = (
+        base.repartition(key, "__bkt")
+        .sortWithinPartitions(key, "__bkt", "__ts", tiebreak_col)
+        .mapInPandas(_local_iter, schema=local_schema)
+    )
     summary = (
         local.groupBy(key, "__bkt")
         .agg(

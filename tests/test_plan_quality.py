@@ -269,13 +269,25 @@ def test_temporal_catalog_entries_ship_bucketed_grain(spark, sf_dir):
         for ln in lcum
     ), lcum[0]
 
-    # ewma_trend: the local Arrow pass groups on (user_id, __bkt); only the
-    # tiny per-bucket summary carry may group on the bare key
+    # ewma_trend: the local Arrow pass is a MapInPandas over
+    # (user_id, __bkt)-hash-partitioned, partition-sorted rows (per-
+    # PARTITION Arrow overhead — the per-group applyInPandas equivalent
+    # was 10× slower at |keys×buckets| group counts); the repartition
+    # exchange and the local sort must both carry the bucket grain. Only
+    # the tiny per-bucket summary carry may group on the bare key.
     plan = _plan(spark, sf_dir, "ewma_trend")
-    pandas_nodes = _grain_lines(plan, "FlatMapGroupsInPandas")
-    locals_ = [ln for ln in pandas_nodes if "_local(" in ln]
+    locals_ = _grain_lines(plan, "MapInPandas")
+    locals_ = [ln for ln in locals_ if "_local_iter" in ln]
     assert locals_, plan
-    assert all(
-        re.search(r"FlatMapGroupsInPandas \[user_id#\d+L?, __bkt#\d+", ln)
-        for ln in locals_
-    ), locals_[0]
+    grain_exchanges = [
+        ln
+        for ln in _grain_lines(plan, "Exchange hashpartitioning")
+        if re.search(r"hashpartitioning\(user_id#\d+L?, __bkt#\d+", ln)
+    ]
+    assert grain_exchanges, plan
+    grain_sorts = [
+        ln
+        for ln in _grain_lines(plan, "Sort [")
+        if re.search(r"Sort \[user_id#\d+L? ASC NULLS FIRST, __bkt#\d+", ln)
+    ]
+    assert grain_sorts, plan
