@@ -94,7 +94,10 @@ def _child_main(sf_dir: str) -> None:
 
     spark = get_spark("mdmp-bench-fresh", **{"spark.ui.enabled": "false"})
     _warmup(spark)
-    timings = _time_catalog(spark, entry_mod.queries(), sf_dir, repeats=1)
+    # same repeats policy as the parent's warm pass (min-of-N ambient-load
+    # filter) so warm vs warm_fresh stays like-for-like
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
+    timings = _time_catalog(spark, entry_mod.queries(), sf_dir, repeats)
     print(json.dumps(timings))
 
 

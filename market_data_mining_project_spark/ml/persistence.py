@@ -131,7 +131,10 @@ def atomic_publish(staging: str, final: str, overwrite: bool) -> None:
         shutil.rmtree(staging, ignore_errors=True)
 
 
-_DATA_VERSION_MEMO: dict[tuple, str] = {}
+#: (realpath, tables) -> (quick signature, version). ONE entry per table
+#: set — the signature lives in the VALUE (compare-and-refresh), so N
+#: rewrites over a long-lived process never accumulate N dead entries.
+_DATA_VERSION_MEMO: dict[tuple, tuple] = {}
 
 
 def _quick_table_sig(sf_dir: str, tables: tuple[str, ...]) -> tuple:
@@ -162,10 +165,13 @@ def data_version_cached(sf_dir: str, tables: tuple[str, ...] = ("lineitem", "ord
     mid-process data rewrite invalidates the memo instead of serving a
     stale fingerprint — a handful of stats per call, versus the full
     recursive walk only when the signature moves."""
-    key = (os.path.realpath(sf_dir), tables, _quick_table_sig(sf_dir, tables))
-    v = _DATA_VERSION_MEMO.get(key)
-    if v is None:
-        v = _DATA_VERSION_MEMO[key] = data_version(sf_dir, tables)
+    key = (os.path.realpath(sf_dir), tables)
+    sig = _quick_table_sig(sf_dir, tables)
+    hit = _DATA_VERSION_MEMO.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    v = data_version(sf_dir, tables)
+    _DATA_VERSION_MEMO[key] = (sig, v)
     return v
 
 

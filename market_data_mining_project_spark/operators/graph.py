@@ -77,6 +77,11 @@ def pagerank(
     tolerance (pytest-pinned)."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if check_every < 1:
+        # validated up front, BEFORE any Spark job and on BOTH paths — the
+        # driver-local path ignores the knob but must reject the same
+        # arguments the distributed path would
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = (
         edges.select(
@@ -149,8 +154,6 @@ def pagerank(
     has_out = (
         trans.select(F.col("__src").alias("node")).distinct().localCheckpoint(eager=True)
     )
-    if check_every < 1:
-        raise ValueError(f"check_every must be >= 1, got {check_every}")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     iterations = 0

@@ -248,6 +248,37 @@ ASSIGN_EXPR_MAX_CELLS = 32
 #: at real IVF widths (10⁴–10⁵ cells × 10²–10³ dims of float64).
 ASSIGN_BROADCAST_MIN_CELLS = 1024
 
+#: single-slot broadcast cache: (content fingerprint, broadcast handle).
+#: Repeated assign_cells calls with the SAME centroids (serve loops, the
+#: common case) reuse one broadcast instead of leaking one per call; a
+#: DIFFERENT matrix unpersists the previous executor copies (unpersist,
+#: not destroy — a still-pending lazy plan from an earlier call can
+#: lawfully re-fetch from the driver) so a long-lived session holds at
+#: most one matrix executor-side.
+_CENTROID_BC: list = [None]
+
+
+def _centroid_broadcast(sc, cmat):
+    import hashlib
+
+    import numpy as np
+
+    fp = (
+        cmat.shape,
+        hashlib.md5(np.ascontiguousarray(cmat).tobytes()).hexdigest(),
+    )
+    slot = _CENTROID_BC[0]
+    if slot is not None and slot[0] == fp:
+        return slot[1]
+    if slot is not None:
+        try:
+            slot[1].unpersist()
+        except Exception:
+            pass  # a torn-down context must not block the new broadcast
+    bc = sc.broadcast(cmat)
+    _CENTROID_BC[0] = (fp, bc)
+    return bc
+
 
 def assign_cells(
     corpus: DataFrame,
@@ -303,7 +334,7 @@ def assign_cells(
     cmat = np.asarray(centroids, dtype="float64")  # (k, dim)
 
     if len(centroids) >= ASSIGN_BROADCAST_MIN_CELLS:
-        bc = base.sparkSession.sparkContext.broadcast(cmat)
+        bc = _centroid_broadcast(base.sparkSession.sparkContext, cmat)
 
         def _nearest(vecs):
             cm = bc.value

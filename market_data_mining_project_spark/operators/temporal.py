@@ -337,14 +337,23 @@ def sessionize(
             F.lit(0),
         ),
     )
+    # NULL-SAFE join for the same reason as the ewma carry: a NULL key
+    # sessionizes as its own group on the plain path and must survive here
+    cj = (
+        carry.select(key, "__bkt", "__f", "__before")
+        .withColumnRenamed(key, "__ck")
+        .withColumnRenamed("__bkt", "__cb")
+    )
     return (
         local.join(
-            carry.select(key, "__bkt", "__f", "__before"), [key, "__bkt"]
+            cj,
+            local[key].eqNullSafe(F.col("__ck"))
+            & (local["__bkt"] == F.col("__cb")),
         )
         .withColumn(
             out_col, (F.col("__before") + F.col("__f") + F.col("__lcum")).cast("long")
         )
-        .drop("__ts", "__bkt", "__lcum", "__f", "__before")
+        .drop("__ts", "__bkt", "__lcum", "__f", "__before", "__ck", "__cb")
     )
 
 
@@ -401,8 +410,14 @@ def ewma(
     # NULL-valued rows carry no state and emit no row (documented
     # contract): without this, the two paths would DIVERGE — pandas ewm
     # skips NaN mid-series, but a NULL first value would seed the bucketed
-    # carry with NaN and poison the whole key
-    base = df.filter(F.col(value_col).isNotNull()).withColumn("__ts", ts_long)
+    # carry with NaN and poison the whole key. NULL timestamps likewise
+    # carry no ordering information and are excluded on BOTH paths (the
+    # :func:`sessionize` contract): the plain sort would place them
+    # arbitrarily last while a NULL bucket id cannot ride the bucketed
+    # grain.
+    base = df.filter(
+        F.col(value_col).isNotNull() & ts_long.isNotNull()
+    ).withColumn("__ts", ts_long)
     schema_base = base.schema
 
     def _sorted(pdf):
@@ -444,9 +459,12 @@ def ewma(
         for pdf in batches:
             if pdf.empty:
                 continue
-            g = pdf.groupby([key, "__bkt"], sort=False)
+            # dropna=False: a NULL key is a legitimate group on the plain
+            # path (Spark groups NULLs), so the bucketed path must keep it
+            # too — pandas' default dropna=True would silently exclude the
+            # rows and int(NaN) the tail state
+            g = pdf.groupby([key, "__bkt"], sort=False, dropna=False)
             i = (g.cumcount() + 1).to_numpy()
-            v = pdf[value_col].astype("float64")
             # cython grouped recursion with pandas' y_1 = v_1 convention;
             # zero-state correction z_i = y_i − (1−α)^i·v_first is exact
             # algebra (both satisfy the same linear recursion).
@@ -464,21 +482,31 @@ def ewma(
             vfirst = g[value_col].transform("first").astype("float64").to_numpy()
             d_i = decay ** i.astype("float64")
             z = y - d_i * vfirst
-            first_gid = (pdf[key].iat[0], pdf["__bkt"].iat[0])
+            def _gid(pos):
+                # NaN-normalized group id: a NULL key arrives as NaN and
+                # NaN != NaN would break the cross-batch continuation match
+                return tuple(
+                    None if pd.isna(x) else x
+                    for x in (pdf[key].iat[pos], pdf["__bkt"].iat[pos])
+                )
+
+            def _mask(gid):
+                parts = []
+                for col, want in zip((pdf[key], pdf["__bkt"]), gid):
+                    parts.append(col.isna() if want is None else col == want)
+                return (parts[0] & parts[1]).to_numpy()
+
+            first_gid = _gid(0)
             if first_gid in tail:
                 # continuation: fold the prior state in via linearity and
                 # shift this group's decay exponents by the prior length
                 z_prev, i_prev = tail.pop(first_gid)
-                cont = (
-                    (pdf[key] == first_gid[0])
-                    & (pdf["__bkt"] == first_gid[1])
-                ).to_numpy()
+                cont = _mask(first_gid)
                 z[cont] = z[cont] + d_i[cont] * z_prev
                 d_i[cont] = d_i[cont] * (decay ** float(i_prev))
                 i = i.copy()
                 i[cont] += i_prev
-            last_gid = (pdf[key].iat[-1], pdf["__bkt"].iat[-1])
-            tail = {last_gid: (float(z[-1]), int(i[-1]))}
+            tail = {_gid(-1): (float(z[-1]), int(i[-1]))}
             out = pdf.copy()
             out["__local"] = z
             out["__decay"] = d_i
@@ -517,10 +545,18 @@ def ewma(
         return pdf
 
     carry = summary.groupBy(key).applyInPandas(_carry, schema=carry_schema)
+    # NULL-SAFE carry join: a NULL key is a legitimate group on the plain
+    # path (Spark windows/groupBys treat NULL as a value), so the stitch
+    # must not lose it to SQL's NULL != NULL
+    cj = carry.withColumnRenamed(key, "__ck").withColumnRenamed("__bkt", "__cb")
     return (
-        local.join(carry, [key, "__bkt"])
+        local.join(
+            cj,
+            local[key].eqNullSafe(F.col("__ck"))
+            & (local["__bkt"] == F.col("__cb")),
+        )
         .withColumn(out_col, F.col("__local") + F.col("__decay") * F.col("__cin"))
-        .drop("__ts", "__bkt", "__local", "__decay")
+        .drop("__ts", "__bkt", "__local", "__decay", "__ck", "__cb", "__cin")
     )
 
 

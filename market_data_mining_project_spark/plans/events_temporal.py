@@ -640,7 +640,10 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_type_q = SK.histogram_quantiles(
         hist, ["event_type"], (0.5, 0.95, 0.99)
     )
-    per_type = fine.join(per_type_q, "event_type").select(
+    # LEFT join: an event type whose values are all NULL has no histogram
+    # rows but must keep its n_rows/distinct row (NULL quantiles, as the
+    # former percentile_approx formulation emitted)
+    per_type = fine.join(per_type_q, "event_type", "left").select(
         "event_type",
         "n_rows",
         "distinct_estimate",

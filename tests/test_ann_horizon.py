@@ -306,3 +306,26 @@ def test_assign_cells_broadcast_path_matches_closure_path(
         v = np.asarray([float(x) for x in r.embedding])
         want = int(np.argmin(c2 - 2.0 * (wide @ v)))
         assert got[r.vec_id] == want, r.vec_id
+
+
+def test_assign_cells_broadcast_single_slot_reuse(spark, sf_dir, monkeypatch):
+    """Repeated assignments with the SAME centroids reuse one broadcast
+    (serve loops must not leak one handle per call); a different matrix
+    evicts (unpersists) the previous slot."""
+    import numpy as np
+
+    monkeypatch.setattr(SIM, "ASSIGN_EXPR_MAX_CELLS", 4)
+    monkeypatch.setattr(SIM, "ASSIGN_BROADCAST_MIN_CELLS", 8)
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    SIM.assign_cells(emb, cents, "embedding", "vec_id").collect()
+    first = SIM._CENTROID_BC[0]
+    assert first is not None
+    SIM.assign_cells(emb, cents, "embedding", "vec_id").collect()
+    assert SIM._CENTROID_BC[0][1] is first[1], "same matrix must reuse the slot"
+    other = (np.asarray(cents) + 1.0).tolist()
+    SIM.assign_cells(emb, other, "embedding", "vec_id").collect()
+    assert SIM._CENTROID_BC[0][1] is not first[1], "new matrix must take the slot"

@@ -388,3 +388,58 @@ def test_sessionize_null_timestamps_excluded_both_paths(spark):
         for r in sessionize(df, "user_id", "te", 7200, "event_id", bucket_secs=3600).collect()
     }
     assert plain == bucketed == {(3, 1), (4, 2)}
+
+
+def test_ewma_null_key_and_null_ts_rows(spark):
+    """Review-pinned contracts: a NULL key is a legitimate group on BOTH
+    paths (pandas groupby must not silently drop it — dropna=False), and
+    NULL-timestamp rows are excluded on BOTH paths (no ordering
+    information, the sessionize contract)."""
+    from market_data_mining_project_spark.operators.temporal import ewma
+
+    rows = [
+        (1, 10, _ts(0), 5.0),
+        (2, 10, _ts(100), 15.0),
+        (3, None, _ts(0), 7.0),    # NULL key — its own group
+        (4, None, _ts(50), 9.0),
+        (5, 10, None, 99.0),       # NULL ts — excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    plain = {
+        r.event_id: r.ewma
+        for r in ewma(df, "user_id", "ts", "value", 0.5, "event_id").collect()
+    }
+    buck = {
+        r.event_id: r.ewma
+        for r in ewma(
+            df, "user_id", "ts", "value", 0.5, "event_id", bucket_secs=60
+        ).collect()
+    }
+    assert set(plain) == set(buck) == {1, 2, 3, 4}
+    assert plain[3] == buck[3] == 7.0
+    assert abs(plain[4] - 8.0) < 1e-12 and abs(buck[4] - 8.0) < 1e-12
+    assert abs(buck[2] - 10.0) < 1e-12
+
+
+def test_sketch_rollup_keeps_all_null_value_type(spark, tmp_path):
+    """An event type whose values are ALL NULL has no histogram rows but
+    must keep its n_rows/distinct row (left join; NULL quantiles — the
+    pre-histogram behavior)."""
+    from market_data_mining_project_spark.plans.events_temporal import (
+        q_sketch_rollup,
+    )
+
+    rows = [
+        (1, _ts(0), 1, "view", 5.0, "{}"),
+        (2, _ts(10), 2, "view", 7.0, "{}"),
+        (3, _ts(20), 1, "ghost", None, "{}"),
+        (4, _ts(30), 2, "ghost", None, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in q_sketch_rollup(spark, d).collect()}
+    assert "ghost" in got
+    assert got["ghost"].n_rows == 2
+    assert got["ghost"].p50 is None
+    assert got["view"].p50 is not None

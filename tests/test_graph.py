@@ -159,3 +159,14 @@ def test_pagerank_node_gate_precedes_collect(spark):
     ).collect()
     assert len(rows) == 21
     assert sum(r.rank for r in rows) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_rejects_bad_check_every_on_both_paths(spark):
+    """check_every is validated up front — the driver-local path must
+    reject the same arguments the distributed path would, before any
+    Spark job runs."""
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="check_every"):
+        pagerank(df, check_every=0)  # small graph -> local path
+    with pytest.raises(ValueError, match="check_every"):
+        pagerank(df, check_every=0, small_graph_nodes=0)

@@ -208,3 +208,18 @@ def test_atomic_publish_force_tolerates_absent_final(tmp_path):
     final = tmp_path / "final2"
     P.atomic_publish(str(staging), str(final), overwrite=True)
     assert (final / "payload").read_text() == "v2"
+
+
+def test_data_version_memo_is_bounded_per_table_set(tmp_path):
+    """N rewrites keep exactly ONE memo entry per (path, tables) — the
+    signature lives in the value, compare-and-refresh, so a long-lived
+    process can't accumulate dead entries."""
+    sf = tmp_path / "sfZ"
+    sf.mkdir()
+    f = sf / "lineitem.parquet"
+    before = len(P._DATA_VERSION_MEMO)
+    for i in range(5):
+        f.write_bytes(b"x" * (i + 1))
+        P.data_version_cached(str(sf), tables=("lineitem",))
+    after = len(P._DATA_VERSION_MEMO)
+    assert after == before + 1
