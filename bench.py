@@ -20,10 +20,13 @@ all-caches-warm one):
   as ``queries_warm`` / ``value_warm``.
 - **warm_fresh**: the catalog run ONCE MORE in a SUBPROCESS — a fresh
   JVM + Python session against the persisted artifacts the cold pass
-  published, with no in-process memos. This is the real
-  second-session serving profile (the number the in-process warm pass
-  could only caveat); reported as ``queries_warm_fresh`` /
-  ``value_warm_fresh``. Set ``SPARK_GRAFT_BENCH_FRESH=0`` to skip it.
+  published, with no in-process memos (the parent JVM is stopped first so
+  the child isn't measured under a second idle driver heap). This is the
+  real second-session serving profile (the number the in-process warm
+  pass could only caveat); reported as ``queries_warm_fresh`` /
+  ``value_warm_fresh``. Like the cold pass it is ALWAYS single-shot —
+  repeats would populate the in-process state this profile excludes. Set
+  ``SPARK_GRAFT_BENCH_FRESH=0`` to skip it.
 
 Prints ONE JSON line:
 ``{"metric": ..., "value": cold_total, "unit": "sec", "queries": {...},
@@ -94,10 +97,12 @@ def _child_main(sf_dir: str) -> None:
 
     spark = get_spark("mdmp-bench-fresh", **{"spark.ui.enabled": "false"})
     _warmup(spark)
-    # same repeats policy as the parent's warm pass (min-of-N ambient-load
-    # filter) so warm vs warm_fresh stays like-for-like
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
-    timings = _time_catalog(spark, entry_mod.queries(), sf_dir, repeats)
+    # ALWAYS single-shot, like the cold pass and for the same reason:
+    # repeat 1 populates the in-process memos this profile exists to
+    # exclude, so a min-of-N here would silently report in-process-warm
+    # numbers as "fresh". warm (min-of-N) vs warm_fresh (single-shot) is
+    # therefore an asymmetric comparison by design, documented above.
+    timings = _time_catalog(spark, entry_mod.queries(), sf_dir, repeats=1)
     print(json.dumps(timings))
 
 
@@ -176,7 +181,10 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_FRESH", "1") != "0":
         # measured AFTER the in-process passes so the child sees exactly
         # the artifacts they published; its own JVM spin-up is excluded by
-        # the child's warm-up, same as here
+        # the child's warm-up, same as here. The parent JVM stops FIRST —
+        # a real second session doesn't run beside an idle first one, and
+        # two driver heaps would measure memory contention, not serving.
+        spark.stop()
         fresh = _fresh_warm_pass(sf_dir, cache_root)
         out["value_warm_fresh"] = round(sum(fresh.values()), 3)
         out["queries_warm_fresh"] = fresh

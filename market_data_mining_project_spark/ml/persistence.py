@@ -138,21 +138,29 @@ _DATA_VERSION_MEMO: dict[tuple, tuple] = {}
 
 
 def _quick_table_sig(sf_dir: str, tables: tuple[str, ...]) -> tuple:
-    """O(|tables|) staleness probe for the memo: (size, mtime_ns) of each
-    table's top-level parquet entry. A rewrite replaces the file (or
-    touches the dataset directory), changing this signature and forcing a
-    full re-fingerprint — so the memo can no longer serve a blend for
-    data rewritten mid-process. Residual (documented): an in-place edit
-    of one nested part-file that leaves its parent directory's mtime
-    untouched slips past the probe; parquet writers don't do that
-    (datasets are replaced wholesale), and the full :func:`data_version`
-    still catches it across processes."""
+    """Staleness probe for the memo: (size, mtime_ns) of each table's
+    top-level parquet entry PLUS, for directory datasets, one level of
+    child entries — so both a wholesale replace and a partition-level
+    rewrite (dynamic partition overwrite of one ``date=…/`` subdirectory,
+    which leaves the dataset directory's own mtime untouched on POSIX but
+    updates the partition directory's) change the signature and force a
+    full re-fingerprint. Cost is O(|tables| + top-level partitions) stats
+    per call — cheap next to the recursive walk it guards. Residual: a
+    rewrite two levels down that somehow preserves every level-1 entry's
+    mtime slips past; replacing any file updates its parent directory's
+    mtime, so that requires deliberately back-dating — and the full
+    :func:`data_version` still catches it across processes."""
     sig = []
     for t in tables:
         p = os.path.join(sf_dir, f"{t}.parquet")
         try:
             st = os.stat(p)
             sig.append((t, st.st_size, st.st_mtime_ns))
+            if os.path.isdir(p):
+                with os.scandir(p) as it:
+                    for entry in sorted(it, key=lambda e: e.name):
+                        est = entry.stat()
+                        sig.append((entry.name, est.st_size, est.st_mtime_ns))
         except FileNotFoundError:
             sig.append((t, -1, -1))
     return tuple(sig)

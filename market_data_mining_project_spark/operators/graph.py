@@ -115,24 +115,12 @@ def pagerank(
             [],
             StructType([StructField("node", node_type)]),
         ).withColumn("rank", F.lit(0.0)).withColumn("n_iterations", F.lit(0))
-    if stats.n_edges <= small_graph_edges:
-        # node-count gate BEFORE the speculative collect: a small
-        # aggregate job (no row transfer) decides the path, so a
-        # 1M-edge/20K-node graph never pays a discarded 1M-row driver
-        # collect just to learn it must run distributed anyway
-        n_nodes = (
-            e.select(F.col("__src").alias("node"))
-            .unionByName(e.select(F.col("__dst").alias("node")))
-            .distinct()
-            .count()
-        )
-        if n_nodes <= small_graph_nodes:
-            rows = e.collect()
-            node_set = {r["__src"] for r in rows} | {r["__dst"] for r in rows}
-            return _pagerank_local(
-                e.sparkSession, e.schema["__src"].dataType, rows,
-                sorted(node_set), damping, max_iterations, tol,
-            )
+    # ONE distinct-node frame serves the dual-path gate, the node count
+    # AND the distributed loop: the gate's count is the same job the
+    # distributed path needs anyway (so routing distributed pays nothing
+    # extra), the node check still precedes any row transfer (no
+    # speculative 1M-row collect for a too-wide graph), and routing local
+    # merely materializes a ≤small_graph_nodes checkpoint first
     nodes = (
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))
@@ -140,6 +128,13 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if stats.n_edges <= small_graph_edges and n <= small_graph_nodes:
+        rows = e.collect()
+        node_set = {r["__src"] for r in rows} | {r["__dst"] for r in rows}
+        return _pagerank_local(
+            e.sparkSession, e.schema["__src"].dataType, rows,
+            sorted(node_set), damping, max_iterations, tol,
+        )
     out_w = e.groupBy(F.col("__src").alias("node")).agg(
         F.sum("__w").alias("__out_w")
     )

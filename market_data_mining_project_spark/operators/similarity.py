@@ -263,7 +263,11 @@ def _centroid_broadcast(sc, cmat):
 
     import numpy as np
 
+    # the fingerprint includes the CONTEXT identity: a broadcast from a
+    # stopped SparkContext would fail at execution ("Failed to get
+    # broadcast"), so a session restart must re-broadcast, not reuse
     fp = (
+        sc.applicationId,
         cmat.shape,
         hashlib.md5(np.ascontiguousarray(cmat).tobytes()).hexdigest(),
     )
@@ -333,23 +337,27 @@ def assign_cells(
 
     cmat = np.asarray(centroids, dtype="float64")  # (k, dim)
 
+    # ONE scoring closure for both shipping modes — the matrix source is
+    # the only difference, so it rides a provider lambda (the broadcast
+    # branch's lambda captures ONLY the broadcast handle; the closure
+    # branch's captures only the matrix). |c|² is computed once per
+    # Python worker via an id-keyed memo (bc.value returns one cached
+    # object per worker), not once per Arrow batch.
     if len(centroids) >= ASSIGN_BROADCAST_MIN_CELLS:
         bc = _centroid_broadcast(base.sparkSession.sparkContext, cmat)
-
-        def _nearest(vecs):
-            cm = bc.value
-            c2 = (cm * cm).sum(axis=1)  # k doubles per batch — negligible
-            m = np.stack(vecs.to_numpy()).astype("float64")  # (batch, dim)
-            scores = c2[None, :] - 2.0 * (m @ cm.T)  # ∝ squared distance
-            return pd.Series(np.argmin(scores, axis=1).astype("int32"))
-
+        get_mat = lambda: bc.value  # noqa: E731
     else:
-        c2 = (cmat * cmat).sum(axis=1)  # |c|² per centroid
+        get_mat = lambda: cmat  # noqa: E731
+    c2_memo: dict = {}
 
-        def _nearest(vecs):
-            m = np.stack(vecs.to_numpy()).astype("float64")  # (batch, dim)
-            scores = c2[None, :] - 2.0 * (m @ cmat.T)  # ∝ squared distance
-            return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+    def _nearest(vecs):
+        cm = get_mat()
+        c2 = c2_memo.get(id(cm))
+        if c2 is None:
+            c2 = c2_memo[id(cm)] = (cm * cm).sum(axis=1)
+        m = np.stack(vecs.to_numpy()).astype("float64")  # (batch, dim)
+        scores = c2[None, :] - 2.0 * (m @ cm.T)  # ∝ squared distance
+        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
 
     # real class annotations: the module-wide `from __future__ import
     # annotations` stringifies inline hints (same note as lsh_topk)

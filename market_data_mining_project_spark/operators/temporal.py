@@ -202,12 +202,32 @@ def _stitch_bucket_carry(
         .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carry_in = all_buckets.join(bucket_best, [key, "__bkt"], "left").select(
-        key,
-        "__bkt",
-        F.last("__bl", ignorenulls=True).over(w_prev).alias("__cin"),
+    # both stitch joins are NULL-SAFE on the key: a NULL key is a
+    # legitimate partition on the plain path's window, so the bucketed
+    # path must not lose its carry to SQL's NULL != NULL (same contract
+    # as the sessionize/ewma carry joins)
+    bb = bucket_best.withColumnRenamed(key, "__bk").withColumnRenamed(
+        "__bkt", "__bb"
     )
-    stitched = carried.join(carry_in, [key, "__bkt"], "left")
+    carry_in = (
+        all_buckets.join(
+            bb,
+            F.col(key).eqNullSafe(F.col("__bk")) & (F.col("__bkt") == F.col("__bb")),
+            "left",
+        )
+        .select(
+            key,
+            "__bkt",
+            F.last("__bl", ignorenulls=True).over(w_prev).alias("__cin"),
+        )
+        .withColumnRenamed(key, "__ck")
+        .withColumnRenamed("__bkt", "__cb")
+    )
+    stitched = carried.join(
+        carry_in,
+        F.col(key).eqNullSafe(F.col("__ck")) & (F.col("__bkt") == F.col("__cb")),
+        "left",
+    )
     keep = [c for c in carried.columns if c != mcol]
     return stitched.select(
         *keep, F.coalesce(F.col(mcol), F.col("__cin")).alias(mcol)

@@ -642,8 +642,13 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # LEFT join: an event type whose values are all NULL has no histogram
     # rows but must keep its n_rows/distinct row (NULL quantiles, as the
-    # former percentile_approx formulation emitted)
-    per_type = fine.join(per_type_q, "event_type", "left").select(
+    # former percentile_approx formulation emitted). NULL-SAFE: a NULL
+    # event_type is a legitimate group in both frames and must match
+    # itself.
+    ptq = per_type_q.withColumnRenamed("event_type", "__qt")
+    per_type = fine.join(
+        ptq, fine["event_type"].eqNullSafe(F.col("__qt")), "left"
+    ).select(
         "event_type",
         "n_rows",
         "distinct_estimate",

@@ -232,9 +232,11 @@ def probe_distributed_pagerank(spark) -> dict:
             F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_nodes)).alias("dst"),
         )
         t0 = time.perf_counter()
+        # small_graph_edges=0 too: the probe measures the distributed
+        # LOOP, so the dual-path gate must not add a discarded job
         out = pagerank(
             edges, max_iterations=5, tol=0.0, small_graph_nodes=0,
-            check_every=5,
+            small_graph_edges=0, check_every=5,
         )
         out.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)

@@ -223,3 +223,29 @@ def test_data_version_memo_is_bounded_per_table_set(tmp_path):
         P.data_version_cached(str(sf), tables=("lineitem",))
     after = len(P._DATA_VERSION_MEMO)
     assert after == before + 1
+
+
+def test_data_version_cached_sees_partition_level_rewrite(tmp_path):
+    """Directory datasets: replacing files inside ONE partition
+    subdirectory (dynamic partition overwrite) leaves the dataset
+    directory's own mtime untouched on POSIX — the signature scans one
+    level of children, so the memo still invalidates."""
+    import time as _time
+
+    sf = tmp_path / "sfP"
+    part = sf / "lineitem.parquet" / "date=2024-01-01"
+    part.mkdir(parents=True)
+    (part / "part-0.parquet").write_bytes(b"aaaa")
+    v1 = P.data_version_cached(str(sf), tables=("lineitem",))
+    ds_mtime = os.stat(sf / "lineitem.parquet").st_mtime_ns
+    _time.sleep(0.01)
+    # a real dynamic-partition overwrite deletes the old part files and
+    # writes new names INSIDE the partition dir — that updates the
+    # partition directory's mtime (a level-1 child) but NOT the dataset
+    # directory's own mtime, exactly the case a top-level-only probe
+    # missed
+    (part / "part-0.parquet").unlink()
+    (part / "part-1.parquet").write_bytes(b"bbbbbb")
+    assert os.stat(sf / "lineitem.parquet").st_mtime_ns == ds_mtime
+    v2 = P.data_version_cached(str(sf), tables=("lineitem",))
+    assert v2 != v1

@@ -374,3 +374,37 @@ def test_asof_join_rejects_payload_name_collision(spark, asof_frames):
             left, right.withColumnRenamed("pvalue", "event_id"),
             "user_id", "ts", "ts", ["event_id"],
         )
+
+
+def test_asof_join_bucketed_keeps_null_key_groups(spark):
+    """A NULL key is a legitimate partition on the plain path's window;
+    the bucketed stitch joins are null-safe so bucketed == plain holds
+    for those groups too (incl. a cross-bucket carry)."""
+    left = spark.createDataFrame(
+        [(1, None, _ts(10.0)), (2, None, _ts(60 * 26.0)), (3, 100, _ts(10.0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, _ts(5.0), 1.5), (100, _ts(5.0), 9.9)],
+        "user_id long, ts timestamp, pvalue double",
+    )
+    plain = {
+        r.event_id: (r.pvalue, r.matched_ts)
+        for r in TEMP.asof_join(
+            left, right, "user_id", "ts", "ts", ["pvalue"]
+        ).collect()
+    }
+    # bucket width 1200 s: event 2 sits ~26 min in, several buckets past
+    # the right row — the match must arrive via the cross-bucket carry
+    bucketed = {
+        r.event_id: (r.pvalue, r.matched_ts)
+        for r in TEMP.asof_join(
+            left, right, "user_id", "ts", "ts", ["pvalue"], bucket_secs=1200
+        ).collect()
+    }
+    epoch = int(_ts(5.0).timestamp())
+    assert plain == bucketed == {
+        1: (1.5, epoch),
+        2: (1.5, epoch),
+        3: (9.9, epoch),
+    }
