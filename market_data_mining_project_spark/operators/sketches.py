@@ -170,6 +170,27 @@ def histogram_quantiles(
     return agged.select(*out)
 
 
+def _cms_cells(item_col: str, depth: int, width: int, seed: int):
+    """The (row, hash-bucket) cell array shared by build and probe — ONE
+    definition so the two sides cannot drift: CMS guarantees hold only
+    when build and estimate use bit-identical (depth, width, seed)
+    hashing. Callers of :func:`cms_estimate` must pass the SAME
+    parameters the sketch was built with; a mismatch probes different
+    buckets and silently voids the ``estimate >= true`` guarantee."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.pmod(
+                    F.xxhash64(F.col(item_col).cast("string"), F.lit(seed + i)),
+                    F.lit(width),
+                ).alias("b"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
 def cms_build(
     df: DataFrame,
     item_col: str,
@@ -193,18 +214,7 @@ def cms_build(
     ingest batches without rescanning."""
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1 and width >= 2, got {depth}/{width}")
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("r"),
-                F.pmod(
-                    F.xxhash64(F.col(item_col).cast("string"), F.lit(seed + i)),
-                    F.lit(width),
-                ).alias("b"),
-            )
-            for i in range(depth)
-        ]
-    )
+    cells = _cms_cells(item_col, depth, width, seed)
     return (
         df.filter(F.col(item_col).isNotNull())
         .select(F.explode(cells).alias("__cell"))
@@ -242,23 +252,19 @@ def cms_estimate(
     table is ≤ depth×width rows, so the probe join broadcasts it; output
     adds ``cms_freq`` to the items frame.
 
+    Output is one row per DISTINCT non-null item: ``(item_col,
+    cms_freq)`` — other ``items`` columns are dropped and duplicate items
+    collapse (join the result back on ``item_col`` to annotate a wider
+    frame). ``depth``/``width``/``seed`` MUST match the build (see
+    :func:`_cms_cells` — a mismatch probes different buckets and silently
+    voids the overestimate guarantee).
+
     NULL items are excluded, mirroring :func:`cms_build`: a NULL never
     enters the sketch, but ``xxhash64`` of a NULL string still yields a
     seed-derived hash, so probing it would return a spurious non-zero
     count from whatever real items share those cells."""
     items = items.filter(F.col(item_col).isNotNull())
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("r"),
-                F.pmod(
-                    F.xxhash64(F.col(item_col).cast("string"), F.lit(seed + i)),
-                    F.lit(width),
-                ).alias("b"),
-            )
-            for i in range(depth)
-        ]
-    )
+    cells = _cms_cells(item_col, depth, width, seed)
     probes = items.select(item_col, F.explode(cells).alias("__cell")).select(
         item_col,
         F.col("__cell.r").alias("row"),

@@ -77,20 +77,34 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
-    clash = set(payload_cols) & set(left.columns)
+    clash = (set(payload_cols) | {"matched_ts"}) & set(left.columns)
     if clash:
-        # the final select re-emits payload names from the matched struct —
-        # a colliding left column would be silently replaced, not joined
+        # the final select re-emits payload names (and the unconditional
+        # matched_ts) from the matched struct — a colliding left column
+        # would yield a silent replace or an ambiguous duplicate
         raise ValueError(
-            f"payload_cols collide with left columns: {sorted(clash)}; "
+            f"output columns collide with left columns: {sorted(clash)}; "
             "rename the left columns or the right payload before joining"
         )
     dirs = ("backward", "forward") if direction == "nearest" else (direction,)
     lt = F.col(left_ts).cast("timestamp")
     rt = F.col(right_ts).cast("timestamp")
-    l_tagged = left.withColumn("__side", F.lit(0)).withColumn("__ats", lt)
+    # NULL timestamps carry no as-of position and are EXCLUDED on both
+    # sides and both paths (the sessionize/ewma contract): a NULL __ats
+    # sorts FIRST ascending and LAST descending, so without the filter a
+    # NULL-ts right row's payload would carry forward under backward with
+    # matched_ts NULL (untouchable by tolerance — abs(x−NULL) is NULL)
+    # and a NULL-ts left row would take the earliest right row under
+    # forward; the bucketed stitch would additionally diverge on the NULL
+    # bucket id.
+    l_tagged = (
+        left.filter(lt.isNotNull())
+        .withColumn("__side", F.lit(0))
+        .withColumn("__ats", lt)
+    )
     r_tagged = (
-        right.select(
+        right.filter(rt.isNotNull())
+        .select(
             F.col(key),
             rt.alias("__ats"),
             *[F.col(c) for c in payload_cols],
@@ -606,8 +620,16 @@ def range_join_count(
     (``value_in_range`` when ``agg_value``). Left rows must be distinct
     (carry a key column): the post-join regroup groups by all left
     columns, so fully-identical left rows would collapse into one.
+
+    ``radius_secs=0`` is the exactly-co-timestamped query (one candidate
+    band, exact ``Δt = 0`` filter); negative radii and non-positive band
+    widths are input errors.
     """
-    band = band_secs or radius_secs
+    if radius_secs < 0:
+        raise ValueError(f"radius_secs must be >= 0, got {radius_secs}")
+    band = band_secs if band_secs is not None else max(radius_secs, 1)
+    if band <= 0:
+        raise ValueError(f"band_secs must be > 0, got {band_secs}")
     n_bands = -(-radius_secs // band)  # ceil
     le = F.col(left_ts).cast("timestamp").cast("long")
     re_ = F.col(right_ts).cast("timestamp").cast("long")

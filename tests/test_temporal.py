@@ -408,3 +408,61 @@ def test_asof_join_bucketed_keeps_null_key_groups(spark):
         2: (1.5, epoch),
         3: (9.9, epoch),
     }
+
+
+def test_asof_join_excludes_null_timestamps(spark):
+    """NULL timestamps carry no as-of position: NULL-ts left rows emit no
+    row, NULL-ts right rows never match (they'd otherwise carry forward
+    under backward with matched_ts NULL, untouchable by tolerance) —
+    pinned on both paths."""
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10.0)), (2, 100, None)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, None, 66.6), (100, _ts(5.0), 1.5)],
+        "user_id long, ts timestamp, pvalue double",
+    )
+    for kw in ({}, {"bucket_secs": 600}):
+        out = {
+            r.event_id: (r.pvalue, r.matched_ts)
+            for r in TEMP.asof_join(
+                left, right, "user_id", "ts", "ts", ["pvalue"], **kw
+            ).collect()
+        }
+        assert out == {1: (1.5, int(_ts(5.0).timestamp()))}, kw
+    # forward: a NULL-ts left row must not take the earliest right row
+    fwd = TEMP.asof_join(
+        left, right, "user_id", "ts", "ts", ["pvalue"], direction="forward"
+    ).collect()
+    assert [r.event_id for r in fwd] == [1]
+
+
+def test_asof_join_rejects_matched_ts_collision(spark, asof_frames):
+    left, right = asof_frames
+    with pytest.raises(ValueError, match="collide"):
+        TEMP.asof_join(
+            left.withColumn("matched_ts", F.lit(0)),
+            right, "user_id", "ts", "ts", ["pvalue"],
+        )
+
+
+def test_range_join_zero_radius_and_bad_inputs(spark):
+    """radius 0 = exactly-co-timestamped (single band, Δt=0 filter);
+    negative radius and non-positive band are input errors, not silent
+    wrong counts."""
+    left = spark.createDataFrame(
+        [(1, _ts(1.0)), (2, _ts(2.0))], "event_id long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(_ts(1.0),), (_ts(1.0),), (_ts(3.0),)], "ts timestamp"
+    )
+    out = {
+        r.event_id: r.n_in_range
+        for r in TEMP.range_join_count(left, right, "lts", "ts", 0).collect()
+    }
+    assert out == {1: 2, 2: 0}
+    with pytest.raises(ValueError, match="radius"):
+        TEMP.range_join_count(left, right, "lts", "ts", -5)
+    with pytest.raises(ValueError, match="band"):
+        TEMP.range_join_count(left, right, "lts", "ts", 10, band_secs=0)
