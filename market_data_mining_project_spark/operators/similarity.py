@@ -54,20 +54,32 @@ def cosine_topk(
     ``queries`` is broadcast (typically small); the corpus is scanned once.
     Returns (query_id, neighbor_id, cos) with deterministic tie-breaking on
     neighbor id.
+
+    PRECONDITION (shared by :func:`ivf_topk` / :func:`lsh_topk`): query
+    ids live in the CORPUS id space — an equal id means "the same vector",
+    and that self pair is excluded. Queries from a separate id space must
+    be re-keyed first (an accidental id collision would silently drop a
+    legitimate neighbor). Norms are computed once per row per side BEFORE
+    the pair join — cosine() per pair folds both arrays 3×.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("__qn", norm(F.col("qv")))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("__cn", norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -570,7 +582,7 @@ def ivf_topk(
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("__qn", norm(F.col("qv")))  # once per query, pre-explode
     # rank cells per query by SQUARED EUCLIDEAN distance to the centroid —
     # the same metric KMeans used for membership assignment. Ranking probes
     # by cosine while cells were formed by Euclidean distance silently
@@ -595,14 +607,22 @@ def ivf_topk(
             ),
         )
         .filter(F.col("__rk") <= nprobe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "__qn", "cell")
     )
+    # norms once per row per side (the cosine_topk precondition note
+    # applies here too: query ids live in the corpus id space)
     cand = qc.join(
-        assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"),
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+        ).withColumn("__cn", norm(F.col("cv"))),
         "cell",
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.select(
-        "query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")), 6
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
@@ -645,6 +665,14 @@ def lsh_topk(
 
     def _bucket_ids(vecs):
         m = np.stack(vecs.to_numpy()).astype("float64")  # (batch, dim)
+        if m.shape[1] != planes.shape[1]:
+            # fail with the FIX in the message, not an opaque matmul
+            # shape error after executor task retries
+            raise ValueError(
+                f"lsh_topk dim={planes.shape[1]} does not match the "
+                f"embedding dimensionality {m.shape[1]}; pass "
+                f"dim={m.shape[1]}"
+            )
         signs = (m @ planes.T) > 0  # (batch, tables*bits)
         codes = (signs.reshape(len(vecs), n_tables, -1) * weights).sum(axis=2)
         return pd.Series(list(codes.astype("int64")))
@@ -657,11 +685,18 @@ def lsh_topk(
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
-    cb = c.withColumn("c_bs", bucket_ids("cv")).select(
-        "neighbor_id", "cv", "c_bs", F.posexplode("c_bs").alias("tbl", "bucket")
+    # norms BEFORE the posexplode: once per vector, not once per table
+    cb = c.withColumn("c_bs", bucket_ids("cv")).withColumn(
+        "__cn", norm(F.col("cv"))
+    ).select(
+        "neighbor_id", "cv", "__cn", "c_bs",
+        F.posexplode("c_bs").alias("tbl", "bucket"),
     )
-    qb = q.withColumn("q_bs", bucket_ids("qv")).select(
-        "query_id", "qv", "q_bs", F.posexplode("q_bs").alias("tbl", "bucket")
+    qb = q.withColumn("q_bs", bucket_ids("qv")).withColumn(
+        "__qn", norm(F.col("qv"))
+    ).select(
+        "query_id", "qv", "__qn", "q_bs",
+        F.posexplode("q_bs").alias("tbl", "bucket"),
     )
     first_match = F.when(F.col("tbl") == 0, F.lit(True)).otherwise(
         ~F.expr("exists(sequence(0, tbl - 1), t -> c_bs[t] = q_bs[t])")
@@ -673,7 +708,10 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())

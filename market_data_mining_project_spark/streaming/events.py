@@ -191,16 +191,22 @@ def reconcile_dedup_sink(
 
     Same default key as the stream side (content hash of the payload columns,
     ``time_col`` excluded), keeping the EARLIEST arrival — one shuffle on the
-    digest, the :func:`operators.dedup.exact_dedup` shape. Run it over the
-    sink table on whatever cadence the corpus tolerates (e.g. daily
-    partition-scoped sweeps via ``overwrite_partitions``)."""
+    digest, the :func:`operators.dedup.exact_dedup` shape. Ties on the
+    timestamp break on a hash of the FULL row, so which duplicate survives
+    is a pure function of the data, never of partitioning (with the default
+    content key the tied rows are byte-identical anyway; with user keys
+    they may differ, and a bare time ordering would keep a
+    run-dependent row). Run it over the sink table on whatever cadence the
+    corpus tolerates (e.g. daily partition-scoped sweeps via
+    ``overwrite_partitions``)."""
     from pyspark.sql import Window
 
     drop_after = []
     if keys is None:
         sink = _with_content_key(sink, time_col)
         keys = drop_after = ["__content_key"]
-    w = Window.partitionBy(*keys).orderBy(F.col(time_col).asc())
+    tiebreak = F.xxhash64(*[F.col(c) for c in sink.columns])
+    w = Window.partitionBy(*keys).orderBy(F.col(time_col).asc(), tiebreak.asc())
     out = (
         sink.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -256,11 +262,26 @@ def interval_join_streams(
 
     Inner join: unmatched left rows are NOT emitted (stream-stream outer
     emission waits on the watermark); re-attach zero-match rows batch-side
-    after the replay if the consumer needs them. The timestamp columns
-    must be distinct names (both survive into the output)."""
+    after the replay if the consumer needs them. ALL column names must be
+    distinct between the two sides (both survive into the output — a
+    shared name would produce an ambiguous-reference failure only at the
+    first downstream select, far from the cause, so it is rejected here).
+    Radius/band validation mirrors the batch twin exactly, incl.
+    ``radius_secs=0`` as the co-timestamped query."""
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must be distinct column names")
-    band = band_secs or radius_secs
+    shared = set(left.columns) & set(right.columns)
+    if shared:
+        raise ValueError(
+            f"left/right streams share column names {sorted(shared)}; "
+            "rename one side before the interval join (both sides' "
+            "columns survive into the output)"
+        )
+    if radius_secs < 0:
+        raise ValueError(f"radius_secs must be >= 0, got {radius_secs}")
+    band = band_secs if band_secs is not None else max(radius_secs, 1)
+    if band <= 0:
+        raise ValueError(f"band_secs must be > 0, got {band_secs}")
     n_bands = -(-radius_secs // band)  # ceil
     lt, rt = F.col(left_ts).cast("long"), F.col(right_ts).cast("long")
     offsets = F.array(*[F.lit(i) for i in range(-n_bands, n_bands + 1)])

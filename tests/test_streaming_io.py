@@ -544,3 +544,55 @@ def test_checkpoint_resume_keeps_frozen_state_partitions(spark, tmp_path):
         int(d) for d in os.listdir(state_op) if d.isdigit()
     )
     assert widths == list(range(4)), widths
+
+
+def test_interval_join_validates_radius_band_and_columns(spark):
+    """The stream twin mirrors the batch range join's validation: radius 0
+    is the co-timestamped query, negative radius / zero band are errors,
+    and shared non-ts column names are rejected up front (both sides
+    survive into the output — an ambiguous reference would otherwise
+    surface only at the first downstream select)."""
+    df = spark.readStream.format("rate").load()
+    l = df.select(F.col("timestamp").alias("lt"), F.col("value").alias("lv"))
+    r = df.select(F.col("timestamp").alias("rt"), F.col("value").alias("rv"))
+    # radius 0 builds a valid plan (single band)
+    EV.interval_join_streams(l, r, "lt", "rt", 0)
+    with pytest.raises(ValueError, match="radius"):
+        EV.interval_join_streams(l, r, "lt", "rt", -1)
+    with pytest.raises(ValueError, match="band"):
+        EV.interval_join_streams(l, r, "lt", "rt", 10, band_secs=0)
+    shared = df.select(F.col("timestamp").alias("rt"), "value")
+    with pytest.raises(ValueError, match="share column names"):
+        EV.interval_join_streams(
+            l.withColumnRenamed("lv", "value"), shared, "lt", "rt", 10
+        )
+
+
+def test_reconcile_dedup_tiebreak_is_data_deterministic(spark):
+    """Equal-timestamp duplicates under user keys keep the row picked by a
+    FULL-ROW hash — a pure function of the data, not of partitioning."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [(7, t, "a"), (7, t, "b"), (8, t, "z")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, payload string")
+    kept = {
+        r.user_id: r.payload
+        for r in EV.reconcile_dedup_sink(df, keys=["user_id"]).collect()
+    }
+    # recompute the expected winner from the hash rule itself
+    h = {
+        r.payload: r.h
+        for r in df.filter(F.col("user_id") == 7)
+        .select("payload", F.xxhash64("user_id", "ts", "payload").alias("h"))
+        .collect()
+    }
+    want = min(h, key=lambda p: h[p])
+    assert kept[7] == want and kept[8] == "z"
+    again = {
+        r.user_id: r.payload
+        for r in EV.reconcile_dedup_sink(
+            df.repartition(7), keys=["user_id"]
+        ).collect()
+    }
+    assert again == kept
