@@ -307,6 +307,11 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+    # cache: the self-join would otherwise replay the scan + shingle
+    # build + 32-hash signature pipeline ONCE PER JOIN SIDE — the
+    # operator's dominant cost doubled (the simhash sibling documents the
+    # same hazard). Lazy cache: the first action materializes it once.
+    banded = banded.cache()
     left = banded.withColumnRenamed("doc", "doc_a")
     right = banded.withColumnRenamed("doc", "doc_b")
     return (
@@ -421,11 +426,21 @@ def cross_jaccard_flags(
         .join(sz_e, "old")
         .withColumn(
             "jaccard",
-            F.col("n_inter") / (F.col("sz_new") + F.col("sz_old") - F.col("n_inter")),
+            # thresholded on the ROUNDED value, exactly like
+            # ngram_jaccard_pairs (and its SQL oracle): inside
+            # incremental_ingest the two gates see the same similarity, so
+            # a near-threshold pair must get the same verdict on both —
+            # an unrounded filter here let a 0.4999996 pair pass one gate
+            # and fail the other
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_new") + F.col("sz_old") - F.col("n_inter")),
+                6,
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .groupBy(F.col("new").alias(id_col))
-        .agg(F.round(F.max("jaccard"), 6).alias("best_jaccard"))
+        .agg(F.max("jaccard").alias("best_jaccard"))
     )
 
 
@@ -651,6 +666,10 @@ def simhash_near_dups(
         a.join(b, ["chunk", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
-        .distinct()
+        # hamming is functionally determined by the pair, so filtering
+        # BEFORE the dedup shuffle drops chance chunk-collision pairs
+        # (hamming ≫ cap — the overwhelming majority at corpus scale)
+        # without touching the output
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -40,7 +40,10 @@ def lower_tokens(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+    # NULL text counts 0 tokens: F.size(NULL) is -1 under Spark's default
+    # legacy.sizeOfNull, and a -1 leaking into budget sums silently
+    # inflates the remaining token budget by one per NULL doc
+    return F.when(text.isNull(), F.lit(0)).otherwise(F.size(tokens(text)))
 
 
 def char_count(text: Column) -> Column:
@@ -48,14 +51,20 @@ def char_count(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of characters that are not alphanumeric/space."""
-    stripped = F.regexp_replace(text, "[a-zA-Z0-9 ]", "")
+    """Fraction of characters that are not letters/digits/whitespace —
+    UNICODE-aware (``\\p{L}\\p{N}``): the ASCII-only class penalized every
+    accented character as punctuation, systematically downranking the
+    es/fr/de documents this module's language ID explicitly supports, and
+    counted tabs/newlines as punctuation."""
+    stripped = F.regexp_replace(text, r"[\p{L}\p{N}\s]", "")
     return F.when(F.length(text) > 0, F.length(stripped) / F.length(text)).otherwise(0.0)
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    """Fraction of tokens that are stopwords of ``lang``."""
-    words = tokens(text)
+    """Fraction of tokens that are stopwords of ``lang`` —
+    case-insensitive (:func:`lower_tokens`): sentence-initial 'The' is the
+    same stopword as 'the', so Title-Case prose must not undercount."""
+    words = lower_tokens(text)
     hits = F.size(F.filter(words, lambda t: t.isin(STOPWORDS[lang])))
     return F.when(F.size(words) > 0, hits / F.size(words)).otherwise(0.0)
 
@@ -68,7 +77,12 @@ _PII_PATTERNS = (
     ("<URL>", r"(?:https?://|www\.)[^\s<>\"']+"),
     ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("<IP>", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
-    ("<PHONE>", r"(?<![\w.])\+?\d[\d()\-\s.]{6,}\d(?![\w.])"),
+    # ≥9 digits with only ()-. and SPACE separators: ISO dates, year
+    # ranges and 8-digit integers (8 digits) no longer redact, and \s is
+    # out of the class so digit runs can't merge across newlines into one
+    # bogus match. 7-digit local numbers are missed by design —
+    # "deliberately conservative" means prose survives.
+    ("<PHONE>", r"(?<![\w.])\+?\(?\d(?:[()\-. ]*\d){8,}(?![\w.])"),
 )
 
 
@@ -313,24 +327,18 @@ def _isin_pred(values: list[str]):
     return lambda t: t.isin(values)
 
 
-def lang_scores(text: Column) -> list[Column]:
-    """Per-language stopword-hit counts (the language-ID signal)."""
-    words = tokens(text)
-    return [
-        F.size(F.filter(words, _isin_pred(sw))).alias(f"hits_{lg}")
-        for lg, sw in STOPWORDS.items()
-    ]
-
-
 def detect_language(df: DataFrame, text_col: str = "text", out: str = "detected_lang") -> DataFrame:
     """Stopword-voting language ID: argmax over per-language hit counts,
-    'und' (undetermined) when no stopwords hit. Hit-count ties break toward
-    the lexicographically LARGEST language code (``array_max`` compares the
-    (hits, lang) struct fieldwise, falling through to ``lang``) — the array
-    order is irrelevant to ``array_max``, so the precedence lives entirely
-    in that struct comparison and MUST stay in sync with the SQL oracles'
+    'und' (undetermined) when no stopwords hit. Hits are CASE-INSENSITIVE
+    (:func:`lower_tokens` — Title-Case and ALL-CAPS prose must still
+    vote; the SQL oracles lower their token lists identically). Hit-count
+    ties break toward the lexicographically LARGEST language code
+    (``array_max`` compares the (hits, lang) struct fieldwise, falling
+    through to ``lang``) — the array order is irrelevant to
+    ``array_max``, so the precedence lives entirely in that struct
+    comparison and MUST stay in sync with the SQL oracles'
     fr ≥ es ≥ en ≥ de cascade."""
-    words = tokens(F.col(text_col))
+    words = lower_tokens(F.col(text_col))
     scored = F.array(
         *[
             F.struct(
@@ -354,8 +362,11 @@ BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
 
 def bpe_ish_token_count(text: Column) -> Column:
     """Token count under BPE-style pre-tokenization — the training-data
-    budget number (whitespace counts undercount punctuation-heavy text)."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+    budget number (whitespace counts undercount punctuation-heavy text).
+    NULL text counts 0 (same sizeOfNull guard as :func:`token_count`)."""
+    return F.when(text.isNull(), F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+    )
 
 
 def fingerprint(text: Column, n: int = 8) -> Column:

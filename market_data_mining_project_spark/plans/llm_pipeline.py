@@ -74,18 +74,18 @@ WITH lm_train AS (
   SELECT doc_id, lang, text, ts,
          len(ts) AS n_tokens,
          CASE WHEN length(text) > 0
-              THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+              THEN CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text)
               ELSE 0.0 END AS praw,
          CASE WHEN len(ts) > 0
-              THEN CAST(len(list_filter(ts, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS DOUBLE) / len(ts)
+              THEN CAST(len(list_filter(list_transform(ts, y -> lower(y)), x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS DOUBLE) / len(ts)
               ELSE 0.0 END AS sraw,
          CASE WHEN len(ts) > 0
               THEN CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
               ELSE 0.0 END AS diversity,
-         len(list_filter(ts, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS h_en,
-         len(list_filter(ts, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS h_es,
-         len(list_filter(ts, x -> list_contains(['le','la','de','et','un','est','que','en','du','les'], x))) AS h_fr,
-         len(list_filter(ts, x -> list_contains(['der','die','das','und','ist','in','den','von','zu','mit'], x))) AS h_de
+         len(list_filter(list_transform(ts, y -> lower(y)), x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS h_en,
+         len(list_filter(list_transform(ts, y -> lower(y)), x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS h_es,
+         len(list_filter(list_transform(ts, y -> lower(y)), x -> list_contains(['le','la','de','et','un','est','que','en','du','les'], x))) AS h_fr,
+         len(list_filter(list_transform(ts, y -> lower(y)), x -> list_contains(['der','die','das','und','ist','in','den','von','zu','mit'], x))) AS h_de
   FROM toks
 )
 SELECT doc_id,
@@ -1089,15 +1089,15 @@ WITH RECURSIVE toks AS (
   SELECT doc_id, text, ts,
          len(ts) AS n_tokens,
          CASE WHEN length(text) > 0
-              THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+              THEN CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text)
               ELSE 0.0 END AS praw,
          CASE WHEN len(ts) > 0
               THEN CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
               ELSE 0.0 END AS diversity,
-         len(list_filter(ts, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS h_en,
-         len(list_filter(ts, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS h_es,
-         len(list_filter(ts, x -> list_contains(['le','la','de','et','un','est','que','en','du','les'], x))) AS h_fr,
-         len(list_filter(ts, x -> list_contains(['der','die','das','und','ist','in','den','von','zu','mit'], x))) AS h_de
+         len(list_filter(list_transform(ts, y -> lower(y)), x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS h_en,
+         len(list_filter(list_transform(ts, y -> lower(y)), x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS h_es,
+         len(list_filter(list_transform(ts, y -> lower(y)), x -> list_contains(['le','la','de','et','un','est','que','en','du','les'], x))) AS h_fr,
+         len(list_filter(list_transform(ts, y -> lower(y)), x -> list_contains(['der','die','das','und','ist','in','den','von','zu','mit'], x))) AS h_de
   FROM toks
 ), scored AS (
   SELECT doc_id, text, ts,
@@ -1324,8 +1324,8 @@ WITH planted AS (
   FROM c2
 ), c4 AS (
   SELECT orig_len, c_url, c_email, c_ip,
-         len(regexp_extract_all(s3, '([^\\w.]|^)(\\+?\\d[\\d()\\-\\s.]{{6,}}\\d)($|[^\\w.])')) AS c_phone,
-         regexp_replace(s3, '([^\\w.]|^)(\\+?\\d[\\d()\\-\\s.]{{6,}}\\d)($|[^\\w.])', '\\1<PHONE>\\3', 'g') AS s4
+         len(regexp_extract_all(s3, '([^\\w.]|^)(\\+?\\(?\\d(?:[()\\-. ]*\\d){{8,}})($|[^\\w.])')) AS c_phone,
+         regexp_replace(s3, '([^\\w.]|^)(\\+?\\(?\\d(?:[()\\-. ]*\\d){{8,}})($|[^\\w.])', '\\1<PHONE>\\3', 'g') AS s4
   FROM c3
 )
 SELECT COUNT(*) AS docs_scanned,
@@ -1381,15 +1381,15 @@ WITH toks AS (
   SELECT doc_id, text,
          len(ts) AS n_tokens,
          CASE WHEN length(text) > 0
-              THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+              THEN CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text)
               ELSE 0.0 END AS praw,
          CASE WHEN len(ts) > 0
               THEN CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
               ELSE 0.0 END AS diversity,
-         len(list_filter(ts, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS h_en,
-         len(list_filter(ts, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS h_es,
-         len(list_filter(ts, x -> list_contains(['le','la','de','et','un','est','que','en','du','les'], x))) AS h_fr,
-         len(list_filter(ts, x -> list_contains(['der','die','das','und','ist','in','den','von','zu','mit'], x))) AS h_de
+         len(list_filter(list_transform(ts, y -> lower(y)), x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS h_en,
+         len(list_filter(list_transform(ts, y -> lower(y)), x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS h_es,
+         len(list_filter(list_transform(ts, y -> lower(y)), x -> list_contains(['le','la','de','et','un','est','que','en','du','les'], x))) AS h_fr,
+         len(list_filter(list_transform(ts, y -> lower(y)), x -> list_contains(['der','die','das','und','ist','in','den','von','zu','mit'], x))) AS h_de
   FROM toks
 ), scored AS (
   SELECT doc_id,

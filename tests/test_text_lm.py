@@ -139,3 +139,75 @@ def test_document_chunks_short_and_null(spark):
         4: [(0, 120), (1, 31)],
         5: [(0, 0)],  # empty text keeps its one-row-per-document guarantee
     }
+
+
+def test_pii_phone_spares_dates_and_short_numbers(spark):
+    """The phone pattern requires >= 9 digits with ()-. and SPACE
+    separators only: ISO dates, year ranges and 8-digit integers survive
+    redaction (a redactor that eats prose is worse than one missing an
+    exotic format), real phone shapes still redact, and digit runs no
+    longer merge across newlines."""
+    rows = [
+        (1, "released 2020-01-01 and revised"),
+        (2, "the war of 1914-1918 ended"),
+        (3, "order 12345678 shipped"),
+        (4, "call (555) 123-4567 now"),
+        (5, "intl +49 30 901820 11"),
+        (6, "line one 1234\n5678 line two"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r.red for r in df.select("id", TXT.redact_pii(F.col("text")).alias("red")).collect()}
+    assert "<PHONE>" not in out[1] and "2020-01-01" in out[1]
+    assert "1914-1918" in out[2]
+    assert "12345678" in out[3]
+    assert out[4] == "call <PHONE> now"
+    assert "<PHONE>" in out[5]
+    assert "<PHONE>" not in out[6]
+
+
+def test_stopwords_and_language_id_are_case_insensitive(spark):
+    """Sentence-initial 'The' votes like 'the'; Title-Case docs must not
+    come back 'und' with a zero stopword ratio."""
+    df = spark.createDataFrame(
+        [(1, "The End. The Beginning. The Road."), (2, "xqz wvu klm")],
+        "id long, text string",
+    )
+    lang = {r.id: r.detected_lang for r in TXT.detect_language(df).collect()}
+    assert lang[1] == "en" and lang[2] == "und"
+    ratio = {
+        r.id: r.s
+        for r in df.select("id", TXT.stopword_ratio(F.col("text")).alias("s")).collect()
+    }
+    assert ratio[1] > 0.4 and ratio[2] == 0.0
+
+
+def test_punct_ratio_is_unicode_aware(spark):
+    """Accented letters and whitespace are NOT punctuation: a clean French
+    sentence scores near zero; real punctuation still counts."""
+    df = spark.createDataFrame(
+        [(1, "où est née l'élève déjà"), (2, "a b\nc\td"), (3, "!!!???")],
+        "id long, text string",
+    )
+    got = {
+        r.id: r.p
+        for r in df.select("id", TXT.punct_ratio(F.col("text")).alias("p")).collect()
+    }
+    assert got[1] < 0.1, got[1]  # only the apostrophe
+    assert got[2] == 0.0
+    assert got[3] == 1.0
+
+
+def test_token_counts_zero_on_null_text(spark):
+    """F.size(NULL) is -1 under legacy sizeOfNull — a NULL doc must count
+    0 tokens, not deflate budget sums."""
+    df = spark.createDataFrame([(1, None), (2, "two words")], "id long, text string")
+    got = {
+        r.id: (r.t, r.b)
+        for r in df.select(
+            "id",
+            TXT.token_count(F.col("text")).alias("t"),
+            TXT.bpe_ish_token_count(F.col("text")).alias("b"),
+        ).collect()
+    }
+    assert got[1] == (0, 0)
+    assert got[2] == (2, 2)
