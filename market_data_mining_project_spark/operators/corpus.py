@@ -44,14 +44,32 @@ def mixture_weights(
         .agg(F.sum(F.col(tokens_col)).alias("tokens"))
         .collect()
     )
-    toks = {r.source: r.tokens for r in totals}
+    # SUM over an all-NULL tokens column is NULL -> 0: that source exists
+    # but contributes no countable mass, which must plan (rate 0), not
+    # TypeError in the arithmetic below
+    toks = {r.source: (r.tokens or 0) for r in totals}
     if target is None:
-        target = {s: 1.0 for s in toks}
+        # uniform over the sources that HAVE tokens: a zero/NULL-token
+        # source cannot be targeted (it would pin the budget at 0) but must
+        # still plan — it gets a weight-0 / rate-0 row in the output
+        target = {s: 1.0 for s in toks if toks[s]}
+    if not target or not any(w > 0 for w in target.values()):
+        raise ValueError("no positively-weighted source with tokens to plan")
     unknown = set(target) - set(toks)
     if unknown:
         raise ValueError(f"target names sources absent from the corpus: {sorted(unknown)}")
     z = sum(target.values())
     weights = {s: w / z for s, w in target.items()}
+    # a POSITIVELY-weighted source with zero tokens pins the budget at 0 —
+    # every other source's rate silently zeroes. That's a broken request,
+    # not a plan: fail loudly instead
+    starved = sorted((s for s, w in weights.items() if w > 0 and not toks[s]), key=str)
+    if starved:
+        raise ValueError(
+            f"target weights positive for zero-token sources {starved}; "
+            "a zero-token source pins the achievable budget at 0 — drop it "
+            "from the target or fix its token counts"
+        )
     budget = min(toks[s] * max_epochs / w for s, w in weights.items() if w > 0)
     rows = [
         (
@@ -139,15 +157,20 @@ def leakage_free_folds(
     Shape: one left join on id (the clusters side holds only dup-cluster
     members — broadcast-sized on real corpora where dups are the
     minority) + a hash map. Deterministic: xxhash64 of the value, no
-    partition dependence.
+    partition dependence. The join side's cluster column rides under a
+    private name so a ``docs`` frame that already carries a ``cluster``
+    column (natural in a dedup pipeline feeding this) passes through
+    untouched instead of hitting AMBIGUOUS_REFERENCE.
     """
-    key = F.coalesce(F.col("cluster"), F.col(id_col)).cast("string")
+    key = F.coalesce(F.col("__cluster"), F.col(id_col)).cast("string")
     return (
         docs.join(
-            clusters.withColumnRenamed("doc", id_col).select(id_col, "cluster"),
+            clusters.select(
+                F.col("doc").alias(id_col), F.col("cluster").alias("__cluster")
+            ),
             id_col,
             "left",
         )
         .withColumn("fold", F.pmod(F.xxhash64(key), F.lit(k)).cast("int"))
-        .drop("cluster")
+        .drop("__cluster")
     )

@@ -37,6 +37,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class _FirstFit:
+    """Leftmost-open-bin-that-fits in O(log bins): a max-segment-tree over
+    per-bin remaining capacity, grown by doubling. The descent always
+    prefers the LEFT child, so placements are bit-identical to the naive
+    linear first-fit scan — at any scale. The linear scan this replaces
+    was O(pieces x open bins) pure Python per bucket: at the module's own
+    ~1e6-pieces-per-bucket operating point that is ~1e11 iterations, i.e.
+    the job never finishes; this is ~2e7."""
+
+    def __init__(self, seq_len: int):
+        self.seq_len = seq_len
+        self.size = 1
+        self.tree = [0, 0]  # root at 1, leaves at [size, 2*size)
+        self.n_bins = 0
+
+    def _grow(self) -> None:
+        old = self.size
+        self.size = old * 2
+        tree = [0] * (2 * self.size)
+        tree[self.size : self.size + old] = self.tree[old : 2 * old]
+        for i in range(self.size - 1, 0, -1):
+            tree[i] = max(tree[2 * i], tree[2 * i + 1])
+        self.tree = tree
+
+    def _set(self, leaf: int, val: int) -> None:
+        i = self.size + leaf
+        self.tree[i] = val
+        i //= 2
+        while i:
+            self.tree[i] = max(self.tree[2 * i], self.tree[2 * i + 1])
+            i //= 2
+
+    def place(self, t: int) -> int:
+        """Bin index piece ``t`` (>0) lands in, opening a new bin if no
+        open bin fits. Unopened leaves hold capacity 0, so t > 0 can never
+        descend into one."""
+        if self.tree[1] >= t:
+            i = 1
+            while i < self.size:
+                i *= 2
+                if self.tree[i] < t:
+                    i += 1
+            leaf = i - self.size
+            self._set(leaf, self.tree[i] - t)
+            return leaf
+        if self.n_bins == self.size:
+            self._grow()
+        leaf = self.n_bins
+        self.n_bins += 1
+        self._set(leaf, self.seq_len - t)
+        return leaf
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -101,18 +154,8 @@ def pack_sequences(
             ["piece_tokens", "__id", "piece"], ascending=[False, True, True]
         )
         bucket = int(pdf["__bucket"].iloc[0])
-        fills: list[int] = []  # current fill per open bin
-        assign: list[int] = []
-        for t in pdf["piece_tokens"]:
-            t = int(t)
-            for b, f in enumerate(fills):  # first fit
-                if f + t <= seq_len:
-                    fills[b] = f + t
-                    assign.append(b)
-                    break
-            else:
-                fills.append(t)
-                assign.append(len(fills) - 1)
+        ff = _FirstFit(seq_len)
+        assign = [ff.place(int(t)) for t in pdf["piece_tokens"]]
         return pd.DataFrame(
             {
                 "__id": pdf["__id"].values,
@@ -124,9 +167,7 @@ def pack_sequences(
 
     packed = pool.groupBy("__bucket").applyInPandas(ffd, out_schema)
     return (
-        full.unionByName(packed)
-        .withColumnRenamed("__id", id_col)
-        .withColumnRenamed("piece_tokens", "piece_tokens")
+        full.unionByName(packed).withColumnRenamed("__id", id_col)
     )
 
 

@@ -67,6 +67,20 @@ def _score(k1: float, b: float, n_docs: int, avgdl: float):
     return idf * tf_norm
 
 
+def _rank(
+    hits: DataFrame, n_docs: int, avgdl: float, k: int, k1: float, b: float
+) -> DataFrame:
+    """Shared df → score → deterministic-top-k tail of both ranking paths —
+    ONE copy, so a scoring or tie-break change cannot silently break the
+    'identical scores to bm25_topk' contract of the indexed path."""
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = hits.join(F.broadcast(dfreq), "term").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("matched_terms"),
+        F.round(F.sum(_score(k1, b, n_docs, avgdl)), 4).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -103,12 +117,7 @@ def bm25_topk(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
-    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = hits.join(F.broadcast(dfreq), "term").groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("matched_terms"),
-        F.round(F.sum(_score(k1, b, n_docs, avgdl)), 4).alias("score"),
-    )
-    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    return _rank(hits, n_docs, avgdl, k, k1, b)
 
 
 def bm25_topk_indexed(
@@ -127,12 +136,7 @@ def bm25_topk_indexed(
     terms = sorted({t.lower() for t in query_terms})
     avgdl = avgdl or 1.0  # degenerate-corpus guard, same as bm25_topk
     hits = index.filter(F.col("term").isin(terms))
-    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = hits.join(F.broadcast(dfreq), "term").groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("matched_terms"),
-        F.round(F.sum(_score(k1, b, n_docs, avgdl)), 4).alias("score"),
-    )
-    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    return _rank(hits, n_docs, avgdl, k, k1, b)
 
 
 def bm25_score_py(

@@ -33,8 +33,22 @@ def _scratch_dir(prefix: str) -> str:
     return d
 
 
+# one live memory-sink generation per prefix (update-mode streams only —
+# see _bounded); the previous sweep's table is dropped when replaced
+_LIVE_SINKS: dict[str, str] = {}
+
+
 def _bounded(df: DataFrame, prefix: str, output_mode: str = "append") -> DataFrame:
-    """Run a streaming plan to completion into a uniquely-named memory sink.
+    """Run a streaming plan to completion and return its bounded output.
+
+    Append-mode streams land in a parquet FILE sink inside an
+    atexit-cleaned scratch dir — NOT a driver-memory table, so repeated
+    catalog sweeps in one long-lived process (the bench shape) don't
+    accumulate every replay's full output in driver memory (range_pairs
+    alone holds the whole pair-join output). Update mode has no file sink
+    in Spark, so it keeps the memory table but drops the PREVIOUS sweep's
+    generation for the same prefix: one live generation per prefix (the
+    prior result has been consumed by the time a sweep replays an entry).
 
     State partitions are sized to the replayed stream, not the batch
     shuffle default: the test streams' key cardinality (event types ×
@@ -46,10 +60,22 @@ def _bounded(df: DataFrame, prefix: str, output_mode: str = "append") -> DataFra
     spark = df.sparkSession
     name = f"{prefix}_{next(_RUN_COUNTER)}"
     state_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    if output_mode == "append":
+        sink = _scratch_dir(f"sink_{name}_")
+        EV.run_bounded(
+            df, name, _scratch_dir(f"ck_{name}_"), output_mode,
+            state_partitions=state_parts, sink_path=sink,
+        )
+        # explicit schema: a zero-row replay leaves no part files to infer from
+        return spark.read.schema(df.schema).parquet(sink)
     EV.run_bounded(
         df, name, _scratch_dir(f"ck_{name}_"), output_mode,
         state_partitions=state_parts,
     )
+    old = _LIVE_SINKS.get(prefix)
+    if old is not None:
+        spark.catalog.dropTempView(old)
+    _LIVE_SINKS[prefix] = name
     return spark.table(name)
 
 
@@ -182,11 +208,30 @@ def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join's time-range condition. Rows-only (the 50-slot oracle window is
     full; the equality gate against the hash-oracled batch entry is the
     same strength)."""
+    all_p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("long").alias("ts_epoch"),
+            "value",
+        )
+    )
     lo, hi = (
         load_table(spark, sf_dir, "events")
         .agg(F.min("ts").cast("long"), F.max("ts").cast("long"))
         .collect()[0]
     )
+    if lo is None:
+        # empty / fully-filtered events: no horizon to measure and nothing
+        # to join — the empty frame with the real schema (the
+        # bm25_topk degenerate-corpus rule), not a NoneType TypeError
+        return all_p.select(
+            "*",
+            F.lit(0).cast("long").alias("n_errors_15min"),
+            F.lit(0.0).alias("error_value_15min"),
+        )
     horizon_days = int((hi - lo) // 86400) + 2
     stream = EV.read_event_stream(spark, sf_dir)
     purchases = stream.filter(F.col("event_type") == "purchase").select(
@@ -203,16 +248,6 @@ def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = pairs.groupBy("event_id").agg(
         F.count(F.lit(1)).alias("n_matched"),
         F.round(F.sum("e_value"), 2).alias("v_matched"),
-    )
-    all_p = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            "event_id",
-            "user_id",
-            F.col("ts").cast("long").alias("ts_epoch"),
-            "value",
-        )
     )
     return all_p.join(agg, "event_id", "left").select(
         "event_id",

@@ -841,3 +841,65 @@ def test_dup_clusters_pointer_doubling_converges_on_long_chains(spark):
     )
     got = {(r.doc, r.cluster) for r in D.dup_clusters(chain, max_iterations=10).collect()}
     assert got == {(i, 0) for i in range(201)}
+
+
+def test_first_fit_tree_matches_linear_scan():
+    """The segment-tree first-fit must place every piece in EXACTLY the bin
+    the naive lowest-index linear scan would pick — packing outputs are
+    pinned by downstream determinism gates, so the O(log bins) structure
+    must be a pure speedup, never a different packing."""
+    from market_data_mining_project_spark.operators.packing import _FirstFit
+
+    seq_len = 1024
+    # deterministic pseudo-random piece sizes in [1, seq_len)
+    pieces = [(1 + (i * 2654435761) % (seq_len - 1)) for i in range(3000)]
+    ff = _FirstFit(seq_len)
+    fills: list[int] = []
+    for t in pieces:
+        for b, f in enumerate(fills):  # the replaced naive scan
+            if f + t <= seq_len:
+                fills[b] = f + t
+                want = b
+                break
+        else:
+            fills.append(t)
+            want = len(fills) - 1
+        assert ff.place(t) == want
+    assert ff.n_bins == len(fills)
+
+
+def test_mixture_weights_zero_token_sources(spark):
+    """A zero/NULL-token source must PLAN under the default target (weight-0
+    row, no crash) and FAIL LOUDLY when explicitly targeted (it would pin
+    the achievable budget at 0, silently zeroing every source's rate)."""
+    from market_data_mining_project_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", 10), ("b", 30)],
+        "source string, t int",
+    )
+    plan = {r.source: r for r in C.mixture_weights(docs, "source", "t").collect()}
+    assert plan["a"].tokens == 0 and plan["a"].weight == 0.0 and plan["a"].sample_rate == 0.0
+    assert plan["b"].tokens == 40 and plan["b"].sample_rate == 1.0
+
+    with pytest.raises(ValueError, match="zero-token"):
+        C.mixture_weights(docs, "source", "t", target={"a": 1.0, "b": 1.0})
+    with pytest.raises(ValueError, match="no positively-weighted"):
+        C.mixture_weights(docs.filter(F.col("source") == "a"), "source", "t")
+
+
+def test_leakage_free_folds_tolerates_docs_cluster_column(spark):
+    """A docs frame already carrying a 'cluster' column (natural in a dedup
+    pipeline feeding this) must pass through untouched — the join side's
+    cluster rides under a private name."""
+    from market_data_mining_project_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, cluster string"
+    )
+    clusters = spark.createDataFrame([(2, 1)], "doc long, cluster long")
+    out = {r.doc_id: (r.cluster, r.fold) for r in C.leakage_free_folds(docs, clusters, "doc_id").collect()}
+    assert {k: v[0] for k, v in out.items()} == {1: "x", 2: "x", 3: "y"}
+    # doc 2 hashes its cluster representative (doc 1's id), so both members
+    # of the pair land in the same fold
+    assert out[1][1] == out[2][1]

@@ -596,3 +596,37 @@ def test_reconcile_dedup_tiebreak_is_data_deterministic(spark):
         ).collect()
     }
     assert again == kept
+
+
+def test_streaming_range_join_empty_events(spark, tmp_path):
+    """An empty (or fully filtered) events table returns the empty frame
+    with the real schema — not a NoneType TypeError from the horizon
+    min/max scan."""
+    from market_data_mining_project_spark.plans import pipeline_io as PIO
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    empty.write.parquet(f"{tmp_path}/events.parquet")
+    out = PIO.q_streaming_range_join(spark, str(tmp_path))
+    assert out.count() == 0
+    assert out.columns == [
+        "event_id", "user_id", "ts_epoch", "value",
+        "n_errors_15min", "error_value_15min",
+    ]
+
+
+def test_bounded_memory_sinks_keep_one_generation(spark, sf_dir):
+    """Repeated catalog sweeps must not accumulate memory-sink tables:
+    update-mode replays drop the previous generation's table, append-mode
+    replays use a file sink and register no table at all."""
+    from market_data_mining_project_spark.plans import pipeline_io as PIO
+
+    first = PIO.q_running_user_totals(spark, sf_dir).collect()
+    second = PIO.q_running_user_totals(spark, sf_dir).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+    live = [t.name for t in spark.catalog.listTables() if t.name.startswith("user_totals")]
+    assert len(live) == 1, f"previous generations must be dropped, saw {live}"
+
+    PIO.q_streaming_window_stats(spark, sf_dir).collect()
+    assert not [t.name for t in spark.catalog.listTables() if t.name.startswith("win_stats")]
