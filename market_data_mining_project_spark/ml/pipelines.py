@@ -113,6 +113,10 @@ def binary_metrics(predictions: DataFrame, label: str = "label") -> dict[str, fl
     out["weightedPrecision"] = w_precision
     out["weightedRecall"] = w_recall
     out["f1"] = w_f1
+    # the degenerate-split signal: accuracy==0.0 is ambiguous (all-wrong vs
+    # no rows) — consumers gate on n_eval to tell a broken split from a
+    # bad model
+    out["n_eval"] = float(total)
     return out
 
 

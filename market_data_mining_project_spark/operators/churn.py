@@ -95,7 +95,13 @@ def churn_threshold_sweep(
 
 def split_day(fact: DataFrame, day: str, churn_days: int) -> int:
     """``max(day) − churn_days`` computed on the FULL table (analytics.py:456)."""
-    return fact.agg(F.max(day)).collect()[0][0] - churn_days
+    mx = fact.agg(F.max(day)).collect()[0][0]
+    if mx is None:
+        raise ValueError(
+            "churn split needs at least one fact row: max("
+            f"{day}) is NULL on an empty/fully-filtered frame"
+        )
+    return mx - churn_days
 
 
 def churn_features(

@@ -221,6 +221,13 @@ def als_recommendations(
         maxIter=max_iter,
     )
     model = als.fit(ui.withColumn("cnt", F.col("cnt").cast("float")))
+    # the fitted factors replace the ratings matrix — recommendForAllUsers
+    # never reads ui, so release it instead of pinning a full user-item
+    # matrix in executor storage per serve call. item_ids stays cached: the
+    # map-back join below still reads it at the caller's action, it is
+    # |items|-row tiny, and the cache is what GUARANTEES the forward and
+    # map-back joins see identical ids.
+    ui.unpersist()
     recs = model.recommendForAllUsers(k)
     out = recs.select(
         "user", F.posexplode("recommendations").alias("pos", "rec")

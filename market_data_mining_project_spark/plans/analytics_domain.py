@@ -200,6 +200,11 @@ FROM ranked WHERE rec_rank <= 5
 # --- M14: hybrid rules + CF blend ----------------------------------------------
 
 
+# ONE constant for the blend weight: the cache slot is STAMPED with this
+# value and the live compute must use the same one — two hardcoded 0.6s
+# would let an edit to one silently serve a cache stamped alpha=X holding
+# rows computed at alpha=Y, forever (no data rewrite invalidates it)
+HYBRID_ALPHA = 0.6
 
 
 def q_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,7 +236,10 @@ def q_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tables go stale together, never out of step with each other
     rules_version = PERSIST.data_version_cached(sf_dir, ("lineitem", "orders", "part"))
     return (
-        cache.serve(spark, 0.6, rules_version, lambda: _hybrid_blend_live(spark, sf_dir))
+        cache.serve(
+            spark, HYBRID_ALPHA, rules_version,
+            lambda: _hybrid_blend_live(spark, sf_dir),
+        )
         .withColumnRenamed("user", "o_custkey")
         .orderBy("o_custkey", "rec_rank")
     )
@@ -265,7 +273,7 @@ def _hybrid_blend_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranking cf_recommendations cuts at 5) instead of re-running the
     # similarity join
     cf = _cf_candidates(spark, sf_dir).select("user", "item", "score")
-    return REC.hybrid_blend(assoc, cf, purchased, alpha=0.6, k=5)
+    return REC.hybrid_blend(assoc, cf, purchased, alpha=HYBRID_ALPHA, k=5)
 
 
 SQL_HYBRID_RECOMMENDATIONS = f"""
@@ -935,7 +943,6 @@ def q_brand_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.when(F.col("day") >= F.col("mx") - 90, F.col("o_custkey"))).alias(
                 "recent_customers"
             ),
-            F.sum(F.col("l_extendedprice").cast("double")).alias("total_rev"),
         )
     )
     momentum = F.when(
@@ -964,8 +971,7 @@ stats AS (
   SELECT p_brand,
          SUM(CASE WHEN day >= (SELECT mx FROM mx) - 90 THEN CAST(l_extendedprice AS DOUBLE) ELSE 0 END) AS recent_rev,
          SUM(CASE WHEN day >= (SELECT mx FROM mx) - 180 AND day < (SELECT mx FROM mx) - 90 THEN CAST(l_extendedprice AS DOUBLE) ELSE 0 END) AS prev_rev,
-         COUNT(DISTINCT CASE WHEN day >= (SELECT mx FROM mx) - 90 THEN o_custkey END) AS recent_customers,
-         SUM(CAST(l_extendedprice AS DOUBLE)) AS total_rev
+         COUNT(DISTINCT CASE WHEN day >= (SELECT mx FROM mx) - 90 THEN o_custkey END) AS recent_customers
   FROM fact GROUP BY p_brand
 ), scored AS (
   SELECT p_brand,
@@ -1098,10 +1104,12 @@ def _horizon_feature_parts(spark: SparkSession, sf_dir: str):
 
 def _day_features(df: DataFrame) -> DataFrame:
     """Time features off the purchase day (ml_models.py:385-387):
-    is_weekend = day%7 ≥ 5, season = (week // 13) % 4."""
-    return df.withColumn(
-        "is_weekend", (F.col("day") % 7 >= 5).cast("int")
-    ).withColumn("season", F.expr("CAST(((day div 7) div 13) % 4 AS INT)"))
+    is_weekend (the shared F2 helper), season = (week // 13) % 4."""
+    from market_data_mining_project_spark.functions.expressions import is_weekend
+
+    return df.withColumn("is_weekend", is_weekend(F.col("day"))).withColumn(
+        "season", F.expr("CAST(((day div 7) div 13) % 4 AS INT)")
+    )
 
 
 def _build_horizon_features(labels, cust_stats, brand_stats, dept_freq) -> DataFrame:
@@ -1262,6 +1270,10 @@ def q_horizon_predictions(
             overrides={"maxIter": 25},
         ),
     )
+    # the stratified training sample is dead after the fit (same pattern as
+    # q_model_grid_metrics) — a long-lived session sweeping the catalog must
+    # not pin one per call
+    feats.unpersist()
 
     max_day = fact.agg(F.max("day").alias("mx"))
     recent = (
@@ -1281,12 +1293,16 @@ def q_horizon_predictions(
         .join(dept_freq, ["o_custkey", "p_brand"])
     )
     scored = score_with_probability(model, state, out="p_buy")
-    if "accuracy" not in metrics:
-        # a missing metric means the eval split degenerated — surface it,
-        # don't substitute a constant into confidence/projected_revenue
+    # binary_metrics ALWAYS emits accuracy (0.0 over an empty split), so the
+    # real degeneracy signal is n_eval: a zero-row eval split would zero
+    # every brand's confidence and projected_revenue silently — surface it,
+    # don't substitute a constant into the outputs. A MISSING n_eval is a
+    # legacy persisted artifact fitted before the key existed (load_or_train
+    # returns the stored metrics verbatim) — treat as valid, like before.
+    if "accuracy" not in metrics or metrics.get("n_eval", 1) <= 0:
         raise ValueError(
-            "brand prediction training produced no accuracy metric; "
-            f"got {sorted(metrics)}"
+            "brand prediction training produced no usable eval split "
+            f"(n_eval={metrics.get('n_eval')}); got {sorted(metrics)}"
         )
     accuracy = float(metrics["accuracy"])
     horizon_days, window_days = 90.0, 90.0
@@ -1315,6 +1331,12 @@ def q_horizon_predictions(
             "historical_purchases", "projected_revenue",
         )
     )
+    # the stat caches exist for the MULTI-consumer phase (training-frame
+    # materialization + serving joins inside this call); release them so
+    # repeated sweeps don't accumulate pinned frames — the caller's single
+    # action recomputes each small aggregate at most once
+    cust_stats.unpersist()
+    dept_freq.unpersist()
     return dept.orderBy(F.col("projected_revenue").desc(), F.col("p_brand").asc()).limit(10)
 
 
@@ -1608,8 +1630,11 @@ def _churn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_data_mining_project_spark.ml.pipelines import score_with_probability
     from market_data_mining_project_spark.sources import materialize as MAT
 
+    live: dict[str, DataFrame] = {}
+
     def build() -> DataFrame:
         feats = _churn_feature_frame(spark, sf_dir)
+        live["feats"] = feats
         # load-or-train: a prior process's fit on the same data version is
         # reloaded instead of refit (reference ml_models.py:101-214 cache);
         # the trainer definition is shared with churn_feature_importances
@@ -1619,19 +1644,33 @@ def _churn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             PERSIST.data_version(sf_dir),
             _churn_trainer(spark, sf_dir, feats),
         )
-        scored = score_with_probability(model, feats).select(
-            "o_custkey",
-            "churned",
-            F.round("churn_probability", 6).alias("churn_probability"),
-            churn_risk_label(F.col("churn_probability")).alias("risk_band"),
+        # round BEFORE banding: the stored probability and the band must
+        # agree at band boundaries (0.7500004 stores as 0.75 and must band
+        # as 0.75 — banding the unrounded value gave a consumer recomputing
+        # the band from the stored column a different answer)
+        return (
+            score_with_probability(model, feats)
+            .withColumn("churn_probability", F.round("churn_probability", 6))
+            .select(
+                "o_custkey",
+                "churned",
+                "churn_probability",
+                churn_risk_label(F.col("churn_probability")).alias("risk_band"),
+            )
         )
-        feats.unpersist()
-        return scored
 
-    return MAT.derived_table(
+    out = MAT.derived_table(
         spark, _CHURN_SCORES_PATHS, sf_dir, "churn_scores_", build,
         persist_version=PERSIST.data_version_cached(sf_dir),
     )
+    # unpersist AFTER derived_table executed the scoring write — build()'s
+    # return value is materialized by the caller above, and the feature
+    # cache exists precisely so that write reuses the frame the GBT fit
+    # already computed
+    feats = live.get("feats")
+    if feats is not None:
+        feats.unpersist()
+    return out
 
 
 def q_churn_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

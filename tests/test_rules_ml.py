@@ -304,3 +304,46 @@ def test_sequential_patterns_containment_recount(spark, sf_dir):
 
     floor = math.ceil(0.3 * len(seqs))
     assert all(r.freq >= floor for r in pats)
+
+
+def test_binary_metrics_reports_eval_size(spark):
+    """accuracy==0.0 is ambiguous (all-wrong vs no rows) — n_eval is the
+    degenerate-split signal consumers gate on (q_horizon_predictions raises
+    on n_eval<=0 instead of multiplying a 0.0 accuracy into every brand's
+    confidence)."""
+    from market_data_mining_project_spark.ml.pipelines import binary_metrics
+
+    empty = spark.createDataFrame([], "label double, prediction double, rawPrediction string")
+    m = binary_metrics(empty)
+    assert m["n_eval"] == 0.0 and m["accuracy"] == 0.0
+
+    some = spark.createDataFrame(
+        [(1.0, 1.0, "x"), (0.0, 1.0, "x"), (0.0, 0.0, "x")],
+        "label double, prediction double, rawPrediction string",
+    )
+    m2 = binary_metrics(some)
+    assert m2["n_eval"] == 3.0
+    assert abs(m2["accuracy"] - 2 / 3) < 1e-9
+
+
+def test_churn_scores_band_consistent_with_stored_probability(spark, sf_dir):
+    """The persisted (churn_probability, risk_band) pair must be internally
+    consistent: re-banding the STORED (rounded) probability reproduces the
+    stored band (banding the unrounded score could disagree at band
+    boundaries after rounding)."""
+    from market_data_mining_project_spark.functions.expressions import churn_risk_label
+    from market_data_mining_project_spark.plans.analytics_domain import q_churn_model_scores
+
+    scores = q_churn_model_scores(spark, sf_dir)
+    mismatched = scores.filter(
+        F.col("risk_band") != churn_risk_label(F.col("churn_probability"))
+    ).count()
+    assert mismatched == 0
+
+
+def test_split_day_raises_on_empty_fact(spark):
+    from market_data_mining_project_spark.operators import churn as CH
+
+    empty = spark.createDataFrame([], "o_custkey long, day int")
+    with pytest.raises(ValueError, match="at least one fact row"):
+        CH.split_day(empty, "day", 90)
