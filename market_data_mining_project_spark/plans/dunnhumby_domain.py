@@ -101,12 +101,16 @@ FROM scored CROSS JOIN edges
 def q_rfm_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 segment summary (analytics.py:320-328)."""
     segs = q_rfm_segments(spark, sf_dir)
+    # monetary is a 2dp money double: sum it as DECIMAL(18,2) (exact in both
+    # engines) and divide — AVG over the raw doubles is an order-dependent
+    # float sum whose half-ulp drift can flip ROUND(...,2) at a .xx5 boundary
+    money_sum = F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double")
     return segs.groupBy("rfm_segment").agg(
         F.count(F.lit(1)).alias("segment_count"),
         F.round(F.avg("recency"), 2).alias("avg_recency"),
         F.round(F.avg(F.col("frequency").cast("double")), 2).alias("avg_frequency"),
-        F.round(F.avg("monetary"), 2).alias("avg_monetary"),
-        F.round(F.sum("monetary"), 2).alias("total_revenue"),
+        F.round(money_sum / F.count(F.lit(1)), 2).alias("avg_monetary"),
+        F.round(money_sum, 2).alias("total_revenue"),
     )
 
 
@@ -116,8 +120,8 @@ SELECT rfm_segment,
        COUNT(*) AS segment_count,
        ROUND(AVG(CAST(recency AS DOUBLE)), 2) AS avg_recency,
        ROUND(AVG(CAST(frequency AS DOUBLE)), 2) AS avg_frequency,
-       ROUND(AVG(monetary), 2) AS avg_monetary,
-       ROUND(SUM(monetary), 2) AS total_revenue
+       ROUND(CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS avg_monetary,
+       ROUND(CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_revenue
 FROM segments
 GROUP BY rfm_segment
 """
@@ -145,6 +149,30 @@ def q_pairwise_rules_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules
 
 
+_BASKET_PRODUCTS_PATHS: dict[str, str] = {}
+
+
+def _basket_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized distinct (l_orderkey, l_partkey) frame — the
+    product-grain sibling of ``analytics_domain._basket_brands``: the miner
+    scans it for the eager basket total, the frequent-item aggregate and
+    BOTH pair-join sides, so one parquet materialization replaces four
+    lineitem scans + distinct shuffles per call (the exact cost the brand
+    grain's docstring documents the derived table existing to avoid)."""
+    from market_data_mining_project_spark.sources import materialize as MAT
+
+    def build() -> DataFrame:
+        return (
+            load_table(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey"), F.col("l_partkey"))
+            .distinct()
+        )
+
+    return MAT.derived_table(
+        spark, _BASKET_PRODUCTS_PATHS, sf_dir, "basket_products_", build
+    )
+
+
 def q_pairwise_rules_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3 at PRODUCT grain — the reference's main mining case (92K items,
     views.py:133-348, with candidate caps and a TOP-2000 rule cut), vs the
@@ -159,11 +187,7 @@ def q_pairwise_rules_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     product pair ever reaches a fixed support ratio as SF grows; the
     machinery under test is the cap-based candidate pruning + metric
     expressions, not the (data-dependent) threshold."""
-    ib = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey"), F.col("l_partkey"))
-        .distinct()
-    )
+    ib = _basket_products(spark, sf_dir)
     return RULES.pairwise_rules(
         None,
         basket="l_orderkey",

@@ -384,11 +384,16 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _parse_datatype_string(schema),
         fk=("o_custkey", customer.select(F.col("c_custkey").alias("o_custkey"))),
     )
-    return load.valid.agg(
+    out = load.valid.agg(
         F.count(F.lit(1)).alias("imported"),
         F.round(F.sum("o_totalprice"), 2).alias("total_value"),
         F.countDistinct("o_custkey").alias("customers"),
     )
+    # this entry only reads `valid` (corrupt filter + real columns — legal
+    # uncached): release now so repeated sweeps don't pin one raw CSV cache
+    # per replay; the caller's single action re-scans the tiny export once
+    load.release()
+    return out
 
 
 SQL_CSV_ROUNDTRIP = """

@@ -34,8 +34,14 @@ SELECT 'pricing' AS scope,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       ROUND(AVG(CAST(l_quantity AS DOUBLE)), 6) AS avg_qty,
-       ROUND(AVG(CAST(l_discount AS DOUBLE)), 6) AS avg_disc,
+       -- exact-sum averages: AVG over raw doubles is an order-dependent
+       -- float sum (Spark's partial-merge order vs DuckDB's sequential),
+       -- and a half-ulp drift at a x.xxxxx5 boundary flips ROUND(...,6).
+       -- DECIMAL sums are exact in both engines, so sum-then-divide is
+       -- bit-identical (l_discount is genuinely fractional; l_quantity
+       -- gets the same form for uniformity)
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
        COUNT(*) AS count_order,
        'ALL' AS detail
 FROM lineitem

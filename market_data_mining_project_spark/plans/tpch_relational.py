@@ -103,8 +103,11 @@ def q_basket_rollup_top25(spark: SparkSession, sf_dir: str) -> DataFrame:
         sales="l_extendedprice",
     )
     # The reference's TOP 25 baskets by total value (views.py:891-902);
-    # l_orderkey tiebreak keeps the limit deterministic.
-    return R.top_n(rolled, 25, ["total_value", "l_orderkey"])
+    # the FULL group key (l_orderkey, l_suppkey) tiebreaks — l_orderkey
+    # alone is not a total order (two suppliers in one order can tie on
+    # total_value exactly, and the two engines may then keep different rows
+    # at the limit boundary).
+    return R.top_n(rolled, 25, ["total_value", "l_orderkey", "l_suppkey"])
 
 
 SQL_BASKET_ROLLUP_TOP25 = """
@@ -115,7 +118,7 @@ SELECT l_orderkey, l_suppkey,
        COUNT(*) AS line_count
 FROM lineitem
 GROUP BY l_orderkey, l_suppkey
-ORDER BY total_value DESC, l_orderkey DESC
+ORDER BY total_value DESC, l_orderkey DESC, l_suppkey DESC
 LIMIT 25
 """
 
@@ -457,7 +460,12 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # floor(TRY double) → long on BOTH engines: a direct string→INT cast
+    # NULLs "1.5" on Spark but ROUNDS it to 2 on DuckDB, and a malformed k
+    # hard-errors the DuckDB oracle — floor-of-double truncates identically
+    # and malformed values null-skip identically (integer-only fixtures are
+    # byte-unchanged)
+    k = F.floor(F.get_json_object("props", "$.k").cast("double")).cast("long")
     return (
         events.withColumn("k_val", k)
         .groupBy("event_type")
@@ -473,8 +481,8 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_JSON = """
 SELECT event_type,
        COUNT(*) AS event_count,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
-       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS k_avg,
+       CAST(SUM(CAST(FLOOR(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)) AS BIGINT) AS k_sum,
+       ROUND(AVG(CAST(FLOOR(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)), 6) AS k_avg,
        COUNT(DISTINCT user_id) AS unique_users
 FROM events
 GROUP BY event_type
@@ -765,14 +773,18 @@ def q_categorical_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = F.array_position(
         F.array(*[F.lit(x) for x in _PRIORITY_ORDER]), F.col("o_orderpriority")
     )
-    return agg.withColumn("strategic_rank", pos.cast("bigint")).orderBy("strategic_rank")
+    # a priority OUTSIDE the strategic list ranks LAST (len+1), identically
+    # on both engines: array_position yields 0 for missing, list_position
+    # yields NULL — left unaligned, a dirty/new priority value hash-diverges
+    rank = F.when(pos == 0, F.lit(len(_PRIORITY_ORDER) + 1)).otherwise(pos)
+    return agg.withColumn("strategic_rank", rank.cast("bigint")).orderBy("strategic_rank")
 
 
 SQL_CATEGORICAL_ORDER = """
 SELECT o_orderpriority,
        COUNT(*) AS order_count,
        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
-       CAST(list_position(['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'], o_orderpriority) AS BIGINT) AS strategic_rank
+       CAST(COALESCE(list_position(['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'], o_orderpriority), 6) AS BIGINT) AS strategic_rank
 FROM orders
 GROUP BY o_orderpriority
 """

@@ -33,6 +33,18 @@ class ValidatedLoad:
     valid: DataFrame
     rejected: DataFrame
     fk_orphans: DataFrame | None = None
+    # the cached raw frame backing all three branches (see split_validated)
+    _raw: DataFrame | None = None
+
+    def release(self) -> None:
+        """Unpersist the cached raw frame once every branch is consumed —
+        without this each validated load stays pinned in executor storage
+        for the process lifetime. After release, re-reading ``rejected``
+        (which selects ONLY the corrupt column) raises Spark's
+        corrupt-record-column analysis error instead of silently recomputing
+        wrong — consume first, release last."""
+        if self._raw is not None:
+            self._raw.unpersist()
 
 
 def split_validated(raw: DataFrame, fk: tuple[str, DataFrame] | None = None) -> ValidatedLoad:
@@ -52,7 +64,7 @@ def split_validated(raw: DataFrame, fk: tuple[str, DataFrame] | None = None) -> 
         dim_keys = dim.select(col).distinct()
         orphans = valid.join(F.broadcast(dim_keys), col, "left_anti")
         valid = valid.join(F.broadcast(dim_keys), col, "left_semi")
-    return ValidatedLoad(valid=valid, rejected=rejected, fk_orphans=orphans)
+    return ValidatedLoad(valid=valid, rejected=rejected, fk_orphans=orphans, _raw=raw)
 
 
 def read_csv_validated(
@@ -100,8 +112,12 @@ def import_to_parquet(
     returns row counts the way the import command reports them
     (import_transactions.py:188-205)."""
     load.valid.write.mode(mode).parquet(table_path)
-    return {
+    counts = {
         "imported": load.valid.count(),
         "rejected": load.rejected.count(),
         "fk_orphans": load.fk_orphans.count() if load.fk_orphans is not None else 0,
     }
+    # landing is the terminal step of the import flow: every branch has been
+    # consumed (write + the three counts), so the cached raw frame can go
+    load.release()
+    return counts

@@ -64,8 +64,14 @@ def derived_table(
     load-or-train contract the classifier models have). Writes use the
     staging-dir + atomic-rename pattern; a concurrent builder losing the
     rename race adopts the winner's (input-identical) artifact.
+
+    The in-memory hit is keyed on (realpath, persist_version): a caller
+    whose recomputed fingerprint changed (data_version_cached detects
+    mid-process rewrites) must MISS the memo and load/build the new
+    version — keying on the path alone would serve the stale
+    materialization before the version was ever consulted.
     """
-    key = os.path.realpath(sf_dir)
+    key = f"{os.path.realpath(sf_dir)}|{persist_version or ''}"
     path = cache.get(key)
     if path is not None:
         return spark.read.parquet(path)
@@ -149,11 +155,15 @@ def overwrite_table(df: DataFrame, path: str, format: str = "parquet") -> None:
 
 
 def plan_has_shuffle(df: DataFrame) -> bool:
-    """True if the physical plan contains a *shuffle* exchange (hash/range
-    repartitioning). BroadcastExchange is NOT a shuffle — broadcasting a dim
-    table is the desired plan, not a co-location failure."""
+    """True if the physical plan contains a *shuffle* exchange (hash/range/
+    round-robin repartitioning or a SinglePartition collapse).
+    BroadcastExchange is NOT a shuffle — broadcasting a dim table is the
+    desired plan, not a co-location failure (the ``\\b`` cannot match inside
+    the word ``BroadcastExchange``)."""
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return "Exchange hashpartitioning" in plan or "Exchange rangepartitioning" in plan
+    return bool(re.search(r"\bExchange (hash|range|RoundRobin)?[Pp]artitioning|\bExchange SinglePartition", plan))
 
 
 def colocated_join(

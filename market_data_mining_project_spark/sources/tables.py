@@ -9,7 +9,6 @@ retains pushdown, pruning and partition elimination.
 
 from __future__ import annotations
 
-import functools as _functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,7 +57,14 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
-@_functools.lru_cache(maxsize=None)
+# (probe file, mtime_ns, size) → is-nanos: keyed on the footer file's
+# signature, not the path alone — an in-process rewrite of events.parquet
+# to the OTHER ts encoding must re-probe instead of serving the stale
+# answer and silently collapsing every timestamp toward 1970 (the same
+# mid-process-rewrite contract persistence's data_version_cached keeps)
+_TS_PROBE_MEMO: dict[tuple[str, int, int], bool] = {}
+
+
 def events_ts_is_nanos(path: str) -> bool:
     """True when the parquet footer declares `ts` with PHYSICAL int64 in a
     nanosecond (or raw int64) encoding — the vintages that need the
@@ -67,7 +73,7 @@ def events_ts_is_nanos(path: str) -> bool:
     encodings, INCLUDING physical INT96: pyarrow also reports INT96 as
     timestamp[ns], but Spark reads INT96 natively and a forced-long schema
     on it fails the scan — so the physical type must break the tie.
-    Footer-only — no data read."""
+    Footer-only — no data read; memoized per footer-file signature."""
     import glob as _glob
 
     import pyarrow as pa
@@ -83,14 +89,22 @@ def events_ts_is_nanos(path: str) -> bool:
         if not files:
             raise FileNotFoundError(f"no .parquet footer file found under {path}")
         probe = files[0]
+    st = os.stat(probe)
+    key = (probe, st.st_mtime_ns, st.st_size)
+    hit = _TS_PROBE_MEMO.get(key)
+    if hit is not None:
+        return hit
     pf = pq.ParquetFile(probe)
     ts_type = pf.schema_arrow.field("ts").type
     if pa.types.is_int64(ts_type):
-        return True
-    if pa.types.is_timestamp(ts_type) and ts_type.unit == "ns":
+        nanos = True
+    elif pa.types.is_timestamp(ts_type) and ts_type.unit == "ns":
         idx = pf.schema_arrow.get_field_index("ts")
-        return pf.schema.column(idx).physical_type == "INT64"
-    return False
+        nanos = pf.schema.column(idx).physical_type == "INT64"
+    else:
+        nanos = False
+    _TS_PROBE_MEMO[key] = nanos
+    return nanos
 
 
 def events_read_schema(path: str) -> tuple[T.StructType, bool]:

@@ -124,3 +124,43 @@ def test_shared_derived_tables_are_keyed_by_sf_dir(spark, sf_dir):
             f"{builder.__name__}: identical row counts for {small} and {large} "
             "— the materializer cache is not keyed by sf_dir"
         )
+
+
+def test_plan_has_shuffle_sees_all_shuffle_kinds(spark):
+    """RoundRobin (repartition) and SinglePartition (global agg) exchanges
+    are shuffles too — a must-not-shuffle assertion that misses them passes
+    silently on a regressed plan. BroadcastExchange stays a non-shuffle."""
+    df = spark.range(100).withColumn("k", F.col("id") % 5)
+    assert MAT.plan_has_shuffle(df.repartition(8))
+    assert MAT.plan_has_shuffle(df.agg(F.sum("id")))
+    assert MAT.plan_has_shuffle(df.groupBy("k").count())
+    assert not MAT.plan_has_shuffle(df.filter(F.col("id") > 5))
+    dim = spark.range(5).withColumnRenamed("id", "k")
+    assert not MAT.plan_has_shuffle(df.join(F.broadcast(dim), "k"))
+
+
+def test_derived_table_misses_memo_on_version_change(spark, tmp_path, monkeypatch):
+    """The in-memory hit is keyed on (path, persist_version): a caller whose
+    recomputed fingerprint changed must MISS and load the new version — a
+    path-only key served the stale materialization before the version was
+    consulted."""
+    monkeypatch.setenv("SPARK_GRAFT_MODEL_DIR", str(tmp_path / "cache_root"))
+    src = tmp_path / "src"
+    src.mkdir()
+    builds = []
+
+    def make_build(val):
+        def build():
+            builds.append(val)
+            return spark.createDataFrame([(val,)], "v int")
+        return build
+
+    cache: dict = {}
+    a = MAT.derived_table(spark, cache, str(src), "vt_", make_build(1), persist_version="v1")
+    assert [r.v for r in a.collect()] == [1] and builds == [1]
+    # same version: memo hit, no rebuild
+    b = MAT.derived_table(spark, cache, str(src), "vt_", make_build(99), persist_version="v1")
+    assert [r.v for r in b.collect()] == [1] and builds == [1]
+    # new version (a data rewrite was detected upstream): must rebuild
+    c = MAT.derived_table(spark, cache, str(src), "vt_", make_build(2), persist_version="v2")
+    assert [r.v for r in c.collect()] == [2] and builds == [1, 2]

@@ -630,3 +630,46 @@ def test_bounded_memory_sinks_keep_one_generation(spark, sf_dir):
 
     PIO.q_streaming_window_stats(spark, sf_dir).collect()
     assert not [t.name for t in spark.catalog.listTables() if t.name.startswith("win_stats")]
+
+
+def test_events_ts_probe_sees_midprocess_rewrite(tmp_path):
+    """The footer-probe memo is keyed on the file's (mtime, size) signature:
+    rewriting events.parquet to the OTHER ts encoding in-process must
+    re-probe — a path-keyed memo would force-long a micros file and collapse
+    every timestamp toward 1970 with no error."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from market_data_mining_project_spark.sources import tables as TB
+
+    stamps = [dt.datetime(2024, 3, 1, 12, 0, i) for i in range(3)]
+    path = tmp_path / "events.parquet"
+    nanos = pa.array(
+        [int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000_000) for t in stamps],
+        pa.int64(),
+    )
+    pq.write_table(pa.table({"ts": nanos}), path)
+    assert TB.events_ts_is_nanos(str(path))
+    pq.write_table(pa.table({"ts": pa.array(stamps, pa.timestamp("us"))}), path)
+    os.utime(path, ns=(os.stat(path).st_mtime_ns + 1, os.stat(path).st_mtime_ns + 1))
+    assert not TB.events_ts_is_nanos(str(path))
+
+
+def test_validated_load_releases_cached_raw(spark, tmp_path):
+    """import_to_parquet is the terminal step of the landing flow — after it
+    returns, the raw CSV cache must not stay pinned in executor storage."""
+    csv = tmp_path / "in_csv"
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").write.option(
+        "header", True
+    ).csv(str(csv))
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    load = csv_io.read_csv_validated(spark, str(csv), schema)
+    assert load._raw.storageLevel.useMemory or load._raw.storageLevel.useDisk
+    counts = csv_io.import_to_parquet(load, str(tmp_path / "landed"))
+    assert counts["imported"] == 2
+    assert not (load._raw.storageLevel.useMemory or load._raw.storageLevel.useDisk)
