@@ -134,6 +134,20 @@ def _fresh_warm_pass(sf_dir: str, cache_root: str) -> dict[str, float]:
     raise RuntimeError(f"fresh-warm child emitted no JSON: {proc.stdout[-2000:]}")
 
 
+def _fresh_warm_or_none(sf_dir: str, cache_root: str) -> dict[str, float] | None:
+    """A failed/timed-out fresh child must DEGRADE the artifact (cold+warm
+    only, stderr note), never discard the two passes already measured —
+    at bigger SFs the child re-pays JVM startup plus the full catalog and
+    can legitimately outlive the fixed timeout."""
+    import subprocess
+
+    try:
+        return _fresh_warm_pass(sf_dir, cache_root)
+    except (RuntimeError, subprocess.TimeoutExpired, ValueError) as exc:
+        print(f"fresh-warm pass skipped: {exc}", file=sys.stderr)
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -185,10 +199,11 @@ def main() -> None:
         # a real second session doesn't run beside an idle first one, and
         # two driver heaps would measure memory contention, not serving.
         spark.stop()
-        fresh = _fresh_warm_pass(sf_dir, cache_root)
-        out["value_warm_fresh"] = round(sum(fresh.values()), 3)
-        out["queries_warm_fresh"] = fresh
-        out["cache_state"] = "cold+warm+warm_fresh"
+        fresh = _fresh_warm_or_none(sf_dir, cache_root)
+        if fresh is not None:
+            out["value_warm_fresh"] = round(sum(fresh.values()), 3)
+            out["queries_warm_fresh"] = fresh
+            out["cache_state"] = "cold+warm+warm_fresh"
     print(json.dumps(out))
 
 

@@ -97,8 +97,14 @@ def seeded_noise(*cols: Column, scale: float = 0.03, buckets: int = 10000) -> Co
 
     Replaces the reference's salt-randomized ``hash(model+pid) % 10000``
     (ml_models.py:881-883, F12) with a stable crc32-based hash so results
-    reproduce across processes and executors.
+    reproduce across processes and executors. NULL inputs hash as a "\\0"
+    sentinel — concat_ws SKIPS nulls, so without it every (model, NULL)
+    row collapsed onto crc32(model) and got identical "noise" instead of
+    per-entity jitter. Keys containing the literal '|' delimiter can still
+    alias across column boundaries; callers hash identifier-ish columns.
     """
-    h = F.crc32(F.concat_ws("|", *[c.cast("string") for c in cols]))
+    h = F.crc32(
+        F.concat_ws("|", *[F.coalesce(c.cast("string"), F.lit("\0")) for c in cols])
+    )
     unit = (F.pmod(h, F.lit(buckets)) / F.lit(float(buckets - 1))) * 2 - 1
     return unit * F.lit(scale)

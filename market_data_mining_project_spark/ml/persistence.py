@@ -131,6 +131,25 @@ def atomic_publish(staging: str, final: str, overwrite: bool) -> None:
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def publish_staged(final: str, write: Callable[[str], None], overwrite: bool) -> str:
+    """The ONE staging-dir publication dance every cross-process artifact
+    performs around :func:`atomic_publish`: create a unique sibling staging
+    dir, let ``write(staging)`` fill it, publish atomically, remove the
+    staging on ANY failure. save_model / save_metrics_artifact /
+    materialize.derived_table / the recommendation cache all route through
+    here so the concurrency-critical cleanup contract (staging suffix,
+    exist_ok create, BaseException rm) cannot drift between four copies."""
+    staging = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(staging, exist_ok=True)
+    try:
+        write(staging)
+        atomic_publish(staging, final, overwrite=overwrite)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return final
+
+
 #: (realpath, tables) -> (quick signature, version). ONE entry per table
 #: set — the signature lives in the VALUE (compare-and-refresh), so N
 #: rewrites over a long-lived process never accumulate N dead entries.
@@ -204,20 +223,15 @@ def has_cached_models(names: list[str], version: str) -> bool:
 
 def save_model(model: PipelineModel, metrics: dict[str, float], name: str, version: str) -> str:
     """Persist model + metrics sidecar atomically; returns the final dir."""
-    final = model_dir(name, version)
-    staging = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-    os.makedirs(staging, exist_ok=True)
-    try:
+
+    def write(staging: str) -> None:
         model.write().overwrite().save(os.path.join(staging, "model"))
         with open(os.path.join(staging, "metrics.json"), "w") as fh:
             json.dump(metrics, fh, sort_keys=True)
-        # overwrite=True: save_model is also the force-retrain path, so a
-        # newer artifact must replace an existing same-version one
-        atomic_publish(staging, final, overwrite=True)
-    except BaseException:
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    return final
+
+    # overwrite=True: save_model is also the force-retrain path, so a
+    # newer artifact must replace an existing same-version one
+    return publish_staged(model_dir(name, version), write, overwrite=True)
 
 
 def load_model(name: str, version: str) -> tuple[PipelineModel, dict[str, float]]:
@@ -236,17 +250,12 @@ def save_metrics_artifact(name: str, version: str, payload: dict) -> str:
     ``load_or_train`` and the grid's job is the surface, so caching the
     JSON avoids paying 16 model writes for artifacts nothing loads.
     Same atomic staging-rename contract as ``save_model``."""
-    final = model_dir(name, version)
-    staging = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-    os.makedirs(staging, exist_ok=True)
-    try:
+
+    def write(staging: str) -> None:
         with open(os.path.join(staging, "metrics.json"), "w") as fh:
             json.dump(payload, fh, sort_keys=True)
-        atomic_publish(staging, final, overwrite=True)
-    except BaseException:
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    return final
+
+    return publish_staged(model_dir(name, version), write, overwrite=True)
 
 
 def has_cached_metrics_artifact(name: str, version: str) -> bool:

@@ -319,29 +319,23 @@ class RecommendationCache:
 
     def store(self, recs: DataFrame, alpha: float, rules_version: str) -> None:
         import json
-        import uuid
 
-        from market_data_mining_project_spark.ml.persistence import atomic_publish
+        from market_data_mining_project_spark.ml.persistence import publish_staged
         from market_data_mining_project_spark.sources.materialize import overwrite_table
 
         stamped = recs.withColumn("alpha", F.lit(float(alpha))).withColumn(
             "rules_version", F.lit(rules_version)
         )
-        slot = self._slot(alpha, rules_version)
-        staging = f"{slot}.tmp-{uuid.uuid4().hex[:8]}"
-        try:
+
+        def write(staging: str) -> None:
             overwrite_table(stamped, staging)
             # stamp INSIDE the staging dir: the atomic rename publishes data
             # and validity marker together — no window where a stamped slot
             # holds partial data
             with open(os.path.join(staging, "_cache_stamp.json"), "w") as fh:
                 json.dump({"alpha": float(alpha), "rules_version": rules_version}, fh)
-            atomic_publish(staging, slot, overwrite=False)
-        except BaseException:
-            import shutil
 
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
+        publish_staged(self._slot(alpha, rules_version), write, overwrite=False)
 
     def serve(self, spark, alpha: float, rules_version: str, compute) -> DataFrame:
         """Hit → cached rows; miss/stale → ``compute()`` + store + serve

@@ -76,24 +76,20 @@ def derived_table(
     if path is not None:
         return spark.read.parquet(path)
     if persist_version is not None:
-        import uuid
-
         from market_data_mining_project_spark.ml import persistence as PERSIST
 
         final = PERSIST.model_dir(f"derived_{prefix.rstrip('_')}", persist_version)
         data_path = os.path.join(final, "t")
         if not os.path.isdir(data_path):
-            staging = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-            try:
-                overwrite_table(build(), os.path.join(staging, "t"))
-                # first-wins, no pre-delete: `final` only ever appears via
-                # this atomic rename, so it can only exist COMPLETE — and a
-                # concurrent session already reading the winner's files
-                # must never see them vanish under its scan
-                PERSIST.atomic_publish(staging, final, overwrite=False)
-            except BaseException:
-                shutil.rmtree(staging, ignore_errors=True)
-                raise
+            # first-wins, no pre-delete: `final` only ever appears via the
+            # atomic rename, so it can only exist COMPLETE — and a
+            # concurrent session already reading the winner's files must
+            # never see them vanish under its scan
+            PERSIST.publish_staged(
+                final,
+                lambda staging: overwrite_table(build(), os.path.join(staging, "t")),
+                overwrite=False,
+            )
         cache[key] = data_path
         return spark.read.parquet(data_path)
     tmp = tempfile.mkdtemp(prefix=prefix)

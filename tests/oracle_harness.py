@@ -49,10 +49,27 @@ def _norm_cell(v):
     return str(v)
 
 
+def _sort_key_cell(x):
+    """Alignment key for one cell: ulp- and type-insensitive for numerics.
+    Raw ``str(x)`` keys let near-tied float sums (Spark's partial-merge
+    order vs DuckDB's sequential) or an int-5 vs double-5.0 pair sort rows
+    DIFFERENTLY per engine, misaligning the zip and failing a correct
+    query; 9-significant-digit formatting collapses both. Ints past 2^53
+    (hash columns) keep exact string keys — float formatting would
+    collide distinct hashes."""
+    if x is None:
+        return "\x00"
+    if isinstance(x, int) and abs(x) > 2**53:
+        return str(x)
+    if isinstance(x, (int, float)):
+        return f"{float(x):.9g}"
+    return str(x)
+
+
 def _sorted_rows(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     projected = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(columns), sorted(projected, key=lambda r: tuple(str(x) for x in r))
+    return sorted(columns), sorted(projected, key=lambda r: tuple(_sort_key_cell(x) for x in r))
 
 
 def compare(name: str, spark_df, duck_rel) -> list[str]:
@@ -105,20 +122,28 @@ def run_all(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, list
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if only:
+        # a typo'd / renamed name must be an error, not an empty sweep that
+        # "0/0 matches" its way to exit 0 in a gating script
+        unknown = sorted(set(only) - set(queries))
+        if unknown:
+            raise SystemExit(f"unknown query names (not in the catalog): {unknown}")
     con = duck_connection(sf_dir)
     results: dict[str, list[str]] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
-        if name not in oracles:
-            df = fn(spark, sf_dir)
-            n = df.count()
-            # every rows-only query in this catalog produces rows at every
-            # test scale — an empty result is a silent regression (e.g. a
-            # score threshold filtering everything out)
-            results[name] = [] if n > 0 else [f"{name}: rows-only result is empty"]
-            continue
         try:
+            if name not in oracles:
+                df = fn(spark, sf_dir)
+                n = df.count()
+                # every rows-only query in this catalog produces rows at
+                # every test scale — an empty result is a silent regression
+                # (e.g. a score threshold filtering everything out). Raised
+                # errors record per-query like the oracled path, so one
+                # broken entry can't abort the whole sweep unreported.
+                results[name] = [] if n > 0 else [f"{name}: rows-only result is empty"]
+                continue
             df = fn(spark, sf_dir)
             rel = con.sql(oracles[name])
             results[name] = compare(name, df, rel)

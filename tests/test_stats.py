@@ -193,3 +193,60 @@ def test_search_numeric_needle_skips_nonnumeric_columns(spark):
     # matches the numeric column by equality and skips the date column
     # instead of failing analysis
     assert {r.name for r in got} == {"seven"}
+
+
+def test_harness_row_alignment_is_ulp_insensitive():
+    """Near-tied float sort keys (Spark's partial-merge order vs DuckDB's
+    sequential sum) and int-vs-double cells must not misalign rows — a
+    correct query previously FAILed when str-sort ordered the two sides
+    differently."""
+    from tests.oracle_harness import compare
+
+    class FakeDF:
+        def __init__(self, cols, rows):
+            self.columns = cols
+            self._rows = rows
+
+        def collect(self):
+            return self._rows
+
+    class FakeRel:
+        def __init__(self, cols, rows):
+            self.columns = cols
+            self._rows = rows
+
+        def fetchall(self):
+            return self._rows
+
+    # scores tie at 9 significant digits but differ in the last ulp, and
+    # the engines emit them in OPPOSITE orders; ids must still pair up
+    s = FakeDF(["score", "id"], [(0.30000000000000002, 1), (0.3, 2)])
+    d = FakeRel(["score", "id"], [(0.30000000000000004, 2), (0.3, 1)])
+    assert compare("t", s, d) == []
+    # int on one side, double on the other: same sort key
+    s2 = FakeDF(["n", "id"], [(5, 1)])
+    d2 = FakeRel(["n", "id"], [(5.0, 1)])
+    assert compare("t2", s2, d2) == []
+    # a REAL value difference still fails
+    s3 = FakeDF(["n", "id"], [(5, 1)])
+    d3 = FakeRel(["n", "id"], [(6, 1)])
+    assert compare("t3", s3, d3) != []
+
+
+def test_harness_rejects_unknown_query_names(spark, sf_dir):
+    from tests.oracle_harness import run_all
+
+    with pytest.raises(SystemExit, match="unknown query names"):
+        run_all(spark, sf_dir, only=["no_such_query_xyz"])
+
+
+def test_bench_fresh_warm_degrades_instead_of_discarding(monkeypatch):
+    """A failed/timed-out fresh child must degrade the bench artifact to
+    cold+warm, never throw away the two passes already measured."""
+    import bench
+
+    def boom(sf_dir, cache_root):
+        raise RuntimeError("child crashed")
+
+    monkeypatch.setattr(bench, "_fresh_warm_pass", boom)
+    assert bench._fresh_warm_or_none("/x", "/y") is None
