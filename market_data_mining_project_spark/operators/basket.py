@@ -96,6 +96,10 @@ def department_mix(
     stores this as a JSONField dict, models.py:143-160, built via
     ``STRING_AGG(DISTINCT department)`` analytics.py:347)."""
     joined = fact.join(F.broadcast(dim.select(key, category)), key, "inner")
+    # NULL categories are excluded like category_rollup does — they cannot
+    # be map keys (map_from_entries raises NULL_MAP_KEY at runtime), and a
+    # "no department" bucket in a department-mix map is not a department
+    joined = joined.filter(F.col(category).isNotNull())
     per_cat = joined.groupBy(basket, category).agg(F.count(F.lit(1)).alias("cnt"))
     return per_cat.groupBy(basket).agg(
         F.map_from_entries(

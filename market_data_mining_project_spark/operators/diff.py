@@ -80,6 +80,11 @@ def chi2_test(df: DataFrame, row: str, col: str, weight: str | None = None) -> d
     """Full chi² test with Cramér's V (reference compute_statistics,
     views.py:1756-1847). Distributed statistic; scalar p-value on the driver.
     """
+    # NULL labels are excluded from the TABLE, not just the r/c counts:
+    # countDistinct skips NULLs, so a NULL-label cell previously added its
+    # component to chi2 while shrinking dof by one column — a systematically
+    # deflated p-value
+    df = df.filter(F.col(row).isNotNull() & F.col(col).isNotNull())
     comp = chi2_components(df, row, col, weight)
     agg = comp.agg(
         F.sum("component").alias("chi2"),
@@ -189,7 +194,11 @@ def mann_whitney_u(df: DataFrame, group: str, value: str, g1, g2) -> dict:
     """Mann-Whitney U with tie-corrected normal approximation + rank-biserial
     effect size (reference views.py:1888-1917; tie correction matches
     scipy.stats.mannwhitneyu's sigma so p-values agree on tied data)."""
-    sub = df.filter(F.col(group).isin([g1, g2]))
+    # NULL values never join the rank frame (NULL != NULL in the equi-join),
+    # so they were already absent from rank_sum and n1/n2 — but the tie
+    # aggregate below kept the NULL group and understated the variance.
+    # Exclude them from the sample up front so both aggregates agree.
+    sub = df.filter(F.col(group).isin([g1, g2]) & F.col(value).isNotNull())
     rows = {r[group]: r for r in rank_sums(sub, group, value).collect()}
     missing = [g for g in (g1, g2) if g not in rows]
     if missing:

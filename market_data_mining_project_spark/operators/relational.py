@@ -64,12 +64,19 @@ def search(df: DataFrame, needle: str, columns: Sequence[str]) -> DataFrame:
         numeric = float(needle)
     except ValueError:
         pass
-    numeric_prefixes = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+    # exact dtype tokens, not prefixes: "interval day to second" startswith
+    # "int" and would take the equality branch straight into an
+    # interval == double AnalysisException
+    numeric_types = ("tinyint", "smallint", "int", "bigint", "float", "double")
     types = dict(df.dtypes)
+
+    def _is_numeric(t: str) -> bool:
+        return t in numeric_types or t.startswith("decimal(")
+
     for col in columns:
         if types.get(col) in ("string",):
             preds.append(icontains(F.col(col), needle))
-        elif numeric is not None and types.get(col, "").startswith(numeric_prefixes):
+        elif numeric is not None and _is_numeric(types.get(col, "")):
             # only NUMERIC columns take the equality branch — comparing a
             # float needle against date/timestamp/boolean columns has no
             # coercion and fails analysis
@@ -166,12 +173,17 @@ def salted_agg(
                 f"count_distinct({col!r}) needs salt_col={col!r} so each "
                 "distinct value maps to one bucket"
             )
-    salt_src = (
-        F.col(salt_col).cast("string")
-        if salt_col is not None
-        else F.monotonically_increasing_id().cast("string")
-    )
-    salted = df.withColumn("__salt", F.pmod(F.crc32(salt_src), F.lit(salt_buckets)))
+    if salt_col is not None:
+        salt = F.pmod(F.crc32(F.col(salt_col).cast("string")), F.lit(salt_buckets))
+    else:
+        # salt from ROW CONTENT, never monotonically_increasing_id: a
+        # nondeterministic expression feeding a shuffle re-salts rows on
+        # task retry, so a mix of old and recomputed map outputs can count
+        # a row twice or zero times. Content hashing is retry-stable;
+        # its one caveat — byte-identical duplicate rows share a bucket —
+        # bounds bucket skew by the duplication factor, not the key's.
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    salted = df.withColumn("__salt", salt)
     partial = salted.groupBy(*keys, "__salt").agg(
         *[partial_fns[fn](col).alias(out) for out, (fn, col) in aggs.items()]
     )

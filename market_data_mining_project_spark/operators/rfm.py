@@ -148,7 +148,13 @@ def quantile_edge_scores(
             bucket = i + 1
             cond = F.col(col) <= edge
             expr = F.when(cond, bucket) if expr is None else expr.when(cond, bucket)
-        out = expr.otherwise(quantiles)
+        # NULL metric → NULL score, like the exact path (1 + NULL = NULL)
+        # and unlike the bare otherwise(), where every `col <= edge` is NULL
+        # and the chain fell through to the TOP bucket — an all-NULL-sales
+        # customer must not come back labeled a Big Spender
+        out = F.when(F.col(col).isNull(), F.lit(None).cast("int")).otherwise(
+            expr.otherwise(quantiles)
+        )
         return ((quantiles + 1) - out).cast("int") if invert else out.cast("int")
 
     return (

@@ -25,6 +25,8 @@ Metric identities (validate_results.py:104-139):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -132,7 +134,12 @@ def pairwise_rules(
     if ib is None:
         ib = item_baskets(fact, basket, item)
     total = ib.select(basket).distinct().count()
-    min_count = max(1, int(total * min_support))
+    # MLlib-exact: FPGrowth computes ceil(minSupport * n) on the IEEE double
+    # product, and the SQL twins CEIL the same DOUBLE product — all three
+    # agree bit-for-bit. int() FLOORED, so a pair strictly below min_support
+    # passed the filter (and 100 * 0.29 -> 28.999... -> 28 drifted one
+    # below the exact threshold).
+    min_count = max(1, math.ceil(total * min_support))
 
     freq = frequent_items(None, basket, item, min_count, item_cap, ib=ib)
     pairs = pair_counts(None, basket, item, min_count, item_cap, ib=ib, freq=freq)

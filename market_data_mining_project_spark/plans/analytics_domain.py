@@ -206,6 +206,13 @@ FROM ranked WHERE rec_rank <= 5
 # rows computed at alpha=Y, forever (no data rewrite invalidates it)
 HYBRID_ALPHA = 0.6
 
+# mining-SEMANTICS version, folded into the cache's rules_version: the data
+# fingerprint only sees the INPUT tables, so a code change to the rule
+# miner (e.g. min_count moving from floor to MLlib-exact ceil) would
+# otherwise keep serving blends computed under the old semantics as cache
+# hits forever. Bump when pairwise_rules/hybrid_blend semantics change.
+RULES_MINING_SEMVER = "mc-ceil-1"
+
 
 def q_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid recommender (M14; reference customers/views.py:49-183):
@@ -234,7 +241,11 @@ def q_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blend, a MID-PROCESS rewrite of the data requires a new process (or
     # the uncached data_version) to be seen — the memo and the derived
     # tables go stale together, never out of step with each other
-    rules_version = PERSIST.data_version_cached(sf_dir, ("lineitem", "orders", "part"))
+    rules_version = (
+        PERSIST.data_version_cached(sf_dir, ("lineitem", "orders", "part"))
+        + "-"
+        + RULES_MINING_SEMVER
+    )
     return (
         cache.serve(
             spark, HYBRID_ALPHA, rules_version,
@@ -283,7 +294,7 @@ ib AS (
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE p_brand IS NOT NULL
 ), tot AS (SELECT COUNT(DISTINCT b) AS total FROM ib),
-mc AS (SELECT GREATEST(1, total // 50) AS min_count, total FROM tot),
+mc AS (SELECT GREATEST(1, CAST(CEIL(CAST(0.02 AS DOUBLE) * total) AS BIGINT)) AS min_count, total FROM tot),
 freq AS (
   SELECT item, COUNT(*) AS item_baskets FROM ib GROUP BY item
   HAVING COUNT(*) >= (SELECT min_count FROM mc)

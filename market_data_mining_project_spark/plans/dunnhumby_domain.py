@@ -246,7 +246,9 @@ WITH ib AS (
   SELECT COUNT(DISTINCT b) AS total FROM ib
 ), mc AS (
   -- 2% support as integer arithmetic (total // 50) to avoid float-floor drift
-  SELECT GREATEST(1, total // 50) AS min_count, total FROM tot
+  -- MLlib-exact ceil on the IEEE DOUBLE product (see SQL_FPGROWTH_RULES):
+  -- Python math.ceil(total * 0.02) and this CEIL see the same double
+  SELECT GREATEST(1, CAST(CEIL(CAST(0.02 AS DOUBLE) * total) AS BIGINT)) AS min_count, total FROM tot
 ), freq AS (
   SELECT item, COUNT(*) AS item_baskets FROM ib GROUP BY item
   HAVING COUNT(*) >= (SELECT min_count FROM mc)
@@ -342,6 +344,7 @@ SQL_DEPARTMENT_MIX = """
 WITH per_cat AS (
   SELECT l_orderkey, p_type, COUNT(*) AS cnt
   FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type IS NOT NULL
   GROUP BY l_orderkey, p_type
 )
 SELECT l_orderkey,

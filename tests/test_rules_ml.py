@@ -347,3 +347,52 @@ def test_split_day_raises_on_empty_fact(spark):
     empty = spark.createDataFrame([], "o_custkey long, day int")
     with pytest.raises(ValueError, match="at least one fact row"):
         CH.split_day(empty, "day", 90)
+
+
+def test_department_mix_excludes_null_categories(spark):
+    """A NULL category cannot be a map key (NULL_MAP_KEY at runtime) and is
+    not a department — the mix excludes it like category_rollup does."""
+    from market_data_mining_project_spark.operators.basket import department_mix
+
+    fact = spark.createDataFrame([(1, 10), (1, 11), (1, 12)], "b long, k long")
+    dim = spark.createDataFrame([(10, "d1"), (11, None), (12, "d2")], "k long, cat string")
+    rows = department_mix(fact, dim, key="k", category="cat", basket="b").collect()
+    assert len(rows) == 1
+    assert rows[0].department_mix == {"d1": 1, "d2": 1}
+    assert rows[0].unique_departments == 2
+
+
+def test_pairwise_min_count_is_mllib_ceil(spark):
+    """min_count = ceil(total * min_support) like MLlib FPGrowth: a pair in
+    exactly floor(total*s) baskets sits BELOW the support threshold and must
+    be dropped (int() previously floored and admitted it)."""
+    from market_data_mining_project_spark.operators import rules as R
+
+    # 10 baskets; items a,b co-occur in 2 of them -> support 0.2
+    rows = [(i, it) for i in range(1, 3) for it in ("a", "b")]
+    rows += [(i, "c") for i in range(3, 11)]
+    ib = spark.createDataFrame(rows, "b long, item string")
+    # threshold 0.25 -> ceil(2.5) = 3 -> the 2-basket pair is OUT
+    out = R.pairwise_rules(None, basket="b", item="item", ib=ib, min_support=0.25, min_confidence=0.0)
+    assert out.count() == 0
+    # threshold 0.2 -> ceil(2.0) = 2 -> the pair is IN (both directions)
+    out2 = R.pairwise_rules(None, basket="b", item="item", ib=ib, min_support=0.2, min_confidence=0.0)
+    assert out2.count() == 2
+
+
+def test_quantile_edge_scores_null_metric_scores_null(spark):
+    """An all-NULL-sales customer must not land in the TOP bucket on the
+    approx path: NULL metric -> NULL score, agreeing with the exact path."""
+    from market_data_mining_project_spark.operators import rfm as RFM
+
+    df = spark.createDataFrame(
+        [(1, 10, 5, 100.0), (2, 20, 6, 200.0), (3, 30, 7, None)],
+        "cust long, recency int, frequency int, monetary double",
+    )
+    for exact in (False, True):
+        got = {
+            r.cust: r.monetary_score
+            for r in RFM.quantile_edge_scores(df, exact=exact).collect()
+        }
+        assert got[3] is None, f"exact={exact}: {got}"
+        assert got[1] is not None and got[2] is not None

@@ -250,3 +250,58 @@ def test_bench_fresh_warm_degrades_instead_of_discarding(monkeypatch):
 
     monkeypatch.setattr(bench, "_fresh_warm_pass", boom)
     assert bench._fresh_warm_or_none("/x", "/y") is None
+
+
+def test_chi2_and_mwu_exclude_null_labels_and_values(spark):
+    """NULL labels/values must be excluded from the WHOLE computation, not
+    just the parts where Spark skips them implicitly: chi2 previously
+    summed NULL-label cells into the statistic while countDistinct shrank
+    dof; MWU counted NULL values in the tie correction that the rank join
+    had already dropped — both deflated p-values."""
+    from market_data_mining_project_spark.operators import diff as D
+
+    base = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("a", "x"), ("b", "y")]
+    df = spark.createDataFrame(base + [("a", None), (None, "x")], "r string, c string")
+    clean = spark.createDataFrame(base, "r string, c string")
+    got = D.chi2_test(df, "r", "c")
+    want = D.chi2_test(clean, "r", "c")
+    assert got == want
+
+    vals = [("g1", 1.0), ("g1", 2.0), ("g1", 2.0), ("g2", 2.0), ("g2", 3.0), ("g2", 4.0)]
+    vdf = spark.createDataFrame(vals + [("g1", None), ("g1", None)], "g string, v double")
+    vclean = spark.createDataFrame(vals, "g string, v double")
+    got_u = D.mann_whitney_u(vdf, "g", "v", "g1", "g2")
+    want_u = D.mann_whitney_u(vclean, "g", "v", "g1", "g2")
+    assert got_u == want_u
+
+
+def test_search_skips_interval_columns(spark):
+    """'interval day to second' startswith 'int' — the numeric-equality
+    branch must not capture interval dtypes."""
+    from market_data_mining_project_spark.operators.relational import search
+
+    df = spark.createDataFrame([(1, "a5b")], "id long, name string").withColumn(
+        "dur", F.expr("INTERVAL 5 DAYS")
+    )
+    got = search(df, "5", ["dur", "name"]).collect()
+    assert len(got) == 1  # matched via the string column only, no crash
+
+
+def test_salted_agg_fallback_salt_is_deterministic(spark):
+    """The no-salt-col fallback hashes ROW CONTENT (retry-stable), never a
+    nondeterministic id: same input -> same salt assignment -> results
+    equal the unsalted groupBy even with NULL cells."""
+    from market_data_mining_project_spark.operators.relational import salted_agg
+
+    df = spark.createDataFrame(
+        [("k", 1.0), ("k", None), ("k", 2.0), ("j", 4.0)] * 10, "k string, x double"
+    )
+    got = {
+        (r.k): (r.s, r.n)
+        for r in salted_agg(df, ["k"], {"s": ("sum", "x"), "n": ("count", "x")}).collect()
+    }
+    want = {
+        (r.k): (r.s, r.n)
+        for r in df.groupBy("k").agg(F.sum("x").alias("s"), F.count("x").alias("n")).collect()
+    }
+    assert got == want
