@@ -51,10 +51,15 @@ def build_index(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def corpus_stats(docs: DataFrame, text_col: str) -> tuple[int, float]:
-    """(N, avgdl) — one aggregate, one driver scalar row."""
+    """(N, avgdl) — one aggregate, one driver scalar row. NULL text stays
+    NULL (not size's legacy −1) so avg skips it, like the SQL twin's
+    AVG over the tokenizer's NULL output; N still counts every doc."""
+    dl = F.when(
+        F.col(text_col).isNull(), F.lit(None)
+    ).otherwise(F.size(lower_tokens(F.col(text_col))))
     row = docs.agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg(F.size(lower_tokens(F.col(text_col)))).alias("avgdl"),
+        F.avg(dl).alias("avgdl"),
     ).collect()[0]
     return int(row["n"]), float(row["avgdl"] or 0.0)
 

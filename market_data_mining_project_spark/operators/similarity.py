@@ -197,6 +197,20 @@ def cosine_near_dups_blocked(
         ]
     )
 
+    def _fold_dot(a, b) -> float:
+        # STRICT left fold, bit-identical to the JVM `dot`/`norm`
+        # expressions (F.aggregate) the naive path and the SQL oracles use:
+        # IEEE adds are deterministic given order, so recomputing the few
+        # admitted candidates this way makes blocked == naive EXACTLY.
+        # BLAS matmul (blocked/FMA summation) can differ in the last ulp,
+        # which flips ROUND(...,6) at a rounding midpoint — matmul is the
+        # O(N²) candidate FILTER (with an epsilon admission margin), never
+        # the emitted value.
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         lhs = pdf[pdf["side"] == "L"]
         rhs = pdf[pdf["side"] == "R"]
@@ -212,13 +226,28 @@ def cosine_near_dups_blocked(
         ia = lhs["id"].values[:, None].repeat(len(rhs), axis=1)
         ib = rhs["id"].values[None, :].repeat(len(lhs), axis=0)
         diagonal = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        admit = sims >= threshold - 1e-6  # margin: candidates, not verdicts
         if diagonal:
             # same block on both sides: every ordered pair appears — keep a<b
-            mask = (ia < ib) & (np.round(sims, 6) >= threshold)
+            mask = (ia < ib) & admit
         else:
             # cross block: each unordered pair appears exactly once, with
             # arbitrary id order — normalize to (min, max) instead of filtering
-            mask = np.round(sims, 6) >= threshold
+            mask = admit
+        li, ri = np.nonzero(mask)
+        norms: dict[tuple[str, int], float] = {}
+
+        def _norm_of(side: str, mat, i: int) -> float:
+            key = (side, i)
+            got = norms.get(key)
+            if got is None:
+                got = norms[key] = float(np.sqrt(_fold_dot(mat[i], mat[i])))
+            return got
+
+        cos = [
+            _fold_dot(ml[i], mr[j]) / (_norm_of("l", ml, i) * _norm_of("r", mr, j))
+            for i, j in zip(li, ri)
+        ]
         id_a, id_b = ia[mask], ib[mask]
         lo = np.minimum(id_a, id_b)
         hi = np.maximum(id_a, id_b)
@@ -226,12 +255,17 @@ def cosine_near_dups_blocked(
             {
                 "id_a": lo.astype("int64"),
                 "id_b": hi.astype("int64"),
-                "cos": np.round(sims[mask], 6),
+                "cos": np.asarray(cos, dtype="float64"),
             }
         )
 
     group_cols = ([within_col] if within_col else []) + ["bi", "bj"]
-    return both.groupBy(*group_cols).applyInPandas(block_pairs, schema=out_schema)
+    cand = both.groupBy(*group_cols).applyInPandas(block_pairs, schema=out_schema)
+    # final rounding + threshold verdict JVM-side, the SAME F.round the
+    # naive path applies — the margin-admitted extras fall out here
+    return cand.select(
+        "id_a", "id_b", F.round(F.col("cos"), 6).alias("cos")
+    ).filter(F.col("cos") >= threshold)
 
 
 class CentroidModel:
@@ -301,6 +335,7 @@ def assign_cells(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Nearest-centroid assignment (squared Euclidean argmin, ties to the
     lowest cell index). One scan, one map — no MLlib transform, so
@@ -329,7 +364,13 @@ def assign_cells(
     differently by float summation order (fold vs BLAS) — measure-zero for
     real embeddings; the equivalence is pytest-pinned on the fixture.
     """
-    base = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    # keep_cols ride the scan so consumers that need another column
+    # (cluster_profile's label) don't pay a corpus-sized join-back to
+    # recover what the projection dropped
+    if "cell" in keep_cols or vec_col in keep_cols:
+        raise ValueError(f"keep_cols {keep_cols!r} collide with output columns")
+    keeps = [F.col(c) for c in keep_cols]
+    base = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"), *keeps)
     if len(centroids) <= ASSIGN_EXPR_MAX_CELLS:
         entries = []
         for i, c in enumerate(centroids):
@@ -341,7 +382,9 @@ def assign_cells(
             )
             entries.append(F.struct(d.alias("d"), F.lit(i).alias("cell")))
         best = F.array_min(F.array(*entries))
-        return base.select(id_col, F.col("__v").alias(vec_col), best["cell"].alias("cell"))
+        return base.select(
+            id_col, F.col("__v").alias(vec_col), best["cell"].alias("cell"), *keep_cols
+        )
 
     import numpy as np
     import pandas as pd
@@ -376,7 +419,7 @@ def assign_cells(
     _nearest.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     nearest = pandas_udf(_nearest, "int")
     return base.select(
-        id_col, F.col("__v").alias(vec_col), nearest(F.col("__v")).alias("cell")
+        id_col, F.col("__v").alias(vec_col), nearest(F.col("__v")).alias("cell"), *keep_cols
     )
 
 
@@ -388,6 +431,7 @@ def ivf_assign(
     seed: int = 42,
     max_iter: int = 20,
     cache_version: str | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, CentroidModel]:
     """IVF coarse quantizer: KMeans centroids; each vector assigned to its
     nearest cell. Returns (assigned corpus with ``cell`` column, centroid
@@ -427,7 +471,7 @@ def ivf_assign(
         if cache_version is not None:
             PERSIST.save_metrics_artifact(name, cache_version, {"centroids": centers})
     model = CentroidModel(centers)
-    return assign_cells(corpus, centers, vec_col, id_col), model
+    return assign_cells(corpus, centers, vec_col, id_col, keep_cols=keep_cols), model
 
 
 def cluster_profile(
@@ -457,9 +501,13 @@ def cluster_profile(
     # 10 Lloyd iterations: the corpus-map clusters stabilize early, and each
     # iteration is a full pass — the profile, not the last decimal of
     # inertia, is the product here
+    # the label rides the assignment scan (assign_cells keep_cols) —
+    # re-joining the corpus on id just to recover one projected-away
+    # column was a second corpus-sized shuffle
     assigned, model = ivf_assign(
         corpus, vec_col, id_col, n_cells=k, seed=seed, max_iter=10,
         cache_version=cache_version,
+        keep_cols=(label_col,) if label_col else (),
     )
     spark = corpus.sparkSession
     cent_df = F.broadcast(
@@ -476,9 +524,7 @@ def cluster_profile(
             F.count(F.lit(1)).alias("size"),
             F.round(F.avg("__cos"), 6).alias("cohesion"),
         )
-    labeled = members.join(
-        corpus.select(F.col(id_col), F.col(label_col).alias("__label")), id_col
-    )
+    labeled = members.withColumnRenamed(label_col, "__label")
     per_label = labeled.groupBy("cell", "__label").agg(
         F.count(F.lit(1)).alias("__n"), F.sum("__cos").alias("__cos_sum")
     )

@@ -86,6 +86,19 @@ def asof_join(
             f"output columns collide with left columns: {sorted(clash)}; "
             "rename the left columns or the right payload before joining"
         )
+    # payload names must also be disjoint from the join machinery: the key
+    # or right-ts in payload_cols duplicates a select column (a far-away
+    # unionByName error), and a reserved internal name would be silently
+    # OVERWRITTEN by the side/ts/bucket tags — the payload would carry the
+    # tag value for every matched row
+    reserved = {key, right_ts, "__side", "__ats", "__bkt"}
+    bad = reserved & set(payload_cols)
+    if bad:
+        raise ValueError(
+            f"payload_cols {sorted(bad)} collide with the join key/timestamp "
+            "or reserved internal columns (__side/__ats/__bkt); rename them "
+            "on the right side before joining"
+        )
     dirs = ("backward", "forward") if direction == "nearest" else (direction,)
     lt = F.col(left_ts).cast("timestamp")
     rt = F.col(right_ts).cast("timestamp")

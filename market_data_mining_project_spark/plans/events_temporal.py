@@ -71,11 +71,15 @@ def q_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ASOF_ENRICHMENT = """
 WITH l AS (
+  -- ts IS NOT NULL mirrors asof_join's documented NULL-exclusion contract:
+  -- a NULL-ts event carries no as-of position and is dropped, not emitted
+  -- with sentinel values (the Spark plan filters it; the native ASOF LEFT
+  -- JOIN would have kept it)
   SELECT event_id, user_id, event_type, ts, value
-  FROM events WHERE event_type IN ('view', 'click')
+  FROM events WHERE event_type IN ('view', 'click') AND ts IS NOT NULL
 ), p AS (
   SELECT user_id, ts, MAX(value) AS pvalue
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
   GROUP BY user_id, ts
 )
 SELECT l.event_id, l.user_id, l.event_type,
@@ -403,9 +407,13 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SESSION_STATS = """
 WITH e AS (
+  -- ts IS NOT NULL: sessionize excludes NULL-timestamp rows (they have no
+  -- position in a gap-based session); without the filter the window
+  -- orders them NULLS LAST and the NULL LAG comparison opens a phantom
+  -- session the Spark plan never produces
   SELECT event_id, user_id, epoch_ms(ts) // 1000 AS te,
          CAST(ROUND(value * 100) AS BIGINT) AS cents
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), flagged AS (
   SELECT *, CASE WHEN te - LAG(te) OVER w <= 7200 THEN 0 ELSE 1 END AS new_s
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY te, event_id)

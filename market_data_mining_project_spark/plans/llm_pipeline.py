@@ -847,25 +847,27 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Uniform-target plan arithmetic, expression-for-expression the Python in
-#: corpus.mixture_weights: weight = 1/n (n = source count), budget =
-#: min(tokens·1.0 / weight), rate = weight·budget/tokens, expected =
-#: trunc(weight·budget) — TRUNC, not CAST, because Python int() truncates
-#: while DuckDB CAST(... AS BIGINT) rounds.
+#: corpus.mixture_weights: the uniform target covers TOKEN-HAVING sources
+#: only (a zero/NULL-token source cannot be targeted — it would pin the
+#: budget at 0 — but still plans as a weight-0/rate-0 row), weight = 1/n
+#: over those, budget = min over them of tokens·1.0 / weight, rate =
+#: weight·budget/tokens, expected = trunc(weight·budget) — TRUNC, not
+#: CAST, because Python int() truncates while DuckDB CAST rounds.
 SQL_MIXTURE_PLAN = """
 WITH tok AS (
   SELECT source,
-         CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+'))) AS BIGINT) AS tokens
+         CAST(COALESCE(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+'))), 0) AS BIGINT) AS tokens
   FROM documents GROUP BY source
 ), s AS (
-  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok WHERE tokens > 0
 ), b AS (
-  SELECT MIN(tokens * 1.0 / (1.0 / s.n)) AS budget FROM tok, s
+  SELECT MIN(tokens * 1.0 / (1.0 / s.n)) AS budget FROM tok, s WHERE tokens > 0
 )
 SELECT t.source,
        t.tokens,
-       ROUND(1.0 / s.n, 6) AS weight,
-       ROUND((1.0 / s.n) * b.budget / t.tokens, 6) AS sample_rate,
-       CAST(TRUNC((1.0 / s.n) * b.budget) AS BIGINT) AS expected_tokens
+       ROUND(CASE WHEN t.tokens > 0 THEN 1.0 / s.n ELSE 0.0 END, 6) AS weight,
+       ROUND(CASE WHEN t.tokens > 0 THEN (1.0 / s.n) * b.budget / t.tokens ELSE 0.0 END, 6) AS sample_rate,
+       CAST(TRUNC(CASE WHEN t.tokens > 0 THEN (1.0 / s.n) * b.budget ELSE 0.0 END) AS BIGINT) AS expected_tokens
 FROM tok t, s, b
 ORDER BY t.source
 """

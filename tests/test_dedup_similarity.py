@@ -903,3 +903,37 @@ def test_leakage_free_folds_tolerates_docs_cluster_column(spark):
     # doc 2 hashes its cluster representative (doc 1's id), so both members
     # of the pair land in the same fold
     assert out[1][1] == out[2][1]
+
+
+def test_blocked_cosine_equals_naive_exactly(spark, sf_dir):
+    """Blocked == naive BIT-FOR-BIT, cos values included: the matmul is only
+    the candidate filter (epsilon margin); emitted values come from the same
+    left-fold arithmetic the naive path's F.aggregate uses, rounded by the
+    same JVM F.round — BLAS summation order can no longer flip a rounded
+    value or a threshold verdict."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(40)
+    naive = {
+        (r.id_a, r.id_b): r.cos
+        for r in SIM.cosine_near_dups(emb, "embedding", "vec_id", threshold=0.2).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.cos
+        for r in SIM.cosine_near_dups_blocked(
+            emb, "embedding", "vec_id", threshold=0.2, n_blocks=4
+        ).collect()
+    }
+    assert blocked == naive and naive, f"{len(naive)} naive vs {len(blocked)} blocked"
+
+
+def test_assign_cells_keep_cols_pass_through(spark):
+    """keep_cols ride the assignment scan on BOTH physical paths — the
+    consumer no longer pays a corpus-sized join-back for a projected-away
+    column (cluster_profile's label)."""
+    rows = [(i, [float(i % 3), float(i % 5)], f"lab{i % 2}") for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, lab string")
+    cents = [[0.0, 0.0], [2.0, 4.0]]
+    got = SIM.assign_cells(df, cents, "embedding", "vec_id", keep_cols=("lab",))
+    assert set(got.columns) == {"vec_id", "embedding", "cell", "lab"}
+    assert {r.vec_id: r.lab for r in got.collect()} == {i: f"lab{i % 2}" for i in range(12)}
+    with pytest.raises(ValueError, match="collide"):
+        SIM.assign_cells(df, cents, "embedding", "vec_id", keep_cols=("cell",))

@@ -114,3 +114,14 @@ def test_bm25_index_bucketed_by_term_aggregates_without_shuffle(spark, sf_dir):
         assert via_index == via_scan
     finally:
         spark.sql("DROP TABLE IF EXISTS bm25_index")
+
+
+def test_corpus_stats_null_text_skips_avgdl(spark):
+    """NULL text contributes to N but not avgdl (size's legacy -1 must not
+    average in), matching the SQL twin's AVG-over-NULL-skipping."""
+    from market_data_mining_project_spark.operators.retrieval import corpus_stats
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "d e"), (3, None)], "id long, text string")
+    n, avgdl = corpus_stats(df, "text")
+    assert n == 3
+    assert abs(avgdl - 2.5) < 1e-12

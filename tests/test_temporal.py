@@ -466,3 +466,52 @@ def test_range_join_zero_radius_and_bad_inputs(spark):
         TEMP.range_join_count(left, right, "lts", "ts", -5)
     with pytest.raises(ValueError, match="band"):
         TEMP.range_join_count(left, right, "lts", "ts", 10, band_secs=0)
+
+
+def test_asof_join_rejects_reserved_payload_names(spark):
+    from market_data_mining_project_spark.operators import temporal as TEMP
+
+    left = spark.createDataFrame([(1, 100)], "k long, t long").select(
+        "k", F.col("t").cast("timestamp").alias("t")
+    )
+    right = spark.createDataFrame([(1, 50, 9.0)], "k long, rt long, pvalue double").select(
+        "k", F.col("rt").cast("timestamp").alias("rt"), "pvalue"
+    )
+    for bad in (["k", "pvalue"], ["__side"], ["rt"]):
+        with pytest.raises(ValueError, match="collide"):
+            TEMP.asof_join(left, right, key="k", left_ts="t", right_ts="rt", payload_cols=bad)
+
+
+def test_asof_and_session_oracles_align_on_null_ts(spark, tmp_path):
+    """A NULL-timestamp event must be handled identically by the Spark plan
+    and the DuckDB oracle: EXCLUDED (the operator contract) — previously the
+    native ASOF LEFT JOIN kept it with sentinels and the session oracle
+    opened a phantom session for it."""
+    import duckdb
+
+    from market_data_mining_project_spark.plans import events_temporal as ET
+    from tests.oracle_harness import compare
+
+    rows = [
+        (1, 1000, 7, "view", 1.0, "{}"),
+        (2, 900, 7, "purchase", 5.0, "{}"),
+        (3, None, 7, "view", 2.0, "{}"),
+        (4, None, 7, "purchase", 9.0, "{}"),
+        (5, 2000, 8, "click", 3.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, te long, user_id long, event_type string, value double, props string"
+    ).select(
+        "event_id", F.col("te").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        # Spark writes a directory layout; DuckDB needs the part-file glob
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    asof = ET.q_asof_enrichment(spark, str(tmp_path))
+    assert compare("asof_null_ts", asof, con.sql(ET.SQL_ASOF_ENRICHMENT)) == []
+    sess = ET.q_session_stats(spark, str(tmp_path))
+    assert compare("session_null_ts", sess, con.sql(ET.SQL_SESSION_STATS)) == []
