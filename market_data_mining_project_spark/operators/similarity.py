@@ -197,18 +197,20 @@ def cosine_near_dups_blocked(
         ]
     )
 
-    def _fold_dot(a, b) -> float:
-        # STRICT left fold, bit-identical to the JVM `dot`/`norm`
+    def _fold_rows(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+        # STRICT left fold per row, bit-identical to the JVM `dot`/`norm`
         # expressions (F.aggregate) the naive path and the SQL oracles use:
-        # IEEE adds are deterministic given order, so recomputing the few
-        # admitted candidates this way makes blocked == naive EXACTLY.
+        # the loop runs over DIMENSIONS (vectorized across rows), so each
+        # row's accumulator sees exactly the scalar fold's add order and
+        # IEEE determinism makes blocked == naive EXACTLY — at numpy speed
+        # (dim iterations of elementwise ops, not pairs × dim Python).
         # BLAS matmul (blocked/FMA summation) can differ in the last ulp,
         # which flips ROUND(...,6) at a rounding midpoint — matmul is the
         # O(N²) candidate FILTER (with an epsilon admission margin), never
         # the emitted value.
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + float(x) * float(y)
+        acc = np.zeros(a.shape[0], dtype="float64")
+        for d in range(a.shape[1]):
+            acc = acc + a[:, d] * b[:, d]
         return acc
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -235,19 +237,9 @@ def cosine_near_dups_blocked(
             # arbitrary id order — normalize to (min, max) instead of filtering
             mask = admit
         li, ri = np.nonzero(mask)
-        norms: dict[tuple[str, int], float] = {}
-
-        def _norm_of(side: str, mat, i: int) -> float:
-            key = (side, i)
-            got = norms.get(key)
-            if got is None:
-                got = norms[key] = float(np.sqrt(_fold_dot(mat[i], mat[i])))
-            return got
-
-        cos = [
-            _fold_dot(ml[i], mr[j]) / (_norm_of("l", ml, i) * _norm_of("r", mr, j))
-            for i, j in zip(li, ri)
-        ]
+        nl = np.sqrt(_fold_rows(ml, ml))
+        nr = np.sqrt(_fold_rows(mr, mr))
+        cos = _fold_rows(ml[li], mr[ri]) / (nl[li] * nr[ri])
         id_a, id_b = ia[mask], ib[mask]
         lo = np.minimum(id_a, id_b)
         hi = np.maximum(id_a, id_b)
@@ -255,7 +247,7 @@ def cosine_near_dups_blocked(
             {
                 "id_a": lo.astype("int64"),
                 "id_b": hi.astype("int64"),
-                "cos": np.asarray(cos, dtype="float64"),
+                "cos": cos.astype("float64"),
             }
         )
 
