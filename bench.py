@@ -28,11 +28,18 @@ all-caches-warm one):
   repeats would populate the in-process state this profile excludes. Set
   ``SPARK_GRAFT_BENCH_FRESH=0`` to skip it.
 
-Prints ONE JSON line:
-``{"metric": ..., "value": cold_total, "unit": "sec", "queries": {...},
-   "value_warm": warm_total, "queries_warm": {...},
-   "value_warm_fresh": ..., "queries_warm_fresh": {...}, "cache_state":
-   "cold+warm+warm_fresh", "sf": ...}``
+Prints ONE JSON line, scalar totals at BOTH ends so either truncation
+direction of the driver's bounded tail keeps all three profile totals:
+``{"metric": ..., "value": cold_total, "unit": "sec", "value_warm": ...,
+   "cache_state": ..., "sf": ..., "queries": {...}, "queries_warm": {...},
+   "telemetry": {name: {"spill_bytes", "peak_exec_mem",
+   "shuffle_write_bytes", "stages"}, ...},
+   "value_warm_fresh": ..., "queries_warm_fresh": {...},
+   "totals": {"cold": ..., "warm": ..., "warm_fresh": ...}}``
+
+``telemetry`` (cold pass only) sums shuffle spill and takes max
+peak-execution-memory over each entry's completed stages via the status
+REST API — the fits-at-the-next-SF signal a timing alone can't give.
 
 ``SPARK_GRAFT_BENCH_REPEATS=N`` (default 1) re-times each WARM-pass query
 N times and reports the per-query MINIMUM — the standard ambient-load
@@ -57,8 +64,66 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _time_catalog(spark, queries, sf_dir: str, repeats: int) -> dict[str, float]:
+class _StageTelemetry:
+    """Per-entry shuffle-spill / peak-execution-memory capture via the
+    Spark status REST API (the same numbers the UI's stage page shows).
+    At a fixed SF a timing says "fast here"; spill + peak memory say
+    whether the entry still FITS at the next SF — the distinction the
+    100 TB design claim rests on. Degrades to absent on any REST failure
+    (UI off, port probe fails): telemetry must never cost a measured
+    pass."""
+
+    def __init__(self, spark):
+        self._base = None
+        self._seen: set = set()
+        try:
+            ui = spark.sparkContext._jsc.sc().uiWebUrl()
+            if ui.isDefined():
+                app_id = spark.sparkContext.applicationId
+                self._base = f"{ui.get()}/api/v1/applications/{app_id}"
+                self._snapshot()  # baseline: stages from warm-up don't count
+        except Exception:
+            self._base = None
+
+    def _stages(self) -> list:
+        import urllib.request
+
+        with urllib.request.urlopen(f"{self._base}/stages?status=complete", timeout=10) as r:
+            return json.loads(r.read())
+
+    def _snapshot(self) -> list:
+        new = []
+        for s in self._stages():
+            key = (s.get("stageId"), s.get("attemptId"))
+            if key not in self._seen:
+                self._seen.add(key)
+                new.append(s)
+        return new
+
+    def sample(self) -> dict | None:
+        """Metrics summed over the stages completed since the last call."""
+        if self._base is None:
+            return None
+        try:
+            new = self._snapshot()
+        except Exception:
+            self._base = None  # one failure disables; don't retry per query
+            return None
+        return {
+            "spill_bytes": sum(
+                s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0) for s in new
+            ),
+            "peak_exec_mem": max((s.get("peakExecutionMemory", 0) for s in new), default=0),
+            "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in new),
+            "stages": len(new),
+        }
+
+
+def _time_catalog(
+    spark, queries, sf_dir: str, repeats: int, telemetry: dict | None = None
+) -> dict[str, float]:
     timings: dict[str, float] = {}
+    tel = _StageTelemetry(spark) if telemetry is not None else None
     for name, fn in sorted(queries.items()):
         best = None
         for _ in range(repeats):
@@ -70,6 +135,10 @@ def _time_catalog(spark, queries, sf_dir: str, repeats: int) -> dict[str, float]
             # later queries aren't measured under another query's footprint
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+        if tel is not None:
+            sampled = tel.sample()
+            if sampled is not None:
+                telemetry[name] = sampled
     return timings
 
 
@@ -172,26 +241,36 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    spark = get_spark("mdmp-bench", **{"spark.ui.enabled": "false"})
+    # UI on: the stage REST API is the telemetry source (spill/peak-mem per
+    # entry); the listener overhead is noise at catalog granularity
+    spark = get_spark("mdmp-bench", **{"spark.ui.enabled": "true"})
     queries = entry_mod.queries()
     _warmup(spark)
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
     # cold is ALWAYS single-shot: a second repeat would serve the caches the
     # first repeat published, and min-of-N would report that as "cold"
-    cold = _time_catalog(spark, queries, sf_dir, repeats=1)
+    telemetry: dict = {}
+    cold = _time_catalog(spark, queries, sf_dir, repeats=1, telemetry=telemetry)
     warm = _time_catalog(spark, queries, sf_dir, repeats)
 
+    # key order is the artifact contract: the driver records a bounded TAIL
+    # of this line, so the three totals ride at BOTH ends — scalars first
+    # (head truncation) and a compact `totals` trailer LAST (the observed
+    # tail truncation) — making any surviving fragment self-sufficient for
+    # round-over-round totals without the per-query maps.
     out = {
         "metric": "catalog_total_runtime",
         "value": round(sum(cold.values()), 3),
         "unit": "sec",
-        "queries": cold,
         "value_warm": round(sum(warm.values()), 3),
-        "queries_warm": warm,
         "cache_state": "cold+warm",
         "sf": sf,
+        "queries": cold,
+        "queries_warm": warm,
     }
+    if telemetry:
+        out["telemetry"] = telemetry
     if os.environ.get("SPARK_GRAFT_BENCH_FRESH", "1") != "0":
         # measured AFTER the in-process passes so the child sees exactly
         # the artifacts they published; its own JVM spin-up is excluded by
@@ -204,6 +283,12 @@ def main() -> None:
             out["value_warm_fresh"] = round(sum(fresh.values()), 3)
             out["queries_warm_fresh"] = fresh
             out["cache_state"] = "cold+warm+warm_fresh"
+    out["totals"] = {
+        "cold": out["value"],
+        "warm": out["value_warm"],
+        "warm_fresh": out.get("value_warm_fresh"),
+        "cache_state": out["cache_state"],
+    }
     print(json.dumps(out))
 
 

@@ -247,6 +247,29 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     )
 
 
+#: single-slot cache registry, one slot per operator: the self-join caches
+#: below pin an intermediate frame in executor storage, and Spark's
+#: ContextCleaner does NOT unpersist on Python GC — without a lifecycle,
+#: every call leaks one cached frame for the session lifetime. A new call
+#: unpersists the PREVIOUS call's frame (correct either way — a still-lazy
+#: earlier result just recomputes), so a long-lived session pins at most
+#: one frame per operator. Mirrors the ``_CENTROID_BC`` broadcast slot in
+#: :mod:`..operators.similarity`.
+_PINNED_CACHES: dict = {}
+
+
+def _cache_single_slot(df: DataFrame, slot: str) -> DataFrame:
+    prev = _PINNED_CACHES.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # a torn-down SparkContext must not block the new cache
+    df = df.cache()
+    _PINNED_CACHES[slot] = df
+    return df
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -310,8 +333,11 @@ def minhash_lsh_candidates(
     # cache: the self-join would otherwise replay the scan + shingle
     # build + 32-hash signature pipeline ONCE PER JOIN SIDE — the
     # operator's dominant cost doubled (the simhash sibling documents the
-    # same hazard). Lazy cache: the first action materializes it once.
-    banded = banded.cache()
+    # same hazard; verified: the bucket join broadcasts at fixture scale so
+    # ReuseExchange never fires to dedupe the sides). Lazy cache, single-slot
+    # lifecycle: the first action materializes it once, the NEXT call
+    # releases it.
+    banded = _cache_single_slot(banded, "minhash_banded")
     left = banded.withColumnRenamed("doc", "doc_a")
     right = banded.withColumnRenamed("doc", "doc_b")
     return (
@@ -643,8 +669,9 @@ def simhash_near_dups(
     with exact Hamming distance within buckets."""
     # cache: both sides of the bucket self-join reference the signature frame,
     # and it's tiny (id + one long per doc) — without it the whole
-    # shingle/hash aggregation runs twice
-    sig = simhash_signatures(df, text_col, id_col).cache()
+    # shingle/hash aggregation runs twice. Single-slot lifecycle: the next
+    # call releases this call's pinned frame (see _cache_single_slot).
+    sig = _cache_single_slot(simhash_signatures(df, text_col, id_col), "simhash_sig")
     chunks = sig.select(
         "doc",
         "sig",

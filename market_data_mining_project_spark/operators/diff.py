@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from market_data_mining_project_spark.functions import stats as ST
@@ -158,6 +158,40 @@ def welch_t_test(df: DataFrame, group: str, value: str, g1, g2) -> dict:
     }
 
 
+#: Cap on the DISTINCT-VALUE frame the rank/ECDF cumulative windows walk.
+#: The walk is single-task by design (it derives global ranks), safe only
+#: because it runs over the per-value histogram, not the rows — but a
+#: continuous double column can have |distinct| ≈ |rows|, silently turning
+#: the walk back into a global row sort. Past this cap the plan RAISES at
+#: execution (lazy, in-plan — no extra validation pass) instead: quantize
+#: the metric (cents, millis) or sample first, like the reference's capped
+#: stat samples (views.py:1708-1754). 4M values ≈ 100 MB of walk state in
+#: the one task — comfortable; 100× that is not.
+MAX_RANK_DISTINCT_VALUES = 4_000_000
+
+
+def _bounded_walk(nv: Column, expr: Column, op: str) -> Column:
+    """Wrap a histogram-walk output so exceeding the distinct-value cap
+    fails loudly AT EXECUTION, inside the same single pass (the guard rides
+    the load-bearing column — Catalyst cannot prune it)."""
+    return F.when(
+        nv > MAX_RANK_DISTINCT_VALUES,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{op}: distinct-value count "
+                ),
+                nv.cast("string"),
+                F.lit(
+                    f" exceeds MAX_RANK_DISTINCT_VALUES={MAX_RANK_DISTINCT_VALUES}; "
+                    "the single-task rank walk would degrade to a global row "
+                    "sort — quantize the value column or sample the input"
+                ),
+            )
+        ).cast("double"),
+    ).otherwise(expr)
+
+
 def rank_sums(df: DataFrame, group: str, value: str) -> DataFrame:
     """Tie-aware average-rank sums WITHOUT ranking individual rows.
 
@@ -168,7 +202,9 @@ def rank_sums(df: DataFrame, group: str, value: str) -> DataFrame:
     rank sum is Σ n_g(v)·avg_rank(v). Full rows never funnel through a
     single-partition sort — only the distinct-value histogram does. (The
     reference instead caps the sample at 2.5K rows, views.py:1708-1754; this
-    stays exact AND distributed.)"""
+    stays exact AND distributed.) Inputs whose distinct-value count exceeds
+    ``MAX_RANK_DISTINCT_VALUES`` fail loudly at execution instead of
+    silently single-task-sorting the data."""
     per_gv = df.groupBy(value, group).agg(
         F.count(F.lit(1)).cast("double").alias("n_gv")
     )
@@ -176,9 +212,17 @@ def rank_sums(df: DataFrame, group: str, value: str) -> DataFrame:
     w_cum = Window.orderBy(F.col(value).asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    w_all = Window.orderBy(F.col(value).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     ranked_vals = vals.withColumn("cum_t", F.sum("t").over(w_cum)).withColumn(
         # ranks occupied by a tied value v: (cum_t - t, cum_t]; their mean
-        "avg_rank", F.col("cum_t") - F.col("t") + (F.col("t") + F.lit(1.0)) / 2.0
+        "avg_rank",
+        _bounded_walk(
+            F.count(F.lit(1)).over(w_all),
+            F.col("cum_t") - F.col("t") + (F.col("t") + F.lit(1.0)) / 2.0,
+            "rank_sums",
+        ),
     )
     return (
         per_gv.join(F.broadcast(ranked_vals.select(value, "avg_rank")), value)
@@ -236,16 +280,22 @@ def ks_statistic(df: DataFrame, group: str, value: str, g1, g2) -> DataFrame:
     Same two-phase shape as ``rank_sums``: per-value group counts first (one
     map-side-combinable aggregate — ties collapse here, so the ECDF step at a
     tied value completes naturally), then cumulative sums over the small
-    distinct-value histogram. No row-level global sort."""
+    distinct-value histogram. No row-level global sort. Same
+    ``MAX_RANK_DISTINCT_VALUES`` execution-time bound as
+    :func:`rank_sums`."""
     sub = df.filter(F.col(group).isin([g1, g2])).select(group, value)
     per_v = sub.groupBy(value).agg(
         F.sum(F.when(F.col(group) == g1, 1.0).otherwise(0.0)).alias("t1"),
         F.sum(F.when(F.col(group) == g2, 1.0).otherwise(0.0)).alias("t2"),
     )
     w = Window.orderBy(F.col(value).asc()).rowsBetween(Window.unboundedPreceding, 0)
-    cdf = per_v.withColumn("c1", F.sum("t1").over(w)).withColumn(
-        "c2", F.sum("t2").over(w)
+    w_all = Window.orderBy(F.col(value).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    cdf = per_v.withColumn(
+        "c1",
+        _bounded_walk(F.count(F.lit(1)).over(w_all), F.sum("t1").over(w), "ks_statistic"),
+    ).withColumn("c2", F.sum("t2").over(w))
     totals = per_v.agg(F.sum("t1").alias("n1"), F.sum("t2").alias("n2"))
     # try_divide: an empty group must surface as a NULL statistic for the
     # caller's absent-group ValueError, not as an ANSI ArithmeticException

@@ -224,6 +224,65 @@ def ntile_score(
 ) -> DataFrame:
     """Quantile scoring 1..n via NTILE with a deterministic tiebreaker
     (W3/W4; reference ``pd.qcut(... .rank(method='first'))``,
-    analytics.py:223-230)."""
+    analytics.py:223-230).
+
+    Global-order window: ONE task sorts the whole frame. Kept as the
+    general path (works for any metric, incl. unbounded-distinct floats);
+    for bounded-distinct metrics use :func:`ntile_score_histogram` — the
+    same scores with no single-task sort over the data frame."""
     order = [metric.desc() if descending else metric.asc(), tiebreak.asc()]
     return df.withColumn(out, F.ntile(n).over(Window.orderBy(*order)))
+
+
+def ntile_score_histogram(
+    df: DataFrame, metric: str, n: int, out: str, tiebreak: str, descending: bool = False
+) -> DataFrame:
+    """Distributed exact NTILE — bit-identical to :func:`ntile_score`
+    (same ``ORDER BY metric, tiebreak`` global rank, same SQL NTILE bucket
+    arithmetic) with NO unpartitioned window over the data frame.
+
+    The global rank decomposes: rank(row) = (# rows strictly before this
+    row's metric VALUE) + (row_number within the value, ordered by the
+    tiebreaker). The first term comes from a counting-histogram walk (one
+    map-side-combinable hash aggregate → cumulative sum over the
+    ≤|distinct metric values| summary rows — the :func:`...sketches.
+    value_histogram` move), broadcast-joined back; the second is a window
+    PARTITIONED by the metric value. NTILE(n) is then pure arithmetic on
+    (rank, total): the first ``total mod n`` buckets take ``⌈total/n⌉``
+    rows, the rest ``⌊total/n⌋`` — SQL-standard, matching Spark/DuckDB.
+
+    Bounds, stated honestly: the single-partition walk is over the
+    HISTOGRAM (2 narrow columns, ≤|distinct values| rows — days, counts,
+    cents grades: ~10³–10⁶), never the data frame; the within-value
+    window inherits the metric's tie skew (a value shared by m rows sorts
+    m rows in one task — rank(method='first') semantics make that tie
+    order irreducible). NULL metrics sort first (asc) / last (desc),
+    matching the window path's default null ordering.
+    """
+    mcol = F.col(metric)
+    order = mcol.desc_nulls_last() if descending else mcol.asc_nulls_first()
+    hist = df.groupBy(metric).agg(F.count(F.lit(1)).alias("__cnt"))
+    w_cum = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy(order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    walk = hist.select(
+        mcol.alias("__mv"),
+        (F.sum("__cnt").over(w_cum) - F.col("__cnt")).alias("__base"),
+        F.sum("__cnt").over(w_all).alias("__n"),
+    )
+    # eqNullSafe: the NULL-metric group must join back to its walk row
+    joined = df.join(F.broadcast(walk), mcol.eqNullSafe(F.col("__mv")), "inner").drop("__mv")
+    w_in = Window.partitionBy(metric).orderBy(F.col(tiebreak).asc())
+    r = F.col("__base") + F.row_number().over(w_in).cast("long")
+    total = F.col("__n").cast("long")
+    q = F.lit(int(n)).cast("long")
+    b = F.floor(total / q).cast("long")  # small-bucket size
+    rem = total % q  # this many leading buckets hold b+1 rows
+    threshold = rem * (b + 1)
+    tile = F.when(r <= threshold, F.floor((r - 1) / (b + 1)) + 1).otherwise(
+        # greatest(b,1): when total < n every rank falls in the when-branch
+        # (threshold = total), but ANSI mode must never see a /0 literal
+        rem + F.floor((r - threshold - 1) / F.greatest(b, F.lit(1))) + 1
+    )
+    return joined.withColumn(out, tile.cast("int")).drop("__base", "__n")

@@ -7,17 +7,20 @@ this is ONE lazy plan: hash aggregate → quantile scoring → native
 ``when``-chain — no driver-side loop, writable with a single
 ``write.mode('overwrite')``.
 
-Quantile scoring has two implementations:
+Quantile scoring has three implementations:
 
-- :func:`ntile_scores` — exact NTILE(5) with a deterministic tiebreaker
+- :func:`ntile_scores_histogram` — the SHIPPED exact path: NTILE(5) with
+  the deterministic tiebreaker, decomposed into a counting-histogram rank
+  walk + a metric-value-partitioned tiebreak window — bit-identical scores
+  to the window NTILE with no single-task sort over the customer frame.
+- :func:`ntile_scores` — the same semantics as one global-order window
   (mirrors the reference's ``rank(method='first')`` tie handling,
-  analytics.py:224). NTILE without PARTITION BY is a single-partition global
-  sort — fine for ≤ tens of millions of customers, and oracle-checkable.
-- :func:`quantile_edge_scores` — the 100 TB path: compute 4 quantile edges
-  per metric with ``approxQuantile`` (a driver-side array of 12 doubles),
-  then score by comparison against broadcast edges. No global sort, no
-  single-partition window; fully parallel. Matches ``pd.qcut`` semantics
-  (value-edge buckets) up to approximation error.
+  analytics.py:224). NTILE without PARTITION BY is a single-partition
+  global sort — kept as the any-metric fallback and the parity pin.
+- :func:`quantile_edge_scores` — value-edge buckets à la ``pd.qcut``:
+  4 quantile edges per metric (GK sketch, or exact interpolated
+  percentiles), score by comparison against broadcast edges. Different
+  (value-bucket) semantics, fully parallel, also shipped (``*_q``).
 """
 
 from __future__ import annotations
@@ -76,8 +79,9 @@ def ntile_scores(rfm: DataFrame, customer: str, quantiles: int = 5) -> DataFrame
     """Exact quintile scores with deterministic tiebreakers.
 
     R: low recency → high score (label order [5..1], analytics.py:223);
-    F/M: high value → high score. Single-partition window — use
-    :func:`quantile_edge_scores` beyond ~10^8 customers.
+    F/M: high value → high score. Single-partition window — kept as the
+    any-metric fallback; the pipeline ships
+    :func:`ntile_scores_histogram` (same scores, distributed).
     """
     tiebreak = F.col(customer).asc()
     w_r = Window.orderBy(F.col("recency").asc(), tiebreak)
@@ -88,6 +92,30 @@ def ntile_scores(rfm: DataFrame, customer: str, quantiles: int = 5) -> DataFrame
         .withColumn("frequency_score", F.ntile(quantiles).over(w_f).cast("int"))
         .withColumn("monetary_score", F.ntile(quantiles).over(w_m).cast("int"))
     )
+
+
+def ntile_scores_histogram(rfm: DataFrame, customer: str, quantiles: int = 5) -> DataFrame:
+    """Exact quintile scores, DISTRIBUTED — bit-identical to
+    :func:`ntile_scores` (same ``ORDER BY metric ASC, customer ASC`` rank,
+    same NTILE bucket arithmetic) with no single-task sort over the
+    customer frame: each metric's base rank comes from a counting-histogram
+    walk (the :func:`...operators.sketches.value_histogram` merge move) and
+    the tiebreak from a window PARTITIONED by the metric value
+    (see :func:`...operators.relational.ntile_score_histogram`).
+
+    The R/F/M metrics are histogram-bounded by construction: recency is
+    integer days (≤ calendar span), frequency integer basket counts,
+    monetary a 2dp money value whose distinct count is ≤ |customers| and
+    in practice ≪ it — so every walk frame is a small summary, never the
+    data."""
+    from market_data_mining_project_spark.operators.relational import ntile_score_histogram
+
+    scored = ntile_score_histogram(rfm, "recency", quantiles, "__r_tile", customer)
+    scored = ntile_score_histogram(scored, "frequency", quantiles, "frequency_score", customer)
+    scored = ntile_score_histogram(scored, "monetary", quantiles, "monetary_score", customer)
+    return scored.withColumn(
+        "recency_score", (F.lit(quantiles + 1) - F.col("__r_tile")).cast("int")
+    ).drop("__r_tile")
 
 
 def quantile_edge_scores(
@@ -192,7 +220,10 @@ def rfm_pipeline(
     sales: str,
     exact: bool = True,
 ) -> DataFrame:
-    """End-to-end M5: metrics → scores → segments, one lazy plan."""
+    """End-to-end M5: metrics → scores → segments, one lazy plan.
+
+    The exact path ships the DISTRIBUTED histogram NTILE (identical scores
+    to the window NTILE, pytest-pinned; no global single-task sort)."""
     base = rfm_base(fact, customer, basket, day, sales)
-    scored = ntile_scores(base, customer) if exact else quantile_edge_scores(base)
+    scored = ntile_scores_histogram(base, customer) if exact else quantile_edge_scores(base)
     return segment(scored)

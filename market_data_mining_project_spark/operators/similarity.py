@@ -61,15 +61,27 @@ def cosine_topk(
     be re-keyed first (an accidental id collision would silently drop a
     legitimate neighbor). Norms are computed once per row per side BEFORE
     the pair join — cosine() per pair folds both arrays 3×.
+
+    Zero-norm vectors are DROPPED on both sides (cosine undefined; under
+    ANSI mode the 0/0 would abort the whole query) — shared with
+    :func:`ivf_topk` / :func:`lsh_topk` and the near-dup pair operators.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("__qn", norm(F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("__cn", norm(F.col("cv")))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("__qn", norm(F.col("qv")))
+        .filter(F.col("__qn") > 0)
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("__cn", norm(F.col("cv")))
+        .filter(F.col("__cn") > 0)
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -117,12 +129,22 @@ def cosine_near_dups(
     buckets or :func:`ivf_assign` cells and verify survivors with this exact
     cosine (the same candidates-then-verify shape as MinHash dedup).
     Returns (id_a, id_b, cos) with id_a < id_b.
+
+    Zero-norm vectors are DROPPED up front (cosine undefined): under ANSI
+    mode the 0/0 division would ABORT the whole query, and under non-ANSI
+    Spark's total order puts the resulting NaN above every double, so
+    ``cos >= threshold`` would ADMIT undefined pairs — while the blocked
+    path's numpy ``admit`` (IEEE: NaN >= x is False) drops them. The
+    explicit norm filter makes both paths agree on the one input class
+    where blocked == naive could break.
     """
     # precompute each side's norm ONCE per row — computing cosine() inside
     # the pair loop folds both arrays 3× per pair instead of 1×
-    base = corpus.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("n", norm(F.col("v")))
+    base = (
+        corpus.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("n", norm(F.col("v")))
+        .filter(F.col("n") > 0)
+    )
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
     return (
@@ -359,8 +381,15 @@ def assign_cells(
     # keep_cols ride the scan so consumers that need another column
     # (cluster_profile's label) don't pay a corpus-sized join-back to
     # recover what the projection dropped
-    if "cell" in keep_cols or vec_col in keep_cols:
-        raise ValueError(f"keep_cols {keep_cols!r} collide with output columns")
+    collisions = {"cell", vec_col, id_col} & set(keep_cols)
+    if collisions:
+        # id_col included: a keep_cols duplicate of the id would emit two
+        # same-named output columns that only fail at the consumer's first
+        # ambiguous reference — the exact deferred failure this guard exists
+        # to surface at the call site instead
+        raise ValueError(
+            f"keep_cols {keep_cols!r} collide with output columns {sorted(collisions)!r}"
+        )
     keeps = [F.col(c) for c in keep_cols]
     base = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"), *keeps)
     if len(centroids) <= ASSIGN_EXPR_MAX_CELLS:
@@ -618,9 +647,13 @@ def ivf_topk(
     cent_df = spark.createDataFrame(
         [(ci, vec) for ci, vec in centroids], ["cell", "centroid"]
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("__qn", norm(F.col("qv")))  # once per query, pre-explode
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("__qn", norm(F.col("qv")))  # once per query, pre-explode
+        .filter(F.col("__qn") > 0)  # zero-norm drop (cosine_topk contract)
+    )
     # rank cells per query by SQUARED EUCLIDEAN distance to the centroid —
     # the same metric KMeans used for membership assignment. Ranking probes
     # by cosine while cells were formed by Euclidean distance silently
@@ -652,7 +685,9 @@ def ivf_topk(
     cand = qc.join(
         assigned.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
-        ).withColumn("__cn", norm(F.col("cv"))),
+        )
+        .withColumn("__cn", norm(F.col("cv")))
+        .filter(F.col("__cn") > 0),  # zero-norm drop (cosine_topk contract)
         "cell",
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.select(
@@ -723,16 +758,17 @@ def lsh_topk(
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
-    # norms BEFORE the posexplode: once per vector, not once per table
+    # norms BEFORE the posexplode: once per vector, not once per table;
+    # zero-norm rows dropped (cosine_topk contract — ANSI 0/0 would abort)
     cb = c.withColumn("c_bs", bucket_ids("cv")).withColumn(
         "__cn", norm(F.col("cv"))
-    ).select(
+    ).filter(F.col("__cn") > 0).select(
         "neighbor_id", "cv", "__cn", "c_bs",
         F.posexplode("c_bs").alias("tbl", "bucket"),
     )
     qb = q.withColumn("q_bs", bucket_ids("qv")).withColumn(
         "__qn", norm(F.col("qv"))
-    ).select(
+    ).filter(F.col("__qn") > 0).select(
         "query_id", "qv", "__qn", "q_bs",
         F.posexplode("q_bs").alias("tbl", "bucket"),
     )

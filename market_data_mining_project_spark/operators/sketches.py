@@ -117,6 +117,14 @@ def histogram_quantiles(
     Output: ``keys… , {prefix}0..{prefix}k-1`` (double), ``n_values``."""
     from pyspark.sql import Window
 
+    bad = [q for q in quantiles if not (0.0 <= float(q) <= 1.0)]
+    if bad:
+        # out-of-range q fails SILENTLY otherwise: q>1 finds no lo bracket
+        # (NULL column), q<0 clamps to the minimum — both look like answers
+        raise ValueError(
+            f"histogram_quantiles: quantiles must be in [0.0, 1.0], got {bad!r}"
+        )
+
     merged = hist.groupBy(*keys, value_col).agg(F.sum("cnt").alias("__c"))
     w_cum = (
         Window.partitionBy(*keys)

@@ -800,6 +800,35 @@ def test_minhash_rejects_indivisible_bands(spark):
         D.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=30, bands=8)
 
 
+def test_self_join_caches_use_single_slot_lifecycle(spark):
+    """The minhash/simhash self-join caches pin an intermediate frame in
+    executor storage, and Spark's ContextCleaner never unpersists on Python
+    GC — so call N must RELEASE call N−1's frame: a long-lived session pins
+    at most one frame per operator, not one per call."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc number {i} with shared tokens") for i in range(6)],
+        "doc_id long, text string",
+    )
+    # the second call uses DIFFERENT input: identical plans share one
+    # CacheManager entry (keyed on the canonicalized plan), so a same-input
+    # second call would make the released frame still LOOK cached
+    docs2 = docs.filter("doc_id < 4")
+    D.minhash_lsh_candidates(docs, "text", "doc_id").count()
+    first = D._PINNED_CACHES["minhash_banded"]
+    assert first.storageLevel.useMemory
+    D.minhash_lsh_candidates(docs2, "text", "doc_id").count()
+    second = D._PINNED_CACHES["minhash_banded"]
+    assert second is not first
+    assert not first.storageLevel.useMemory, "previous call's cache must be released"
+    assert second.storageLevel.useMemory
+
+    D.simhash_near_dups(docs, "text", "doc_id").count()
+    sig1 = D._PINNED_CACHES["simhash_sig"]
+    D.simhash_near_dups(docs2, "text", "doc_id").count()
+    assert not sig1.storageLevel.useMemory
+    assert D._PINNED_CACHES["simhash_sig"].storageLevel.useMemory
+
+
 def test_dup_clusters_raises_when_chain_exceeds_iteration_cap(spark):
     """A chain component needs ~diameter rounds; exhausting the cap with
     labels still moving must fail loudly, not silently split the group."""
@@ -937,3 +966,28 @@ def test_assign_cells_keep_cols_pass_through(spark):
     assert {r.vec_id: r.lab for r in got.collect()} == {i: f"lab{i % 2}" for i in range(12)}
     with pytest.raises(ValueError, match="collide"):
         SIM.assign_cells(df, cents, "embedding", "vec_id", keep_cols=("cell",))
+    # id_col in keep_cols would emit a DUPLICATE output column that only
+    # fails at the consumer's first ambiguous reference — guard it too
+    with pytest.raises(ValueError, match="collide"):
+        SIM.assign_cells(df, cents, "embedding", "vec_id", keep_cols=("vec_id",))
+
+
+def test_zero_norm_vectors_dropped_on_both_cosine_paths(spark):
+    """Cosine is UNDEFINED for zero vectors (0/0 → NaN). Spark's total order
+    sorts NaN above every double, so the naive path's `cos >= threshold`
+    used to ADMIT those pairs while the blocked path's numpy admit (IEEE:
+    NaN >= x is False) dropped them. Both paths now drop them — the last
+    input class where blocked == naive could break."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 0.0]),  # zero norm: every pairing with it is NaN
+        (4, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    naive = {(r.id_a, r.id_b) for r in SIM.cosine_near_dups(df, threshold=0.5).collect()}
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in SIM.cosine_near_dups_blocked(df, threshold=0.5, n_blocks=2).collect()
+    }
+    assert naive == blocked == {(1, 2)}

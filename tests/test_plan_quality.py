@@ -291,3 +291,60 @@ def test_temporal_catalog_entries_ship_bucketed_grain(spark, sf_dir):
         if re.search(r"Sort \[user_id#\d+L? ASC NULLS FIRST, __bkt#\d+", ln)
     ]
     assert grain_sorts, plan
+
+
+def test_rfm_ntile_is_distributed_histogram_rank(spark, sf_dir):
+    """r8: the shipped rfm_segments NTILE is the histogram decomposition —
+    no Spark ntile() node (that was the single-task global sort), every
+    row_number tiebreak window PARTITIONED by its metric value, and the
+    only unpartitioned windows are the bounded histogram walks (their
+    functions aggregate the __cnt summary, never the customer frame)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "rfm_segments")
+    # word boundary: 'percentile(' (the edge-score aggregate) contains the
+    # bare substring
+    assert not re.search(r"(?<![a-z])ntile\(", plan), (
+        "global-sort NTILE window still in the shipped plan"
+    )
+    for ln in plan.splitlines():
+        m = re.search(r"windowspecdefinition\(([^)]*)\)", ln)
+        if not m:
+            continue
+        spec = m.group(1)
+        has_partition = not re.match(r"\s*\w+#\d+L? (ASC|DESC)", spec)
+        if "row_number" in ln:
+            assert has_partition, f"unpartitioned row_number over the data frame:\n{ln}"
+        elif not has_partition:
+            assert "__cnt" in ln, f"unpartitioned window not over a histogram walk:\n{ln}"
+
+
+def test_rfm_histogram_scores_equal_window_scores(spark, sf_dir):
+    """The distributed NTILE ships only because it is BIT-IDENTICAL to the
+    window NTILE on the real frame: same scores, same tiebreaks — so the
+    rfm_segments oracle hash is unchanged by construction."""
+    from pyspark.sql import functions as F
+
+    from market_data_mining_project_spark.operators import rfm as RFM
+    from market_data_mining_project_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_day", F.datediff("o_orderdate", F.lit("1995-01-01").cast("date"))
+    )
+    base = RFM.rfm_base(
+        orders, customer="o_custkey", basket="o_orderkey", day="order_day",
+        sales="o_totalprice",
+    ).cache()
+    cols = ("o_custkey", "recency_score", "frequency_score", "monetary_score")
+    try:
+        want = sorted(
+            tuple(r[c] for c in cols)
+            for r in RFM.ntile_scores(base, "o_custkey").select(*cols).collect()
+        )
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in RFM.ntile_scores_histogram(base, "o_custkey").select(*cols).collect()
+        )
+    finally:
+        base.unpersist()
+    assert got == want and want

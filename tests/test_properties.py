@@ -166,6 +166,36 @@ def test_ntile_scores_in_range_and_balanced(spark, rows):
     assert counts[-1] - counts[0] <= 1  # NTILE balance property
 
 
+ntile_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1000),  # unique-able key (tiebreak)
+        st.one_of(st.none(), st.integers(min_value=0, max_value=6)),  # metric: ties + NULLs
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=ntile_rows_strategy, n=st.integers(min_value=1, max_value=7), desc=st.booleans())
+@settings(**_SETTINGS)
+def test_ntile_histogram_equals_window_ntile_property(spark, rows, n, desc):
+    """The distributed histogram NTILE must equal the global-window NTILE
+    row for row — for ANY metric distribution: heavy ties, NULL metrics
+    (asc → first, desc → last), fewer rows than buckets, both directions."""
+    df = spark.createDataFrame(rows, "k int, m int").dropDuplicates(["k"])
+    want = {
+        (r.k,): r.s
+        for r in R.ntile_score(
+            df, F.col("m"), n, "s", tiebreak=F.col("k"), descending=desc
+        ).collect()
+    }
+    got = {
+        (r.k,): r.s
+        for r in R.ntile_score_histogram(df, "m", n, "s", "k", descending=desc).collect()
+    }
+    assert got == want
+
+
 budget_docs_strategy = st.lists(
     st.tuples(
         st.sampled_from(["en", "de", "und"]),  # group

@@ -243,6 +243,21 @@ def test_histogram_merge_is_exact(spark, events):
     assert merged == full
 
 
+def test_histogram_quantiles_rejects_out_of_range_q(spark):
+    """q outside [0,1] used to fail SILENTLY: q>1 finds no lo bracket (NULL
+    column), q<0 clamps to the minimum — both look like answers. Must raise
+    up front, like pagerank/ewma/range_join_count validation."""
+    import pytest
+
+    hist = spark.createDataFrame([(1, 2), (5, 3)], "value long, cnt long")
+    for bad in ((1.5,), (-0.1,), (0.5, 2.0), (float("nan"),)):
+        with pytest.raises(ValueError, match=r"\[0\.0, 1\.0\]"):
+            SK.histogram_quantiles(hist, [], bad)
+    # boundary values remain legal
+    row = SK.histogram_quantiles(hist, [], (0.0, 1.0)).collect()[0]
+    assert (row.q0, row.q1) == (1.0, 5.0)
+
+
 def test_sketch_rollup_all_row_skips_fact_rescan(spark, sf_dir):
     """The catalog entry's quantile columns (both grains) come from the
     counting histogram — no percentile_approx (GK) node anywhere in the

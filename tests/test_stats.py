@@ -305,3 +305,28 @@ def test_salted_agg_fallback_salt_is_deterministic(spark):
         for r in df.groupBy("k").agg(F.sum("x").alias("s"), F.count("x").alias("n")).collect()
     }
     assert got == want
+
+
+def test_rank_walk_distinct_value_cap_raises_loudly(spark, monkeypatch):
+    """r8: the single-task rank/ECDF walk is safe only over a BOUNDED
+    distinct-value histogram. Past MAX_RANK_DISTINCT_VALUES the plan must
+    raise at execution (in-plan guard, no extra validation pass), never
+    silently degrade to a global row sort."""
+    from market_data_mining_project_spark.operators import diff as DIFF
+
+    rows = [("a" if i % 2 else "b", float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    monkeypatch.setattr(DIFF, "MAX_RANK_DISTINCT_VALUES", 10)
+    with pytest.raises(Exception, match="MAX_RANK_DISTINCT_VALUES"):
+        DIFF.rank_sums(df, "g", "v").collect()
+    with pytest.raises(Exception, match="MAX_RANK_DISTINCT_VALUES"):
+        DIFF.ks_statistic(df, "g", "v", "a", "b").collect()
+
+    # at/below the cap both still produce their exact outputs
+    monkeypatch.setattr(DIFF, "MAX_RANK_DISTINCT_VALUES", 20)
+    got = {r.g: (r.rank_sum, r.n) for r in DIFF.rank_sums(df, "g", "v").collect()}
+    # values 0..19 distinct: rank of v=i is i+1; group a holds odd i
+    assert got["a"] == (sum(i + 1 for i in range(20) if i % 2), 10.0)
+    ks = DIFF.ks_statistic(df, "g", "v", "a", "b").collect()[0]
+    assert abs(ks.ks_d - 0.1) < 1e-12  # alternating values: ECDFs differ by 1/10
