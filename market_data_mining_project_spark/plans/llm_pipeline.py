@@ -1170,7 +1170,11 @@ ORDER BY detected_lang
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate nearest neighbors (KMeans cells + nprobe scan) —
     rows-only: KMeans cell assignment is not SQL; recall vs exact cosine is
-    pytest-gated (tests/test_dedup_similarity.py)."""
+    pytest-gated. Operating point nprobe/n_cells = 4/16 = the 25%-scan knee
+    of the r8 recall-vs-nprobe sweep (PARITY r8: recall ≥0.8 first appears
+    at ~25% scan on the weakly-clustered synthetic embeddings — 0.825 at
+    16/64, 0.894 at 64/256; the production-width ≥0.8 gate runs at 256
+    cells in tests/test_ann_horizon.py)."""
     from market_data_mining_project_spark.ml import persistence as PERSIST
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -218,11 +218,16 @@ def test_assign_cells_arrow_path_matches_expression_path(spark, sf_dir, monkeypa
 
 
 def test_ivf_topk_recall_at_production_cell_count():
-    """The VERDICT r5 scale gate: IVF with a REAL cell count (n_cells=256,
-    nprobe=16 — the width the unrolled-expression path could never compile)
-    on the sf0.1 embeddings, recall measured against exact cosine top-k.
-    Runs its own fixed sf_dir so the gate doesn't weaken when the suite
-    runs at sf0.001."""
+    """The VERDICT r5 scale gate, r8-calibrated: IVF with a REAL cell count
+    (n_cells=256 — the width the unrolled-expression path could never
+    compile) on the sf0.1 embeddings, recall measured against exact cosine
+    top-k over 32 queries. nprobe=64 is the measured operating point: the
+    r8 recall-vs-nprobe sweep (PARITY r8, 2000 vectors, weakly clustered
+    synthetic embeddings so recall tracks scan fraction) reads 0.531 @
+    nprobe=8, 0.688 @ 16, 0.794 @ 32, **0.894 @ 64** (25% scan), 0.975 @
+    96 — the ≥0.8-recall knee sits at nprobe=64, replacing the old
+    stated-without-alternatives 0.35 @ nprobe=16 bar. Runs its own fixed
+    sf_dir so the gate doesn't weaken when the suite runs at sf0.001."""
     import os
 
     import pytest
@@ -234,19 +239,17 @@ def test_ivf_topk_recall_at_production_cell_count():
 
     spark = get_spark("mdmp-tests", **{"spark.sql.shuffle.partitions": "8"})
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 32)
     exact = {
         (r.query_id, r.neighbor_id)
         for r in SIM.cosine_topk(emb, queries, "embedding", "vec_id", k=5).collect()
     }
     approx_df = SIM.ivf_topk(
-        emb, queries, "embedding", "vec_id", k=5, n_cells=256, nprobe=16, seed=42
+        emb, queries, "embedding", "vec_id", k=5, n_cells=256, nprobe=64, seed=42
     )
     approx = {(r.query_id, r.neighbor_id) for r in approx_df.collect()}
     recall = len(exact & approx) / len(exact)
-    # 16/256 probes scan ~6% of the corpus; the synthetic embeddings are
-    # weakly clustered, so demand meaningful-but-honest recall
-    assert recall >= 0.35, f"IVF@256/16 recall {recall:.2f}"
+    assert recall >= 0.8, f"IVF@256/64 recall {recall:.2f} (measured curve: 0.894)"
 
 
 def test_assign_cells_matches_python_argmin(spark, sf_dir):

@@ -673,3 +673,68 @@ def test_validated_load_releases_cached_raw(spark, tmp_path):
     counts = csv_io.import_to_parquet(load, str(tmp_path / "landed"))
     assert counts["imported"] == 2
     assert not (load._raw.storageLevel.useMemory or load._raw.storageLevel.useDisk)
+
+
+def test_crash_between_sink_and_checkpoint_commit_stays_exactly_once(spark, tmp_path):
+    """r8 crash injection: a micro-batch commits in TWO steps — the file
+    sink's manifest entry (_spark_metadata/N) first, the checkpoint's
+    commits/N second. A crash in between leaves a batch the sink durably
+    wrote but the checkpoint believes unprocessed; on restart the engine
+    REPLAYS that batch, and exactly-once holds only if the FileStreamSink
+    consults its manifest and skips the already-committed write. Simulate
+    exactly that window by deleting the newest commits/N after a drained
+    run, then resume with new input — the sink must show every row exactly
+    once: no batch-0 duplicates, no missing batch-1 rows."""
+    import datetime as dt
+    import os
+
+    base = dt.datetime(2024, 3, 1, 9, 0, 0)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "crash_src"
+    ck = str(tmp_path / "crash_ck")
+    out_path = str(tmp_path / "crash_out")
+    batch1 = [(i, base + dt.timedelta(seconds=i), float(i)) for i in range(5)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(src))
+
+    def _drain(sink: str) -> None:
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        EV.run_bounded(
+            stream.withColumn("doubled", F.col("value") * 2),
+            sink,
+            ck,
+            state_partitions=4,
+            sink_path=out_path,
+        )
+
+    _drain("crash_sink_a")
+    assert sorted(r.user_id for r in spark.read.parquet(out_path).collect()) == list(range(5))
+    commits = sorted(f for f in os.listdir(os.path.join(ck, "commits")) if f.isdigit())
+    assert commits, "expected at least one checkpoint commit"
+
+    # the injected crash: sink manifest for the last batch EXISTS, its
+    # checkpoint commit does not. Remove the hidden Hadoop checksum sibling
+    # too — a stale .crc makes the replay's rewrite look like a concurrent
+    # writer instead of a clean crash window.
+    os.remove(os.path.join(ck, "commits", commits[-1]))
+    crc = os.path.join(ck, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    batch2 = [(i, base + dt.timedelta(seconds=i), float(i)) for i in range(5, 10)]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(str(src))
+    _drain("crash_sink_b")
+
+    got = sorted(r.user_id for r in spark.read.parquet(out_path).collect())
+    assert got == list(range(10)), f"not exactly-once after crash replay: {got}"
+    # the engine really did REPLAY the uncommitted batch (its commit file
+    # is back) and then processed the new one
+    commits_after = sorted(
+        int(f) for f in os.listdir(os.path.join(ck, "commits")) if f.isdigit()
+    )
+    assert commits_after == [0, 1], commits_after
