@@ -235,7 +235,13 @@ def ntile_score(
 
 
 def ntile_score_histogram(
-    df: DataFrame, metric: str, n: int, out: str, tiebreak: str, descending: bool = False
+    df: DataFrame,
+    metric: str,
+    n: int,
+    out: str,
+    tiebreak: str,
+    descending: bool = False,
+    hist_from: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed exact NTILE — bit-identical to :func:`ntile_score`
     (same ``ORDER BY metric, tiebreak`` global rank, same SQL NTILE bucket
@@ -258,10 +264,20 @@ def ntile_score_histogram(
     m rows in one task — rank(method='first') semantics make that tie
     order irreducible). NULL metrics sort first (asc) / last (desc),
     matching the window path's default null ordering.
+
+    ``hist_from``: build the histogram from this frame instead of ``df``.
+    Callers scoring SEVERAL metrics in a chain pass the shared upstream
+    frame so every walk aggregates the SAME subtree — Catalyst's
+    ReuseExchange then evaluates the (possibly expensive) upstream once,
+    where per-chain-link histograms would each re-run it. The caller
+    guarantees ``hist_from[metric]`` is the same multiset as
+    ``df[metric]`` (true whenever the chain only adds columns).
     """
     mcol = F.col(metric)
     order = mcol.desc_nulls_last() if descending else mcol.asc_nulls_first()
-    hist = df.groupBy(metric).agg(F.count(F.lit(1)).alias("__cnt"))
+    hist = (hist_from if hist_from is not None else df).groupBy(metric).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
     w_cum = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.orderBy(order).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

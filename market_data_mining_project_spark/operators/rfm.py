@@ -110,9 +110,16 @@ def ntile_scores_histogram(rfm: DataFrame, customer: str, quantiles: int = 5) ->
     data."""
     from market_data_mining_project_spark.operators.relational import ntile_score_histogram
 
+    # hist_from=rfm on every link: all three histogram walks aggregate the
+    # SAME upstream subtree, so ReuseExchange computes the per-customer
+    # metric aggregate once — chained histograms would each re-run it
     scored = ntile_score_histogram(rfm, "recency", quantiles, "__r_tile", customer)
-    scored = ntile_score_histogram(scored, "frequency", quantiles, "frequency_score", customer)
-    scored = ntile_score_histogram(scored, "monetary", quantiles, "monetary_score", customer)
+    scored = ntile_score_histogram(
+        scored, "frequency", quantiles, "frequency_score", customer, hist_from=rfm
+    )
+    scored = ntile_score_histogram(
+        scored, "monetary", quantiles, "monetary_score", customer, hist_from=rfm
+    )
     return scored.withColumn(
         "recency_score", (F.lit(quantiles + 1) - F.col("__r_tile")).cast("int")
     ).drop("__r_tile")

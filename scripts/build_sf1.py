@@ -1,0 +1,146 @@
+"""Synthesize the full ~sf1 (10x sf0.1) dataset for the whole-catalog sweep.
+
+One directory with ALL TEN tables, composing the three per-family recipes
+``scale_probe.py`` already ships (same semantics, same rationale):
+
+- ``documents``/``embeddings`` — 10 NEAR-duplicate copies per row (short
+  per-copy text tag / one-dimension embedding offset): dedup keeps real
+  work at every stage instead of trivially collapsing the corpus.
+- ``events`` — 10x EXTENDED history (copy k shifts +31k days, re-ids):
+  per-window event density constant, so a linear operator slopes ~10x in
+  output, never superlinearly in comparisons.
+- ``orders``/``lineitem`` — copy k re-keys orderkeys and shifts dates
+  +7k days: per-customer purchase sequences EXTEND rather than duplicate
+  in place.
+- dimension tables (``part customer nation region supplier``) — symlinked
+  unchanged: per-key fact density grows 10x, which is exactly the hot-key
+  stress the skew-safe plans claim to survive.
+
+Run:  python scripts/build_sf1.py   (writes /tmp/mdmp_sf1)
+Then: SPARK_GRAFT_SF_DIR=/tmp/mdmp_sf1 SPARK_GRAFT_CPUS=32 python bench.py
+      SPARK_GRAFT_SF_DIR=/tmp/mdmp_sf1 python -m tests.oracle_harness
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/mdmp_sf1"
+COPIES = 10
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from market_data_mining_project_spark.session import get_spark
+
+    if os.path.isdir(OUT):
+        shutil.rmtree(OUT)
+    os.makedirs(OUT, exist_ok=True)
+    spark = get_spark("mdmp-build-sf1", **{"spark.ui.enabled": "false"})
+    copies = spark.range(COPIES).withColumnRenamed("id", "copy")
+
+    # documents: near-dup replication (scale_probe.build_fixture recipe)
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    (
+        docs.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") + F.col("copy") * n_docs).alias("doc_id"),
+            F.when(F.col("copy") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" rev "), F.col("copy")))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(OUT, "documents.parquet"))
+    )
+    print("documents done", flush=True)
+
+    # embeddings: one-dimension deterministic offset per copy
+    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    n_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    (
+        emb.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") + F.col("copy") * n_vec).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(
+                    i == 0, (x + F.col("copy") * F.lit(0.003)).cast("float")
+                ).otherwise(x),
+            ).alias("embedding"),
+            "label",
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(os.path.join(OUT, "embeddings.parquet"))
+    )
+    print("embeddings done", flush=True)
+
+    # events: extended history
+    ev = spark.read.parquet(os.path.join(BASE, "events.parquet"))
+    n_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    (
+        ev.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("event_id") + F.col("copy") * n_ev).alias("event_id"),
+            F.expr("timestampadd(DAY, CAST(copy * 31 AS INT), ts)").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(os.path.join(OUT, "events.parquet"))
+    )
+    print("events done", flush=True)
+
+    # orders + lineitem: re-key + date shift (sequences extend)
+    orders = spark.read.parquet(os.path.join(BASE, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(BASE, "lineitem.parquet"))
+    n_ord = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    (
+        orders.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("o_orderkey") + F.col("copy") * n_ord).alias("o_orderkey"),
+            *[c for c in orders.columns if c not in ("o_orderkey", "o_orderdate")],
+            F.expr("date_add(o_orderdate, CAST(copy * 7 AS INT))").alias("o_orderdate"),
+        )
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(os.path.join(OUT, "orders.parquet"))
+    )
+    (
+        li.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("l_orderkey") + F.col("copy") * n_ord).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(OUT, "lineitem.parquet"))
+    )
+    print("orders+lineitem done", flush=True)
+
+    for dim in ("part", "customer", "nation", "region", "supplier"):
+        os.symlink(os.path.join(BASE, f"{dim}.parquet"), os.path.join(OUT, f"{dim}.parquet"))
+    for t in (
+        "documents", "embeddings", "events", "orders", "lineitem",
+        "part", "customer", "nation", "region", "supplier",
+    ):
+        n = spark.read.parquet(os.path.join(OUT, f"{t}.parquet")).count()
+        print(f"{t}: {n} rows", flush=True)
+
+
+if __name__ == "__main__":
+    main()
