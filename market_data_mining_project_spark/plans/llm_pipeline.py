@@ -1024,20 +1024,54 @@ FROM labels GROUP BY cluster
 
 def q_dedup_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-dup PIPELINE's two report grains in ONE oracled entry
-    (slot merge): the exact-Jaccard pair table (former ``ngram_jaccard``,
-    25 rows) × its connected-component cluster rollup (former
-    ``dup_clusters``, 23 rows, broadcast) — literally stage N and stage
-    N+1 of the same dedup pipeline, every cell of both still
-    hash-checked. The freed slot oracles ``cohort_retention``."""
-    return q_ngram_jaccard(spark, sf_dir).crossJoin(
-        F.broadcast(q_dup_clusters(spark, sf_dir))
+    (slot merge): the exact-Jaccard pair table (former ``ngram_jaccard``)
+    stacked over its connected-component cluster rollup (former
+    ``dup_clusters``) — literally stage N and stage N+1 of the same dedup
+    pipeline, every cell of both still hash-checked. The freed slot
+    oracles ``cohort_retention``.
+
+    Merge shape is a column-aligned UNION, |pairs| + |clusters| rows —
+    the r7 cross-join merge multiplied the sides (|pairs| × |clusters|
+    cells), which the r8 sf1 sweep exposed as the catalog's one
+    superlinear entry: on a near-dup-dense 10× corpus both sides grow
+    ~45×, so the merged output hit 1.19e9 rows (20,000× growth, 61 GB of
+    shuffle spill, and an OOM'd oracle collect) while the underlying
+    operators themselves scaled linearly. A representation must never be
+    the scale bottleneck of the operators it reports on."""
+    pairs = q_ngram_jaccard(spark, sf_dir).select(
+        F.lit("pair").alias("grain"),
+        F.col("doc_a").cast("long").alias("k1"),
+        F.col("doc_b").cast("long").alias("k2"),
+        F.col("n_inter").cast("long").alias("v1"),
+        F.col("sz_a").cast("long").alias("v2"),
+        F.col("sz_b").cast("long").alias("v3"),
+        F.col("jaccard").cast("double").alias("v4"),
     )
+    clusters = q_dup_clusters(spark, sf_dir).select(
+        F.lit("cluster").alias("grain"),
+        F.col("cluster").cast("long").alias("k1"),
+        F.lit(-1).cast("long").alias("k2"),
+        F.col("cluster_size").cast("long").alias("v1"),
+        F.col("max_doc").cast("long").alias("v2"),
+        F.lit(-1).cast("long").alias("v3"),
+        F.lit(-1.0).alias("v4"),
+    )
+    return pairs.unionByName(clusters)
 
 
 def _sql_dedup_reports() -> str:
     return f"""
-SELECT * FROM ({SQL_NGRAM_JACCARD}) nj
-CROSS JOIN ({SQL_DUP_CLUSTERS}) dc
+SELECT 'pair' AS grain,
+       CAST(doc_a AS BIGINT) AS k1, CAST(doc_b AS BIGINT) AS k2,
+       CAST(n_inter AS BIGINT) AS v1, CAST(sz_a AS BIGINT) AS v2,
+       CAST(sz_b AS BIGINT) AS v3, CAST(jaccard AS DOUBLE) AS v4
+FROM ({SQL_NGRAM_JACCARD}) nj
+UNION ALL
+SELECT 'cluster' AS grain,
+       CAST(cluster AS BIGINT) AS k1, CAST(-1 AS BIGINT) AS k2,
+       CAST(cluster_size AS BIGINT) AS v1, CAST(max_doc AS BIGINT) AS v2,
+       CAST(-1 AS BIGINT) AS v3, CAST(-1.0 AS DOUBLE) AS v4
+FROM ({SQL_DUP_CLUSTERS}) dc
 """
 
 

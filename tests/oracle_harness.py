@@ -31,9 +31,13 @@ TABLES = (
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
-        )
+        p = os.path.join(sf_dir, t + ".parquet")
+        if os.path.isdir(p):
+            # Spark-written datasets are DIRECTORIES of part files (the
+            # synthesized sf1 fixture); the driver's fixtures are single
+            # files — read_parquet needs the glob form for the former
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 
 
