@@ -263,7 +263,13 @@ def ntile_score_histogram(
     window inherits the metric's tie skew (a value shared by m rows sorts
     m rows in one task — rank(method='first') semantics make that tie
     order irreducible). NULL metrics sort first (asc) / last (desc),
-    matching the window path's default null ordering.
+    matching the window path's default null ordering. A metric whose
+    distinct count approaches |rows| (an unquantized continuous column)
+    makes the walk frame data-sized — the join-back is deliberately NOT
+    hint-forced to broadcast (AQE broadcasts it while it's small, falls
+    back to a shuffle join past the threshold), but the one-task walk
+    itself is then the bound: quantize such metrics first, or use
+    :func:`quantile_edge_scores`-style edge bucketing.
 
     ``hist_from``: build the histogram from this frame instead of ``df``.
     Callers scoring SEVERAL metrics in a chain pass the shared upstream
@@ -288,7 +294,7 @@ def ntile_score_histogram(
         F.sum("__cnt").over(w_all).alias("__n"),
     )
     # eqNullSafe: the NULL-metric group must join back to its walk row
-    joined = df.join(F.broadcast(walk), mcol.eqNullSafe(F.col("__mv")), "inner").drop("__mv")
+    joined = df.join(walk, mcol.eqNullSafe(F.col("__mv")), "inner").drop("__mv")
     w_in = Window.partitionBy(metric).orderBy(F.col(tiebreak).asc())
     r = F.col("__base") + F.row_number().over(w_in).cast("long")
     total = F.col("__n").cast("long")

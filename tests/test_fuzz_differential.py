@@ -317,6 +317,112 @@ def case_asof(spark, rng):
     return got, rel, con
 
 
+def case_histogram_quantiles(sdf, con, rng):
+    from market_data_mining_project_spark.operators import sketches as SK
+
+    # integer-domain metric: derive cents from v (NULLs ride through and
+    # must be excluded identically by both engines). FLOOR explicitly:
+    # a bare double→int CAST diverges (Spark truncates toward zero,
+    # DuckDB rounds) — the known cross-engine cast trap
+    cents = sdf.withColumn("cents", F.floor(F.col("v") * 100).cast("long"))
+    got = SK.histogram_quantiles(
+        SK.value_histogram(cents, ["k"], "cents"), ["k"], (0.25, 0.5, 0.9)
+    )
+    rel = con.sql(
+        """
+        SELECT k,
+               quantile_cont(CAST(cents AS DOUBLE), 0.25) AS q0,
+               quantile_cont(CAST(cents AS DOUBLE), 0.5) AS q1,
+               quantile_cont(CAST(cents AS DOUBLE), 0.9) AS q2,
+               COUNT(*) AS n_values
+        FROM (SELECT k, CAST(FLOOR(v * 100) AS BIGINT) AS cents FROM t WHERE v IS NOT NULL)
+        GROUP BY k
+        """
+    )
+    return got, rel
+
+
+def case_ohlc_rollup(spark, rng):
+    sdf, con = _events_pair(spark, rng)
+    bucket = rng.choice([7, 30, 60])
+    vals = sdf.withColumn(
+        "v", F.when(F.col("eid") % 7 == 0, None).otherwise((F.col("eid") * 13 % 50) / 2.0)
+    )
+    got = TEMP.ohlc_rollup(vals, "ts", "v", ["k"], bucket, "eid")
+    # the twin re-derives open/close via row_number windows (a different
+    # algorithm than min_by/max_by over the tiebreak struct)
+    rel = con.sql(
+        f"""
+        WITH vals AS (
+          SELECT *, CASE WHEN eid % 7 = 0 THEN NULL
+                         ELSE CAST((eid * 13 % 50) AS DOUBLE) / 2.0 END AS v,
+                 CAST(FLOOR(CAST(ts AS DOUBLE) / {bucket}) * {bucket} AS BIGINT)
+                   AS bucket_epoch
+          FROM t
+        ), rn AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY k, bucket_epoch ORDER BY ts, eid) AS ra,
+                 ROW_NUMBER() OVER (PARTITION BY k, bucket_epoch ORDER BY ts DESC, eid DESC) AS rd
+          FROM vals
+        )
+        SELECT k, bucket_epoch,
+               MAX(CASE WHEN ra = 1 THEN v END) AS open,
+               MAX(v) AS high, MIN(v) AS low,
+               MAX(CASE WHEN rd = 1 THEN v END) AS close,
+               COUNT(*) AS n_events,
+               ROUND(SUM(v), 2) AS total_value
+        FROM rn GROUP BY k, bucket_epoch
+        """
+    )
+    return got, rel, con
+
+
+def case_range_join_count(spark, rng):
+    nl = rng.choice([0, 1, rng.randint(3, 30)])
+    nr = rng.choice([0, 1, rng.randint(3, 30)])
+    lrows = [
+        (i, None if rng.random() < 0.08 else rng.randint(0, 100)) for i in range(nl)
+    ]
+    rrows = [
+        (None if rng.random() < 0.08 else rng.randint(0, 100), round(rng.uniform(0, 9), 2))
+        for _ in range(nr)
+    ]
+    left = spark.createDataFrame(lrows, "lid long, lts long")
+    right = spark.createDataFrame(rrows, "rts long, rv double")
+    con = duckdb.connect()
+    con.register(
+        "lt",
+        pa.table(
+            {
+                "lid": pa.array([r[0] for r in lrows], pa.int64()),
+                "lts": pa.array([r[1] for r in lrows], pa.int64()),
+            }
+        ),
+    )
+    con.register(
+        "rt",
+        pa.table(
+            {
+                "rts": pa.array([r[0] for r in rrows], pa.int64()),
+                "rv": pa.array([r[1] for r in rrows], pa.float64()),
+            }
+        ),
+    )
+    radius = rng.choice([0, 1, rng.randint(2, 20)])
+    band = rng.choice([None, 1, 3, 50])  # band width must never change results
+    got = TEMP.range_join_count(left, right, "lts", "rts", radius, agg_value="rv", band_secs=band)
+    rel = con.sql(
+        f"""
+        SELECT l.lid, l.lts,
+               CAST(COUNT(r.rts) AS BIGINT) AS n_in_range,
+               ROUND(COALESCE(SUM(r.rv), 0.0), 2) AS value_in_range
+        FROM lt l LEFT JOIN rt r ON ABS(l.lts - r.rts) <= {radius}
+        GROUP BY l.lid, l.lts
+        """
+    )
+    return got, rel, con
+
+
 _TABLE_CASES = {
     "grouped_rollup": case_grouped_rollup,
     "salted_count_distinct": case_salted_count_distinct,
@@ -328,11 +434,14 @@ _TABLE_CASES = {
     "ntile_histogram": case_ntile_histogram,
     "search": case_search,
     "filter_project": case_filter_project,
+    "histogram_quantiles": case_histogram_quantiles,
 }
 
 _EVENT_CASES = {
     "sessionize": case_sessionize,
     "asof_join": case_asof,
+    "ohlc_rollup": case_ohlc_rollup,
+    "range_join_count": case_range_join_count,
 }
 
 
