@@ -279,6 +279,15 @@ def ntile_score_histogram(
     guarantees ``hist_from[metric]`` is the same multiset as
     ``df[metric]`` (true whenever the chain only adds columns).
     """
+    reserved = {"__mv", "__base", "__n", "__cnt"} & set(df.columns)
+    if reserved:
+        # the walk's internal columns would silently shadow/drop a caller
+        # column of the same name in the select/drop below (the asof_join
+        # reserved-name contract)
+        raise ValueError(
+            f"ntile_score_histogram: input columns {sorted(reserved)} collide "
+            "with reserved internals (__mv/__base/__n/__cnt); rename them first"
+        )
     mcol = F.col(metric)
     order = mcol.desc_nulls_last() if descending else mcol.asc_nulls_first()
     hist = (hist_from if hist_from is not None else df).groupBy(metric).agg(

@@ -507,3 +507,11 @@ def test_sessionize_bucketed_equals_plain_property(spark, events, gap, bucket):
             brute[i] = seq
             prev = t
     assert plain == brute
+
+
+def test_ntile_histogram_rejects_reserved_columns(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2, 3)], "k int, m int, __base int")
+    with pytest.raises(ValueError, match="reserved"):
+        R.ntile_score_histogram(df, "m", 5, "s", "k")
