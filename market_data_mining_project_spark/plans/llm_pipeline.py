@@ -380,6 +380,8 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("distinct_tokens"),
     )
     top = freq.orderBy(F.desc("freq"), F.asc("token")).limit(50)
+    # unpartitioned window over the 50-row top-k frame only (the LIMIT
+    # above bounds it) — the WindowExec single-partition warning is benign
     w = Window.orderBy(F.desc("freq"), F.asc("token"))
     ranked = top.withColumn("rank", F.row_number().over(w).cast("long")).withColumn(
         "cum_freq",
@@ -506,6 +508,8 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = SK.cms_estimate(cms, exact_top.select("token"), "token")
     from pyspark.sql import Window
 
+    # unpartitioned window over the bounded exact_top frame (capped upstream)
+    # — the WindowExec single-partition warning is benign
     w = Window.orderBy(F.desc("exact_freq"), F.asc("token"))
     return (
         exact_top.join(est, "token")

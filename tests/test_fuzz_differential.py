@@ -423,6 +423,68 @@ def case_range_join_count(spark, rng):
     return got, rel, con
 
 
+def case_pairwise_rules(spark, rng):
+    """Association-rule metrics at RANDOM min_support values — hunting the
+    threshold class pass 10 fixed by hand: min_count must be the MLlib-exact
+    ceil of the IEEE double product on every engine (int() floors one below
+    the threshold at products like 100 x 0.29)."""
+    from market_data_mining_project_spark.operators import rules as RULES
+
+    n_baskets = rng.choice([1, 3, rng.randint(4, 25)])
+    items = ["a", "b", "c", "d", "e", "f"]
+    rows = []
+    for b in range(n_baskets):
+        for _ in range(rng.randint(0, 5)):
+            rows.append((b, rng.choice(items)))  # duplicate (basket, item) legal
+    min_support = rng.choice([0.01, 0.1, 0.29, 0.33, round(rng.uniform(0.05, 0.6), 2)])
+    sdf = spark.createDataFrame(rows, "basket long, item string")
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pa.table(
+            {
+                "basket": pa.array([r[0] for r in rows], pa.int64()),
+                "item": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+    )
+    got = RULES.pairwise_rules(sdf, "basket", "item", min_support=min_support)
+    rel = con.sql(
+        f"""
+        WITH ib AS (SELECT DISTINCT basket, item FROM t),
+        tot AS (SELECT COUNT(DISTINCT basket) AS n FROM ib),
+        mc AS (SELECT GREATEST(1, CAST(CEIL(n * {min_support!r}) AS BIGINT)) AS m, n FROM tot),
+        freq AS (
+          SELECT item, COUNT(*) AS item_baskets FROM ib GROUP BY item
+          HAVING COUNT(*) >= (SELECT m FROM mc)
+        ),
+        pairs AS (
+          SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_baskets
+          FROM ib a JOIN ib b ON a.basket = b.basket AND a.item < b.item
+          WHERE a.item IN (SELECT item FROM freq) AND b.item IN (SELECT item FROM freq)
+          GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT m FROM mc)
+        ),
+        directed AS (
+          SELECT item_a AS antecedent, item_b AS consequent, pair_baskets FROM pairs
+          UNION ALL
+          SELECT item_b, item_a, pair_baskets FROM pairs
+        )
+        SELECT d.antecedent, d.consequent,
+               CAST(d.pair_baskets AS BIGINT) AS pair_baskets,
+               CAST(fa.item_baskets AS BIGINT) AS antecedent_baskets,
+               CAST(fb.item_baskets AS BIGINT) AS consequent_baskets,
+               ROUND(CAST(d.pair_baskets AS DOUBLE) / (SELECT n FROM mc), 6) AS support,
+               ROUND(CAST(d.pair_baskets AS DOUBLE) / fa.item_baskets, 6) AS confidence,
+               ROUND((CAST(d.pair_baskets AS DOUBLE) / fa.item_baskets)
+                     / (CAST(fb.item_baskets AS DOUBLE) / (SELECT n FROM mc)), 6) AS lift
+        FROM directed d
+        JOIN freq fa ON d.antecedent = fa.item
+        JOIN freq fb ON d.consequent = fb.item
+        """
+    )
+    return got, rel, con
+
+
 _TABLE_CASES = {
     "grouped_rollup": case_grouped_rollup,
     "salted_count_distinct": case_salted_count_distinct,
@@ -442,6 +504,7 @@ _EVENT_CASES = {
     "asof_join": case_asof,
     "ohlc_rollup": case_ohlc_rollup,
     "range_join_count": case_range_join_count,
+    "pairwise_rules": case_pairwise_rules,
 }
 
 
