@@ -308,12 +308,21 @@ def ntile_score_histogram(
     r = F.col("__base") + F.row_number().over(w_in).cast("long")
     total = F.col("__n").cast("long")
     q = F.lit(int(n)).cast("long")
-    b = F.floor(total / q).cast("long")  # small-bucket size
+
+    def idiv(x: Column, y: Column) -> Column:
+        # exact long floor-division: bare `/` on longs is DOUBLE division,
+        # whose half-ulp rounding can flip F.floor at quotients landing on
+        # integers — subtracting the remainder first makes the quotient an
+        # exact integer, which double division returns exactly (all real
+        # totals sit far below 2^53)
+        return ((x - x % y) / y).cast("long")
+
+    b = idiv(total, q)  # small-bucket size
     rem = total % q  # this many leading buckets hold b+1 rows
     threshold = rem * (b + 1)
-    tile = F.when(r <= threshold, F.floor((r - 1) / (b + 1)) + 1).otherwise(
+    tile = F.when(r <= threshold, idiv(r - 1, b + 1) + 1).otherwise(
         # greatest(b,1): when total < n every rank falls in the when-branch
         # (threshold = total), but ANSI mode must never see a /0 literal
-        rem + F.floor((r - threshold - 1) / F.greatest(b, F.lit(1))) + 1
+        rem + idiv(r - threshold - 1, F.greatest(b, F.lit(1))) + 1
     )
     return joined.withColumn(out, tile.cast("int")).drop("__base", "__n")
