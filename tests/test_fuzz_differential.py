@@ -15,6 +15,7 @@ Every failure reproduces from the printed seed:
 
 from __future__ import annotations
 
+import os
 import random
 
 import duckdb
@@ -26,7 +27,9 @@ from market_data_mining_project_spark.operators import relational as R
 from market_data_mining_project_spark.operators import temporal as TEMP
 from tests.oracle_harness import compare
 
-N_SEEDS = 20
+#: 20 seeds/case in the CI budget; crank via SPARK_GRAFT_FUZZ_SEEDS for a
+#: soak run (seeds are stable: seed k means the same table at any count)
+N_SEEDS = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "20"))
 
 _CATS = ["a", "b", "B", "Ü", "über", "", " pad ", None]
 _TXTS = [

@@ -164,3 +164,17 @@ def test_derived_table_misses_memo_on_version_change(spark, tmp_path, monkeypatc
     # new version (a data rewrite was detected upstream): must rebuild
     c = MAT.derived_table(spark, cache, str(src), "vt_", make_build(2), persist_version="v2")
     assert [r.v for r in c.collect()] == [2] and builds == [1, 2]
+
+
+def test_bench_telemetry_degrades_without_ui(spark):
+    """The bench's stage-telemetry sampler must NEVER cost a measured pass:
+    with the UI (its REST source) disabled — the conftest session shape —
+    timing proceeds and telemetry simply stays absent."""
+    import bench
+
+    tel: dict = {}
+    timings = bench._time_catalog(
+        spark, {"probe": lambda s, sf: s.range(10)}, "unused-sf-dir", 1, telemetry=tel
+    )
+    assert timings["probe"] >= 0
+    assert tel == {}
