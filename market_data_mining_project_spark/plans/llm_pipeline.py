@@ -956,6 +956,28 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUP_CLUSTERS_PATHS: dict[str, str] = {}
+_JACCARD_PAIRS_PATHS: dict[str, str] = {}
+
+
+def _jaccard_pairs_mat(spark: SparkSession, sf_dir: str):
+    """Session-shared ≥0.5-Jaccard pair frame — the single most expensive
+    subplan of the dedup family (shingle explode + self-join + intersection
+    aggregate). Materialized ONCE per data version and consumed by BOTH
+    `dedup_reports` legs (the pair report and, through
+    :func:`_dup_clusters_mat`, the cluster propagation): before this the
+    cold path ran the whole pipeline twice — at sf1 that was 2× ~25 GB of
+    shuffle spill for identical rows."""
+    from market_data_mining_project_spark.ml import persistence as PERSIST
+    from market_data_mining_project_spark.sources import materialize as MAT
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        return D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
+
+    return MAT.derived_table(
+        spark, _JACCARD_PAIRS_PATHS, sf_dir, "jaccard_pairs_", build,
+        persist_version=PERSIST.data_version_cached(sf_dir, ("documents",)),
+    )
 
 
 def _dup_clusters_mat(spark: SparkSession, sf_dir: str):
@@ -966,8 +988,9 @@ def _dup_clusters_mat(spark: SparkSession, sf_dir: str):
     from market_data_mining_project_spark.sources import materialize as MAT
 
     def build():
-        docs = load_table(spark, sf_dir, "documents")
-        pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
+        # reads the materialized pair table — one jaccard pipeline per data
+        # version serves the pair report AND this propagation
+        pairs = _jaccard_pairs_mat(spark, sf_dir)
         return D.dup_clusters(pairs.select("doc_a", "doc_b"))
 
     from market_data_mining_project_spark.ml import persistence as PERSIST
@@ -1041,8 +1064,13 @@ def q_dedup_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~45×, so the merged output hit 1.19e9 rows (20,000× growth, 61 GB of
     shuffle spill, and an OOM'd oracle collect) while the underlying
     operators themselves scaled linearly. A representation must never be
-    the scale bottleneck of the operators it reports on."""
-    pairs = q_ngram_jaccard(spark, sf_dir).select(
+    the scale bottleneck of the operators it reports on.
+
+    The pair leg reads the MATERIALIZED pair table (same rows as
+    ``q_ngram_jaccard``) so the jaccard pipeline — the family's dominant
+    cost — runs once per data version for both legs; the cluster leg's
+    propagation consumes the same materialization."""
+    pairs = _jaccard_pairs_mat(spark, sf_dir).select(
         F.lit("pair").alias("grain"),
         F.col("doc_a").cast("long").alias("k1"),
         F.col("doc_b").cast("long").alias("k2"),
