@@ -498,6 +498,18 @@ def incremental_ingest(
         F.md5(F.col(text_col)) == F.col("__dig"),
         "left_anti",
     )
+    # FOUR downstream subtrees re-derive `batch` (the cross-jaccard probe,
+    # the flagged anti-join, the batch-internal pair mining, the final
+    # anti-join) — uncached, each re-ran the batch dedup window plus the
+    # corpus digest scan. Caching the batch (bounded by BATCH size — the
+    # operator's whole premise) measured 52 → 29 s at the 10× fixture for
+    # +3.4 s at sf0.1 (cache materialization beats recompute once the
+    # corpus side dominates; clean 2-rep A/B, PARITY r8). Caching only the
+    # corpus digest frame instead was strictly WORSE (75 s at 10×): an
+    # InMemoryRelation loses the digest subtree's broadcast-size estimate
+    # and every anti-join degrades to sort-merge. Single-slot lifecycle:
+    # the next call releases this call's frame.
+    batch = _cache_single_slot(batch, "ingest_batch")
     flagged = cross_jaccard_flags(
         existing, batch, text_col, id_col, shingle_n, threshold, max_shingle_df
     )
