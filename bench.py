@@ -85,11 +85,22 @@ class _StageTelemetry:
         except Exception:
             self._base = None
 
-    def _stages(self) -> list:
+    def _stages(self, status: str = "complete") -> list:
         import urllib.request
 
-        with urllib.request.urlopen(f"{self._base}/stages?status=complete", timeout=10) as r:
+        with urllib.request.urlopen(f"{self._base}/stages?status={status}", timeout=10) as r:
             return json.loads(r.read())
+
+    def _drain(self, deadline_s: float = 2.0) -> None:
+        """Poll until no ACTIVE stages remain (bounded). The query action
+        has returned, but listener-bus lag can leave its trailing stages
+        un-completed at sample time — without the drain those stages'
+        spill/memory would be attributed to the NEXT entry's delta."""
+        end = time.perf_counter() + deadline_s
+        while time.perf_counter() < end:
+            if not self._stages("active"):
+                return
+            time.sleep(0.05)
 
     def _snapshot(self) -> list:
         new = []
@@ -105,6 +116,7 @@ class _StageTelemetry:
         if self._base is None:
             return None
         try:
+            self._drain()
             new = self._snapshot()
         except Exception:
             self._base = None  # one failure disables; don't retry per query

@@ -22,6 +22,7 @@ executors and runs (no Python ``hash()``, which is salted per-process).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -254,19 +255,25 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
 #: unpersists the PREVIOUS call's frame (correct either way — a still-lazy
 #: earlier result just recomputes), so a long-lived session pins at most
 #: one frame per operator. Mirrors the ``_CENTROID_BC`` broadcast slot in
-#: :mod:`..operators.similarity`.
+#: :mod:`..operators.similarity`. Slot swaps are guarded by a lock: two
+#: threads (or two sessions sharing one JVM) racing the same slot could
+#: otherwise interleave pop/cache — still CORRECT (an unpersisted frame
+#: silently recomputes) but it thrashes the slot and can unpersist a frame
+#: another in-flight job is consuming.
 _PINNED_CACHES: dict = {}
+_PINNED_CACHES_LOCK = threading.Lock()
 
 
 def _cache_single_slot(df: DataFrame, slot: str) -> DataFrame:
-    prev = _PINNED_CACHES.pop(slot, None)
+    with _PINNED_CACHES_LOCK:
+        prev = _PINNED_CACHES.pop(slot, None)
+        df = df.cache()
+        _PINNED_CACHES[slot] = df
     if prev is not None:
         try:
             prev.unpersist()
         except Exception:
             pass  # a torn-down SparkContext must not block the new cache
-    df = df.cache()
-    _PINNED_CACHES[slot] = df
     return df
 
 
@@ -470,6 +477,19 @@ def cross_jaccard_flags(
     )
 
 
+#: Corpus-row threshold below which incremental_ingest SKIPS the batch
+#: cache. Measured A/B on the 9:1 carrier fixture (PARITY r8/r9): at a
+#: 45k-row corpus the cache is the sf1 win (52 → 29 s — recompute re-runs
+#: the corpus digest scan per consumer); at a 4.5k-row corpus the cache's
+#: fixed materialization cost LOSES (+4.2 s, 6.9 → 11.1 s in the driver
+#: bench) because four cheap recomputes beat one eager materialization.
+#: The corpus/batch ROW RATIO does not discriminate the two regimes (it is
+#: a constant 9 in both fixtures) — absolute corpus size is the signal
+#: that tracks the digest-scan recompute waste. 20k splits the two
+#: measured points with ~4× margin each side.
+INGEST_CACHE_MIN_CORPUS_ROWS = 20_000
+
+
 def incremental_ingest(
     existing: DataFrame,
     incoming: DataFrame,
@@ -478,6 +498,7 @@ def incremental_ingest(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    cache_batch: bool | None = None,
 ) -> DataFrame:
     """Admit only genuinely-new documents into a growing corpus — the
     ingest gate every incrementally-built training set needs (re-running
@@ -491,6 +512,12 @@ def incremental_ingest(
     4. keep one representative per batch-internal near-dup cluster.
 
     Returns the admitted incoming rows (original columns).
+
+    ``cache_batch``: pin the deduped batch frame for its four downstream
+    consumers. ``None`` (default) decides adaptively — cache only when the
+    existing corpus has at least :data:`INGEST_CACHE_MIN_CORPUS_ROWS` rows
+    (one cheap narrow count; see the constant's measured rationale) —
+    ``True``/``False`` forces either regime.
     """
     batch = exact_dedup(incoming, text_col, id_col)
     batch = batch.join(
@@ -502,14 +529,19 @@ def incremental_ingest(
     # the flagged anti-join, the batch-internal pair mining, the final
     # anti-join) — uncached, each re-ran the batch dedup window plus the
     # corpus digest scan. Caching the batch (bounded by BATCH size — the
-    # operator's whole premise) measured 52 → 29 s at the 10× fixture for
-    # +3.4 s at sf0.1 (cache materialization beats recompute once the
-    # corpus side dominates; clean 2-rep A/B, PARITY r8). Caching only the
-    # corpus digest frame instead was strictly WORSE (75 s at 10×): an
-    # InMemoryRelation loses the digest subtree's broadcast-size estimate
-    # and every anti-join degrades to sort-merge. Single-slot lifecycle:
-    # the next call releases this call's frame.
-    batch = _cache_single_slot(batch, "ingest_batch")
+    # operator's whole premise) measured 52 → 29 s at the 10× fixture
+    # (cache materialization beats recompute once the corpus side
+    # dominates; clean 2-rep A/B, PARITY r8) but COSTS +4.2 s on a small
+    # corpus (sf0.1 driver bench), so the default is the adaptive
+    # corpus-size gate (same move as dup_clusters' size-gated broadcast).
+    # Caching only the corpus digest frame instead was strictly WORSE
+    # (75 s at 10×): an InMemoryRelation loses the digest subtree's
+    # broadcast-size estimate and every anti-join degrades to sort-merge.
+    # Single-slot lifecycle: the next call releases this call's frame.
+    if cache_batch is None:
+        cache_batch = existing.count() >= INGEST_CACHE_MIN_CORPUS_ROWS
+    if cache_batch:
+        batch = _cache_single_slot(batch, "ingest_batch")
     flagged = cross_jaccard_flags(
         existing, batch, text_col, id_col, shingle_n, threshold, max_shingle_df
     )

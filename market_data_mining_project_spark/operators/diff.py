@@ -167,6 +167,16 @@ def welch_t_test(df: DataFrame, group: str, value: str, g1, g2) -> dict:
 #: the metric (cents, millis) or sample first, like the reference's capped
 #: stat samples (views.py:1708-1754). 4M values ≈ 100 MB of walk state in
 #: the one task — comfortable; 100× that is not.
+#:
+#: Honest limit of the lazy guard: the raise fires INSIDE the window task,
+#: i.e. after that task has already sorted/buffered the distinct-value frame
+#: — an input whose |distinct| is so far past the cap that the buffer itself
+#: OOMs (≈400M+ values, ~10 GB in one task) dies with an executor OOM before
+#: the guard's message surfaces. Callers ingesting unquantized continuous
+#: columns of that cardinality should run an upfront
+#: ``approx_count_distinct`` pre-check (one cheap map-side aggregate) before
+#: invoking the walk; for every realistic quantized metric (days, cents,
+#: ranks) the lazy in-plan guard is both sufficient and free.
 MAX_RANK_DISTINCT_VALUES = 4_000_000
 
 

@@ -277,7 +277,10 @@ def ntile_score_histogram(
     ReuseExchange then evaluates the (possibly expensive) upstream once,
     where per-chain-link histograms would each re-run it. The caller
     guarantees ``hist_from[metric]`` is the same multiset as
-    ``df[metric]`` (true whenever the chain only adds columns).
+    ``df[metric]`` (true whenever the chain only adds columns); a
+    violation (a df value missing from hist_from) fails LOUDLY at
+    execution via an in-plan ``raise_error`` instead of silently
+    dropping the unmatched rows.
     """
     reserved = {"__mv", "__base", "__n", "__cnt"} & set(df.columns)
     if reserved:
@@ -302,11 +305,28 @@ def ntile_score_histogram(
         (F.sum("__cnt").over(w_cum) - F.col("__cnt")).alias("__base"),
         F.sum("__cnt").over(w_all).alias("__n"),
     )
-    # eqNullSafe: the NULL-metric group must join back to its walk row
-    joined = df.join(walk, mcol.eqNullSafe(F.col("__mv")), "inner").drop("__mv")
+    # eqNullSafe: the NULL-metric group must join back to its walk row.
+    # LEFT join + in-plan raise_error: if a caller violates the hist_from
+    # same-multiset contract (a metric value in df missing from hist_from),
+    # the unmatched row fails LOUDLY at execution instead of being silently
+    # dropped by an inner join — the _bounded_walk lazy-guard pattern.
+    joined = df.join(walk, mcol.eqNullSafe(F.col("__mv")), "left").drop("__mv")
     w_in = Window.partitionBy(metric).orderBy(F.col(tiebreak).asc())
+    guard_n = F.when(
+        F.col("__n").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("ntile_score_histogram: metric value "),
+                F.coalesce(mcol.cast("string"), F.lit("NULL")),
+                F.lit(
+                    " is absent from hist_from — the hist_from frame must hold"
+                    " the same multiset of metric values as df"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__n").cast("long"))
     r = F.col("__base") + F.row_number().over(w_in).cast("long")
-    total = F.col("__n").cast("long")
+    total = guard_n
     q = F.lit(int(n)).cast("long")
 
     def idiv(x: Column, y: Column) -> Column:

