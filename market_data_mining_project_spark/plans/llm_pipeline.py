@@ -1517,13 +1517,37 @@ ORDER BY detected_lang
 """
 
 
+def q_text_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-curation audit in one oracled entry (slot merge of the former
+    ``token_budget_sample`` + ``pii_redaction`` entries — the
+    ``corpus_audit`` cross-join idiom): the per-language token-budget
+    selection summary × the corpus-level PII scrub report (a single
+    broadcast row). Every cell of both former entries still hash-checks;
+    the freed slot oracles ``streaming_enriched``. The PII side is one
+    aggregate row by construction, so the cross-join is |languages| rows —
+    it can never multiply two data-sized frames (the r7 dedup_reports
+    lesson)."""
+    return q_token_budget_sample(spark, sf_dir).crossJoin(
+        F.broadcast(q_pii_redaction(spark, sf_dir))
+    )
+
+
+def _sql_text_curation_audit() -> str:
+    return f"""
+SELECT * FROM ({SQL_TOKEN_BUDGET_SAMPLE}) tb
+CROSS JOIN ({SQL_PII_REDACTION}) pr
+"""
+
+
 QUERIES = {
     # ngram_jaccard + dup_clusters serve through the merged dedup_reports entry
     "dedup_reports": q_dedup_reports,
-    "token_budget_sample": q_token_budget_sample,
+    # token_budget_sample + pii_redaction serve through the merged
+    # text_curation_audit entry (r9 slot merge — the freed slot oracles
+    # streaming_enriched)
+    "text_curation_audit": q_text_curation_audit,
     # decontamination + corpus_prep serve through the merged corpus_audit
     # entry; cosine_topk + embedding_label_centroids through embedding_reports
-    "pii_redaction": q_pii_redaction,
     "lsh_topk": q_lsh_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "corpus_audit": q_corpus_audit,
@@ -1561,9 +1585,10 @@ ORACLE = {
     "bm25_search": SQL_BM25_SEARCH,
     # ivf_topk: rows-only (KMeans cells; pytest recall gate)
     # lsh_topk: rows-only (seeded hyperplanes; pytest recall gate)
-    "pii_redaction": SQL_PII_REDACTION,
+    # text_curation_audit carries the former token_budget_sample +
+    # pii_redaction entries (slot merge — both remain hash-verified)
+    "text_curation_audit": _sql_text_curation_audit(),
     "mixture_plan": SQL_MIXTURE_PLAN,
-    "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "text_profile": SQL_TEXT_PROFILE,
     "span_dedup": SQL_SPAN_DEDUP,
     "vocab_stats_audit": _sql_vocab_stats_audit(),

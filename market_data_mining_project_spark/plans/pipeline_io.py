@@ -166,9 +166,11 @@ def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer dimension (market segment) BEFORE the watermarked tumbling
     window, so the windowed state is keyed on enriched attributes — the
     ingest-time enrichment shape. Bounded replay, append mode (only
-    watermark-finalized windows). Rows-only (the 50-slot oracle window is
-    full); the replay is pytest-gated equal to the identical batch plan
-    with the same watermark-finalization rule
+    watermark-finalized windows) — deterministic, so it hash-oracles:
+    SQL_STREAMING_ENRICHED replicates the join + window + finalization
+    rule in DuckDB (r9; the slot came from the text_curation_audit merge).
+    The replay additionally stays pytest-gated equal to the identical
+    batch plan under the same watermark-finalization rule
     (tests/test_streaming_io.py::test_streaming_enrichment_equals_batch)."""
     stream = EV.read_event_stream(spark, sf_dir)
     dim = load_table(spark, sf_dir, "customer").select(
@@ -185,6 +187,29 @@ def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _bounded(stats, "enriched_stats")
+
+
+#: Batch twin of the enriched windowed stream: broadcast dim join, 1-day
+#: tumbling windows as integer-second floors, and the append-mode emission
+#: rule (window end ≤ max event time − 1 h watermark). Every events user
+#: exists in customer at every fixture SF, so the left join never emits a
+#: NULL segment (checked; a NULL would still hash consistently on both
+#: engines but is excluded by construction).
+SQL_STREAMING_ENRICHED = """
+WITH e AS (SELECT ts, user_id, value FROM events),
+mx AS (SELECT MAX(ts) AS mx FROM e),
+w AS (
+  SELECT (epoch_ms(ts) // 1000 // 86400) * 86400 AS window_start_epoch,
+         c.c_mktsegment, value
+  FROM e LEFT JOIN customer c ON e.user_id = c.c_custkey
+)
+SELECT window_start_epoch, c_mktsegment,
+       COUNT(*) AS events,
+       ROUND(SUM(value), 2) AS total_value
+FROM w
+WHERE window_start_epoch + 86400 <= epoch_ms((SELECT mx FROM mx)) // 1000 - 3600
+GROUP BY 1, 2
+"""
 
 
 def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,6 +447,7 @@ ORACLE = {
     "streaming_window_stats": SQL_STREAMING_WINDOW_STATS,
     "streaming_sessions": SQL_STREAMING_SESSIONS,
     "running_user_totals": SQL_RUNNING_USER_TOTALS,
+    "streaming_enriched": SQL_STREAMING_ENRICHED,
     "media_pipeline": SQL_MEDIA_PIPELINE,
     # streaming_dedup: rows-only (watermark-scoped state; pytest replay gate)
 }
