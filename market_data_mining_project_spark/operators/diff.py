@@ -292,8 +292,16 @@ def ks_statistic(df: DataFrame, group: str, value: str, g1, g2) -> DataFrame:
     tied value completes naturally), then cumulative sums over the small
     distinct-value histogram. No row-level global sort. Same
     ``MAX_RANK_DISTINCT_VALUES`` execution-time bound as
-    :func:`rank_sums`."""
-    sub = df.filter(F.col(group).isin([g1, g2])).select(group, value)
+    :func:`rank_sums`.
+
+    NULL values are excluded from the sample (the mann_whitney_u rule —
+    scipy drops NaNs the same way): an unfiltered NULL formed its own grid
+    row that sorted FIRST in the cumulative walk, i.e. counted as a data
+    point below every real value, inflating both the group sizes and D
+    itself (found by the r9 randomized fuzz case, seed 7)."""
+    sub = df.filter(
+        F.col(group).isin([g1, g2]) & F.col(value).isNotNull()
+    ).select(group, value)
     per_v = sub.groupBy(value).agg(
         F.sum(F.when(F.col(group) == g1, 1.0).otherwise(0.0)).alias("t1"),
         F.sum(F.when(F.col(group) == g2, 1.0).otherwise(0.0)).alias("t2"),

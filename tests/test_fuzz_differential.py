@@ -488,6 +488,139 @@ def case_pairwise_rules(spark, rng):
     return got, rel, con
 
 
+def case_pivot_matrix(sdf, con, rng):
+    """groupBy().pivot() matrix vs DuckDB conditional aggregation. Explicit
+    pivot values (the scale-friendly schema-pinned form); sum/avg only —
+    Spark's pivot emits NULL for an absent (row, col) combo where a
+    conditional COUNT would emit 0, so count is not cross-engine
+    pivot-expressible."""
+    from market_data_mining_project_spark.operators import diff as DF_
+
+    agg = rng.choice(["sum", "avg"])
+    vals = ["a", "b", "über"]
+    got = DF_.pivot_matrix(sdf, "k", "cat", "v", agg=agg, values=vals)
+    fn = {"sum": "SUM", "avg": "AVG"}[agg]
+    cells = ", ".join(
+        f"{fn}(CASE WHEN cat = '{c}' THEN v END) AS \"{c}\"" for c in vals
+    )
+    rel = con.sql(f"SELECT k, {cells} FROM t GROUP BY k")
+    return got, rel
+
+
+def case_token_budget(sdf, con, rng):
+    """Bucketed two-phase token-budget selection vs the naive window-cumsum
+    form in DuckDB — random budgets and bucket counts stress the boundary
+    bucket. NULL scores are out of contract (score_range must bound the
+    column), so both sides exclude them; NULL token counts contribute
+    nothing on either engine."""
+    from market_data_mining_project_spark.operators import text as TXT_
+
+    budget = rng.choice([0, 1, rng.randint(2, 60)])
+    buckets = rng.choice([3, 10, 1000])
+    scored = sdf.filter(F.col("v").isNotNull())
+    got = TXT_.token_budget_select(
+        scored, "cat", "v", "d", "id", budget,
+        num_buckets=buckets, score_range=(-100.0, 100.0),
+    )
+    rel = con.sql(
+        f"""
+        SELECT id, k, cat, v, d, txt FROM (
+          SELECT *, COALESCE(SUM(d) OVER (
+            PARTITION BY cat ORDER BY v DESC, id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+          FROM t WHERE v IS NOT NULL
+        ) WHERE pre < {budget}
+        """
+    )
+    return got, rel
+
+
+def case_span_coverage(sdf, con, rng):
+    """Span-level dup coverage (Lee et al. positional n-grams) vs the
+    DuckDB gram twin at a RANDOM gram width and min_docs — the oracled
+    entry pins only n=5/min_docs=2."""
+    from market_data_mining_project_spark.operators import dedup as D_
+
+    n = rng.randint(1, 4)
+    min_docs = rng.randint(2, 3)
+    got = D_.dup_span_coverage(sdf, "txt", "id", n=n, min_docs=min_docs)
+    rel = con.sql(
+        f"""
+        WITH toks AS (
+          SELECT id,
+                 list_filter(regexp_split_to_array(trim(txt), '\\s+'), x -> x <> '') AS ts
+          FROM t WHERE txt IS NOT NULL
+        ), g AS (
+          SELECT id,
+                 unnest([array_to_string(ts[i:i+{n - 1}], ' ')
+                         FOR i IN range(1, greatest(len(ts) - {n}, 0) + 2)]) AS gram
+          FROM toks WHERE len(ts) > 0
+        ), pg AS (
+          SELECT id, gram, COUNT(*) AS n_pos FROM g GROUP BY 1, 2
+        ), sh AS (
+          SELECT gram FROM pg GROUP BY gram HAVING COUNT(*) >= {min_docs}
+        )
+        SELECT pg.id,
+               CAST(SUM(n_pos) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN sh.gram IS NOT NULL THEN n_pos ELSE 0 END) AS BIGINT)
+                 AS dup_spans
+        FROM pg LEFT JOIN sh USING (gram)
+        GROUP BY pg.id
+        """
+    )
+    return got, rel
+
+
+def case_mixture_plan(spark, rng):
+    """Uniform mixture-plan arithmetic at random volumes (zero / NULL /
+    missing sources) vs the DuckDB twin of SQL_MIXTURE_PLAN — the
+    IEEE-double expression structure must agree term for term."""
+    from market_data_mining_project_spark.operators import corpus as C_
+
+    srcs = ["sa", "sb", "sc", None]
+    n = rng.randint(1, 12)
+    rows = [
+        (
+            rng.choice(srcs),
+            rng.choice([None, 0, 0, rng.randint(1, 500)]),
+        )
+        for _ in range(n)
+    ]
+    rows.append(("sa", rng.randint(1, 500)))  # ≥1 positive source: a plan exists
+    sdf = spark.createDataFrame(rows, "src string, tk long")
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pa.table(
+            {
+                "src": pa.array([r[0] for r in rows], pa.string()),
+                "tk": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+    )
+    got = C_.mixture_weights(sdf, "src", "tk")
+    rel = con.sql(
+        """
+        WITH tok AS (
+          SELECT src AS source, CAST(COALESCE(SUM(tk), 0) AS BIGINT) AS tokens
+          FROM t GROUP BY src
+        ), s AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok WHERE tokens > 0
+        ), b AS (
+          SELECT MIN(tokens * 1.0 / (1.0 / s.n)) AS budget FROM tok, s WHERE tokens > 0
+        )
+        SELECT t.source, t.tokens,
+               ROUND(CASE WHEN t.tokens > 0 THEN 1.0 / s.n ELSE 0.0 END, 6) AS weight,
+               ROUND(CASE WHEN t.tokens > 0 THEN (1.0 / s.n) * b.budget / t.tokens
+                          ELSE 0.0 END, 6) AS sample_rate,
+               CAST(TRUNC(CASE WHEN t.tokens > 0 THEN (1.0 / s.n) * b.budget
+                               ELSE 0.0 END) AS BIGINT) AS expected_tokens
+        FROM tok t, s, b
+        """
+    )
+    return got, rel, con
+
+
 _TABLE_CASES = {
     "grouped_rollup": case_grouped_rollup,
     "salted_count_distinct": case_salted_count_distinct,
@@ -500,6 +633,9 @@ _TABLE_CASES = {
     "search": case_search,
     "filter_project": case_filter_project,
     "histogram_quantiles": case_histogram_quantiles,
+    "pivot_matrix": case_pivot_matrix,
+    "token_budget": case_token_budget,
+    "span_coverage": case_span_coverage,
 }
 
 _EVENT_CASES = {
@@ -508,6 +644,7 @@ _EVENT_CASES = {
     "ohlc_rollup": case_ohlc_rollup,
     "range_join_count": case_range_join_count,
     "pairwise_rules": case_pairwise_rules,
+    "mixture_plan": case_mixture_plan,
 }
 
 
@@ -531,3 +668,309 @@ def test_fuzz_temporal_case_matches_duckdb(spark, case):
         errors = compare(case, got, rel)
         con.close()
         assert not errors, f"FUZZ REPRO seed={seed} case={case}\n" + "\n".join(errors)
+
+
+# --- stats family: pure-Python/numpy references (r9, VERDICT item 4) --------
+#
+# χ²/Welch/MWU/KS return scalar dicts, not frames, and their p-values use the
+# repo's own special functions (scipy is not in this container) — so the
+# differential reference recomputes STATISTIC/dof/effect-size with an
+# independent algorithm (full sorts and dict contingencies instead of
+# histogram walks and window cumsums) in plain Python, and recomputes the
+# p-value through the same special function ON THE REFERENCE STATISTIC: any
+# plumbing divergence between the distributed statistic and the scalar tail
+# still surfaces. Generated micro-data stacks the hostile features the fixed
+# fixtures lack: ties everywhere, NULL groups/values, constant groups, n=1,
+# absent groups (the documented ValueError contract).
+
+import math
+
+from market_data_mining_project_spark.functions import stats as ST
+from market_data_mining_project_spark.operators import diff as DIFF
+
+_G1, _G2 = "g1", "g2"
+
+
+def _stats_rows(rng: random.Random):
+    groups = [_G1, _G2, "other", None]
+    n = rng.choice([2, 3, rng.randint(4, 40)])
+    rows = []
+    for i in range(n):
+        g = rng.choice(groups)
+        roll = rng.random()
+        if roll < 0.10:
+            v = None
+        elif roll < 0.55:
+            v = float(rng.randint(0, 4))  # heavy ties
+        elif roll < 0.65:
+            v = 7.0  # constant-group fodder
+        else:
+            v = round(rng.uniform(-10, 10), 2)
+        rows.append((i, g, v))
+    return rows
+
+
+def _close(a, b, tol=1e-9):
+    if a is None or b is None:
+        return a is b
+    fa, fb = float(a), float(b)
+    if math.isnan(fa) or math.isnan(fb):
+        return math.isnan(fa) and math.isnan(fb)
+    if math.isinf(fa) or math.isinf(fb):
+        return fa == fb
+    return math.isclose(fa, fb, rel_tol=tol, abs_tol=tol)
+
+
+def _assert_dicts_close(case, seed, got, want):
+    assert set(got) == set(want), f"FUZZ REPRO seed={seed} case={case}: keys {got} vs {want}"
+    for k in want:
+        assert _close(got[k], want[k]), (
+            f"FUZZ REPRO seed={seed} case={case}: {k} got={got[k]!r} want={want[k]!r}"
+        )
+
+
+def stats_case_welch(spark, rng):
+    rows = _stats_rows(rng)
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    samples = {
+        g: [v for (_, gg, v) in rows if gg == g and v is not None] for g in (_G1, _G2)
+    }
+    bad = [g for g, s in samples.items() if len(s) < 2]
+    if bad:
+        with pytest.raises(ValueError):
+            DIFF.welch_t_test(df, "g", "v", _G1, _G2)
+        return
+    import numpy as np
+
+    a, b = (np.array(samples[g], dtype=float) for g in (_G1, _G2))
+    na, nb = len(a), len(b)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / na + vb / nb
+    if se2 == 0:
+        d0 = a.mean() - b.mean()
+        t = float("nan") if d0 == 0 else math.copysign(float("inf"), d0)
+        dof, p = float("nan"), (float("nan") if d0 == 0 else 0.0)
+    else:
+        t = (a.mean() - b.mean()) / se2**0.5
+        dof = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+        p = 2.0 * ST.t_sf(abs(t), dof)
+    pooled = (((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)) ** 0.5
+    want = {
+        "statistic": float(t),
+        "dof": float(dof),
+        "p_value": float(p),
+        "cohens_d": float((a.mean() - b.mean()) / pooled) if pooled > 0 else 0.0,
+        "mean_1": float(a.mean()),
+        "mean_2": float(b.mean()),
+    }
+    return DIFF.welch_t_test(df, "g", "v", _G1, _G2), want
+
+
+def stats_case_chi2(spark, rng):
+    # second label column: coarse value buckets (NULL-able both sides)
+    rows = [
+        (i, g, None if v is None else f"b{int(v) % 3}")
+        for (i, g, v) in _stats_rows(rng)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, c string")
+    obs: dict = {}
+    for _, g, c in rows:
+        if g is None or c is None:
+            continue
+        obs[(g, c)] = obs.get((g, c), 0) + 1
+    if not obs:
+        with pytest.raises(ValueError):
+            DIFF.chi2_test(df, "g", "c")
+        return
+    n = sum(obs.values())
+    row_t: dict = {}
+    col_t: dict = {}
+    for (g, c), o in obs.items():
+        row_t[g] = row_t.get(g, 0) + o
+        col_t[c] = col_t.get(c, 0) + o
+    # components over OBSERVED cells only — chi2_components aggregates the
+    # (row, col) cell frame, absent combos contribute nothing (documented
+    # reference-parity semantics, mirrored here)
+    chi2 = sum((o - row_t[g] * col_t[c] / n) ** 2 / (row_t[g] * col_t[c] / n)
+               for (g, c), o in obs.items())
+    r, c_ = len(row_t), len(col_t)
+    dof = (r - 1) * (c_ - 1)
+    k = min(r, c_)
+    want = {
+        "statistic": float(chi2),
+        "dof": int(dof),
+        "p_value": float(ST.chi2_sf(chi2, dof)) if dof > 0 else 1.0,
+        "cramers_v": float((chi2 / (n * (k - 1))) ** 0.5) if k > 1 and n > 0 else 0.0,
+        "n": float(n),
+    }
+    return DIFF.chi2_test(df, "g", "c"), want
+
+
+def stats_case_mwu(spark, rng):
+    rows = _stats_rows(rng)
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    pooled = sorted(
+        (v, g) for (_, g, v) in rows if g in (_G1, _G2) and v is not None
+    )
+    n1 = sum(1 for _, g in pooled if g == _G1)
+    n2 = len(pooled) - n1
+    if n1 == 0 or n2 == 0:
+        with pytest.raises(ValueError):
+            DIFF.mann_whitney_u(df, "g", "v", _G1, _G2)
+        return
+    # tie-aware average ranks via one full sort (independent algorithm —
+    # the operator never ranks rows, it walks the value histogram)
+    ranks: dict = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+        for t in range(i, j):
+            ranks[t] = avg
+        i = j
+    r1 = sum(ranks[t] for t in range(len(pooled)) if pooled[t][1] == _G1)
+    n = n1 + n2
+    tie_term = 0.0
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        t = float(j - i)
+        tie_term += t**3 - t
+        i = j
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    u = min(u1, n1 * n2 - u1)
+    mu = n1 * n2 / 2.0
+    variance = n1 * n2 * (n + 1) / 12.0 - n1 * n2 * tie_term / (12.0 * n * (n - 1))
+    sigma = variance**0.5 if variance > 0 else 0.0
+    z = (u - mu) / sigma if sigma > 0 else 0.0
+    want = {
+        "statistic": float(u),
+        "z": float(z),
+        "p_value": float(min(2.0 * ST.norm_sf(abs(z)), 1.0)),
+        "rank_biserial": float(1.0 - 2.0 * u1 / (n1 * n2)),
+    }
+    return DIFF.mann_whitney_u(df, "g", "v", _G1, _G2), want
+
+
+def stats_case_ks(spark, rng):
+    rows = _stats_rows(rng)
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    s1 = sorted(v for (_, g, v) in rows if g == _G1 and v is not None)
+    s2 = sorted(v for (_, g, v) in rows if g == _G2 and v is not None)
+    # the operator pools NULL values into the ECDF grid (they form their own
+    # histogram row); scipy-style references drop them — mirror the operator:
+    # a NULL value contributes to neither count, so it cannot move D, but it
+    # IS a grid point. Dropping it is therefore equivalent; keep drop form.
+    if not s1 or not s2:
+        with pytest.raises(ValueError):
+            DIFF.ks_test(df, "g", "v", _G1, _G2)
+        return
+    grid = sorted(set(s1) | set(s2))
+    import bisect
+
+    d = max(
+        abs(bisect.bisect_right(s1, x) / len(s1) - bisect.bisect_right(s2, x) / len(s2))
+        for x in grid
+    )
+    want = {
+        "statistic": float(d),
+        "p_value": float(ST.ks_sf(d, len(s1), len(s2))),
+        "n1": len(s1),
+        "n2": len(s2),
+    }
+    return DIFF.ks_test(df, "g", "v", _G1, _G2), want
+
+
+_STATS_CASES = {
+    "welch_t": stats_case_welch,
+    "chi2": stats_case_chi2,
+    "mann_whitney_u": stats_case_mwu,
+    "ks": stats_case_ks,
+}
+
+
+@pytest.mark.parametrize("case", sorted(_STATS_CASES))
+def test_fuzz_stats_case_matches_reference(spark, case):
+    fn = _STATS_CASES[case]
+    for seed in range(N_SEEDS):
+        rng = random.Random(5000 * seed + 31)
+        out = fn(spark, rng)
+        if out is None:
+            continue  # ValueError contract asserted inside the case
+        got, want = out
+        _assert_dicts_close(case, seed, got, want)
+
+
+# --- PII redaction: Python-re reference (same patterns, ASCII classes) ------
+
+
+_PII_PROSE = [
+    "Call me maybe",
+    "totals were 42 and 7",
+    "release v1.2.3 shipped",
+    "order 20240101 confirmed",  # ISO-date near-miss: must NOT redact
+    "range 1990-1995 ok",
+    "12345678 invoice",  # 8 digits: below the >=9 phone floor
+    "a@b bare at",  # no TLD: not an email
+    "www. broken scheme",
+    "naïve café prose",  # non-ASCII word chars around boundaries
+]
+_PII_PLANTS = [
+    "see https://ex.com/a?b=1#f for details",
+    "or www.mirror-site.org/path today",
+    "mail first.last+tag@ex.co.uk now",
+    "host 192.168.0.1 responded",
+    "dial +1 (415) 555-0123 4 anytime",
+    "fax 041.555.012.345 received",
+]
+
+
+def stats_case_pii(spark, rng):
+    """redact_pii / pii_counts (Java regex, Catalyst chain) vs Python re
+    with re.ASCII — mirroring Java's default ASCII \\w/\\b/\\d classes — on
+    randomly assembled prose + plants + near-misses. Counts follow the same
+    progressive-redaction order on both sides."""
+    import re
+
+    from market_data_mining_project_spark.operators import text as TXT_
+
+    n_docs = rng.randint(1, 8)
+    docs = []
+    for i in range(n_docs):
+        pieces = [
+            rng.choice(_PII_PLANTS if rng.random() < 0.4 else _PII_PROSE)
+            for _ in range(rng.randint(0, 5))
+        ]
+        docs.append((i, rng.choice([" ", "\n"]).join(pieces)))
+    df = spark.createDataFrame(docs, "id long, txt string")
+    got = {
+        r.id: (r.red, (r.pii.url, r.pii.email, r.pii.ip, r.pii.phone))
+        for r in df.select(
+            "id",
+            TXT_.redact_pii(F.col("txt")).alias("red"),
+            TXT_.pii_counts(F.col("txt")).alias("pii"),
+        ).collect()
+    }
+    for i, txt in docs:
+        staged = txt
+        counts = []
+        for token, pattern in TXT_._PII_PATTERNS:
+            pat = re.compile(pattern, re.ASCII)
+            counts.append(len(pat.findall(staged)))
+            staged = pat.sub(token, staged)
+        assert got[i][0] == staged, (
+            f"FUZZ REPRO case=pii id={i}: redacted {got[i][0]!r} != {staged!r}"
+        )
+        assert got[i][1] == tuple(counts), (
+            f"FUZZ REPRO case=pii id={i}: counts {got[i][1]} != {tuple(counts)} ({txt!r})"
+        )
+
+
+def test_fuzz_pii_matches_python_re(spark):
+    for seed in range(N_SEEDS):
+        rng = random.Random(7000 * seed + 41)
+        stats_case_pii(spark, rng)
