@@ -219,6 +219,9 @@ def rank_sums(df: DataFrame, group: str, value: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n_gv")
     )
     vals = per_gv.groupBy(value).agg(F.sum("n_gv").alias("t"))
+    # unpartitioned windows over the distinct-value histogram only —
+    # ≤ MAX_RANK_DISTINCT_VALUES rows by the in-plan guard below (benign
+    # WindowExec single-partition warning)
     w_cum = Window.orderBy(F.col(value).asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -306,6 +309,9 @@ def ks_statistic(df: DataFrame, group: str, value: str, g1, g2) -> DataFrame:
         F.sum(F.when(F.col(group) == g1, 1.0).otherwise(0.0)).alias("t1"),
         F.sum(F.when(F.col(group) == g2, 1.0).otherwise(0.0)).alias("t2"),
     )
+    # unpartitioned windows over the distinct-value histogram only —
+    # ≤ MAX_RANK_DISTINCT_VALUES rows by the in-plan guard below (benign
+    # WindowExec single-partition warning)
     w = Window.orderBy(F.col(value).asc()).rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.orderBy(F.col(value).asc()).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

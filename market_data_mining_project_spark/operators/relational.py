@@ -296,6 +296,9 @@ def ntile_score_histogram(
     hist = (hist_from if hist_from is not None else df).groupBy(metric).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
+    # unpartitioned windows over the HISTOGRAM only — ≤ |distinct metric
+    # values| narrow rows, never the data frame (the WindowExec
+    # single-partition warning is benign here; see the docstring's bounds)
     w_cum = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.orderBy(order).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

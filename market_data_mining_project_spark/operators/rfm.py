@@ -84,6 +84,9 @@ def ntile_scores(rfm: DataFrame, customer: str, quantiles: int = 5) -> DataFrame
     :func:`ntile_scores_histogram` (same scores, distributed).
     """
     tiebreak = F.col(customer).asc()
+    # unpartitioned windows over the per-customer RFM frame — single-task
+    # by design in this FALLBACK; the shipped pipeline path is
+    # ntile_scores_histogram (no data-sized single partition)
     w_r = Window.orderBy(F.col("recency").asc(), tiebreak)
     w_f = Window.orderBy(F.col("frequency").asc(), tiebreak)
     w_m = Window.orderBy(F.col("monetary").asc(), tiebreak)

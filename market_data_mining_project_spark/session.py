@@ -20,6 +20,18 @@ from pyspark.sql import SparkSession
 # - shuffle.partitions is only the pre-AQE upper bound; AQE coalesces down.
 # - Arrow on: every pandas_udf / toPandas crossing is vectorized.
 _DEFAULTS = {
+    # ANSI mode PINNED on (the Spark 4 default, made explicit): every
+    # catalog entry is oracle-swept under ANSI, and the operators carry
+    # their own guards at the sites ANSI would otherwise abort — zero-norm
+    # vectors are dropped before cosine 0/0 (operators/similarity.py),
+    # NTILE bucket arithmetic guards its /0 literal with greatest()
+    # (operators/relational.py), the KS ECDF divides through try_divide so
+    # an empty group surfaces as the caller's ValueError instead of an
+    # ArithmeticException (operators/diff.py). The catalog is additionally
+    # swept green with ansi=false (SPARK_GRAFT_ANSI=false, r9 PARITY), so
+    # results are mode-independent — no entry *relies* on an ANSI abort or
+    # on legacy NULL-on-error semantics.
+    "spark.sql.ansi.enabled": os.environ.get("SPARK_GRAFT_ANSI", "true"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -19,6 +19,11 @@ One directory with ALL TEN tables, composing the three per-family recipes
 Run:  python scripts/build_sf1.py   (writes /tmp/mdmp_sf1)
 Then: SPARK_GRAFT_SF_DIR=/tmp/mdmp_sf1 SPARK_GRAFT_CPUS=32 python bench.py
       SPARK_GRAFT_SF_DIR=/tmp/mdmp_sf1 python -m tests.oracle_harness
+
+Scaled tiers (r9): SPARK_GRAFT_SCALE_COPIES=50 SPARK_GRAFT_SCALE_OUT=/tmp/mdmp_sf5
+builds an ≈sf5 fixture — 5× the sf1 corpus at CONSTANT near-dup density
+(10-doc clusters; see CLUSTER below), the weak-scaling shape for the
+heavy-family slope measurements.
 """
 
 from __future__ import annotations
@@ -29,9 +34,19 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BASE = "/root/testdata/sf0.1"
-OUT = "/tmp/mdmp_sf1"
-COPIES = 10
+BASE = os.environ.get("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
+OUT = os.environ.get("SPARK_GRAFT_SCALE_OUT", "/tmp/mdmp_sf1")
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+#: near-dup CLUSTER size: copies within one group of 10 are mutual
+#: near-dups (the " rev k" tag differs by ~2 tokens); copies in DIFFERENT
+#: groups get every token prefixed with a group marker, so their shingle
+#: sets are disjoint. With COPIES=10 there is a single group and the
+#: fixture is byte-compatible with the original sf1 recipe; with
+#: COPIES=50 (≈sf5) the corpus grows 5× at CONSTANT per-doc near-dup
+#: density — weak scaling, the honest 100 TB shape. Without the grouping,
+#: pair counts grow quadratically in COPIES and the jaccard stage's spill
+#: measures fixture hostility, not operator scaling.
+CLUSTER = 10
 
 
 def main() -> None:
@@ -48,12 +63,24 @@ def main() -> None:
     # documents: near-dup replication (scale_probe.build_fixture recipe)
     docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
     n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    grp = (F.col("copy") / CLUSTER).cast("int")
+    # group > 0: prefix every token with the group marker — shingle sets
+    # across groups are disjoint, so near-dup clusters stay CLUSTER-sized
+    grouped_text = F.when(grp == 0, F.col("text")).otherwise(
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), r"\s+"),
+                lambda t: F.concat(F.lit("g"), grp.cast("string"), t),
+            ),
+            " ",
+        )
+    )
     (
         docs.crossJoin(F.broadcast(copies))
         .select(
             (F.col("doc_id") + F.col("copy") * n_docs).alias("doc_id"),
             F.when(F.col("copy") == 0, F.col("text"))
-            .otherwise(F.concat(F.col("text"), F.lit(" rev "), F.col("copy")))
+            .otherwise(F.concat(grouped_text, F.lit(" rev "), F.col("copy")))
             .alias("text"),
             "lang",
             "source",

@@ -161,7 +161,19 @@ if __name__ == "__main__":
 
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     only = sys.argv[1:] or None
-    spark = get_spark("oracle-harness", **{"spark.sql.shuffle.partitions": "8", "spark.ui.enabled": "false"})
+    # SPARK_GRAFT_ANSI=false sweeps the catalog under legacy (non-ANSI)
+    # semantics; unset/true is the pinned Spark 4 default (session.py).
+    # Both modes must be green — the engine's results are mode-independent.
+    ansi = os.environ.get("SPARK_GRAFT_ANSI", "true")
+    spark = get_spark(
+        "oracle-harness",
+        **{
+            "spark.sql.shuffle.partitions": "8",
+            "spark.ui.enabled": "false",
+            "spark.sql.ansi.enabled": ansi,
+        },
+    )
+    print(f"ansi={spark.conf.get('spark.sql.ansi.enabled')} sf={sf}")
     outcome = run_all(spark, sf, only)
     failed = 0
     for name, errs in sorted(outcome.items()):
