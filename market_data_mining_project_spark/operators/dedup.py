@@ -392,6 +392,13 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(hot, "sh", "left_anti")
+        # The CAPPED index feeds sizes and both self-join sides; uncached,
+        # each consumer re-runs explode + the df aggregate + the anti join
+        # (a full shuffle chain — the uncapped frame is a cheap narrow
+        # explode and stays uncached). Single-slot lifecycle: call N frees
+        # call N−1's frame. r9 sf5 probe: the uncached capped chain cost
+        # +44% wall over uncapped despite eliminating the hot fan-out.
+        sh = _cache_single_slot(sh, "jaccard_capped_index")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc").alias("doc_a"), "sh")
     b = sh.select(F.col("doc").alias("doc_b"), "sh")
@@ -451,6 +458,12 @@ def cross_jaccard_flags(
         )
         sh_e = sh_e.join(hot, "sh", "left_anti")
         sh_i = sh_i.join(hot, "sh", "left_anti")
+        # Both capped frames have ≥2 consumers whose recompute re-runs the
+        # CORPUS-wide df aggregate (the batch side's anti join carries the
+        # corpus aggregate in its lineage) — pin each once per call, the
+        # jaccard_capped_index rationale above.
+        sh_e = _cache_single_slot(sh_e, "cross_jaccard_corpus_index")
+        sh_i = _cache_single_slot(sh_i, "cross_jaccard_batch_index")
     sz_e = sh_e.groupBy("old").agg(F.count(F.lit(1)).alias("sz_old"))
     sz_i = sh_i.groupBy("new").agg(F.count(F.lit(1)).alias("sz_new"))
     inter = sh_i.join(sh_e, "sh").groupBy("new", "old").agg(F.count(F.lit(1)).alias("n_inter"))

@@ -732,11 +732,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 5 Lloyd iterations: cells are a CANDIDATE generator here (verification
     # is exact cosine) — assignment quality is insensitive past the first
     # few iterations; n_blocks=2 keeps the Arrow group count (cells ×
-    # block-pairs) low where per-cell populations are small
+    # block-pairs) low where per-cell populations are small.
+    # n_cells SCALES with the corpus (~2.5k vectors/cell, floor 8): cells
+    # exist to keep within-cell pair work bounded, and a FIXED k makes that
+    # work N²/k — the r9 sf5 probe measured the fixed-k=8 carrier at an
+    # 8.9× time slope on 5× data; constant cell population restores the
+    # designed ~linear shape. Unchanged at the driver SFs (k stays 8
+    # through sf1), so rows-only outputs there are identical.
     from market_data_mining_project_spark.ml import persistence as PERSIST
 
+    n_cells = max(8, emb.count() // 2500)
     ann = SIM.semantic_dedup(
-        emb, "embedding", "vec_id", threshold=0.4, n_cells=8, seed=42,
+        emb, "embedding", "vec_id", threshold=0.4, n_cells=n_cells, seed=42,
         n_blocks=2, max_iter=5,
         cache_version=PERSIST.data_version(sf_dir, ("embeddings",)),
     )
@@ -825,8 +832,16 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     existing = docs.filter(F.col("doc_id") % 10 != 0)
     incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    # max_shingle_df=100 — the hot-shingle cap, same value as the
+    # corpus_prep pipeline: the cross-jaccard probe and the batch pair
+    # mining join on shingles, and a shingle common to d corpus docs × b
+    # batch docs emits d·b rows — quadratic in corpus scale for stopword
+    # shingles. The r9 sf5 probe measured the uncapped carrier at 198 GB
+    # spill / 60 GB peak (vs ZERO spill capped); capping drops only
+    # shingles in >100 docs, which carry no near-dup signal.
     admitted = D.incremental_ingest(
-        existing, incoming, "text", "doc_id", shingle_n=3, threshold=0.5
+        existing, incoming, "text", "doc_id", shingle_n=3, threshold=0.5,
+        max_shingle_df=100,
     )
     return admitted.agg(
         F.count(F.lit(1)).alias("admitted_docs"),
