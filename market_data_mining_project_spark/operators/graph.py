@@ -127,6 +127,10 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # nodes is checkpointed EAGERLY even when the local path below wins the
+    # gate: the distributed path reuses it (ranks init + dangling mass), and
+    # on the local path the frame is node-gated small — a deliberate,
+    # bounded over-materialization, not a leak
     n = nodes.count()
     if stats.n_edges <= small_graph_edges and n <= small_graph_nodes:
         rows = e.collect()

@@ -1019,3 +1019,33 @@ def test_zero_norm_vectors_dropped_on_both_cosine_paths(spark):
         for r in SIM.cosine_near_dups_blocked(df, threshold=0.5, n_blocks=2).collect()
     }
     assert naive == blocked == {(1, 2)}
+
+
+def test_capped_index_caches_use_single_slot_lifecycle(spark):
+    """r9: the CAPPED shingle-index frames (jaccard pair miner + both
+    cross-jaccard sides) take the same single-slot lifecycle as the
+    minhash/simhash caches — call N frees call N−1's pinned frame. Inputs
+    DIFFER between calls (Spark's CacheManager keys on the canonicalized
+    plan, so a same-input recache would share the entry and mask a leak)."""
+    docs1 = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i} delta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    docs2 = spark.createDataFrame(
+        [(i, f"omega psi chi tok{i} phi") for i in range(6)],
+        "doc_id long, text string",
+    )
+    D.ngram_jaccard_pairs(docs1, "text", "doc_id", max_shingle_df=100).collect()
+    first = D._PINNED_CACHES["jaccard_capped_index"]
+    assert first.storageLevel.useMemory
+    D.ngram_jaccard_pairs(docs2, "text", "doc_id", max_shingle_df=100).collect()
+    assert not first.storageLevel.useMemory, "call N must free call N-1's frame"
+    assert D._PINNED_CACHES["jaccard_capped_index"].storageLevel.useMemory
+    # uncapped path must NOT touch the slot (it is a cheap narrow explode)
+    before = D._PINNED_CACHES["jaccard_capped_index"]
+    D.ngram_jaccard_pairs(docs1, "text", "doc_id").collect()
+    assert D._PINNED_CACHES["jaccard_capped_index"] is before
+    # cross-jaccard pins (and recycles) BOTH side slots
+    D.cross_jaccard_flags(docs1, docs2, "text", "doc_id", max_shingle_df=100).collect()
+    assert D._PINNED_CACHES["cross_jaccard_corpus_index"].storageLevel.useMemory
+    assert D._PINNED_CACHES["cross_jaccard_batch_index"].storageLevel.useMemory
