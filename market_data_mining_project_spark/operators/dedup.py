@@ -528,9 +528,12 @@ def incremental_ingest(
 
     ``cache_batch``: pin the deduped batch frame for its four downstream
     consumers. ``None`` (default) decides adaptively — cache only when the
-    existing corpus has at least :data:`INGEST_CACHE_MIN_CORPUS_ROWS` rows
-    (one cheap narrow count; see the constant's measured rationale) —
-    ``True``/``False`` forces either regime.
+    existing corpus has at least :data:`INGEST_CACHE_MIN_CORPUS_ROWS` rows.
+    The gate runs ONE count action over ``existing``'s lineage (a narrow
+    metadata-cheap pass when the corpus is a parquet scan — the shipped
+    shape). Callers whose corpus frame carries an EXPENSIVE upstream plan
+    should pass ``cache_batch`` explicitly (they know their corpus size)
+    rather than pay a full lineage execution to pick a caching strategy.
     """
     batch = exact_dedup(incoming, text_col, id_col)
     batch = batch.join(

@@ -623,6 +623,9 @@ SQL_KS_URGENT_VS_LOW = """
 WITH sub AS (
   SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
   FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    -- NULL values excluded like the operator (r9 KS fix): they are not
+    -- sample points; the fixture is never-NULL so this is contract, not fix
+    AND o_totalprice IS NOT NULL
 ), counts AS (
   SELECT SUM(CASE WHEN g = '1-URGENT' THEN 1.0 ELSE 0 END) AS n1,
          SUM(CASE WHEN g = '5-LOW' THEN 1.0 ELSE 0 END) AS n2

@@ -65,12 +65,15 @@ def main() -> None:
     n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     grp = (F.col("copy") / CLUSTER).cast("int")
     # group > 0: prefix every token with the group marker — shingle sets
-    # across groups are disjoint, so near-dup clusters stay CLUSTER-sized
+    # across groups are disjoint, so near-dup clusters stay CLUSTER-sized.
+    # The '·' separator keeps prefixes unambiguous at ANY tier: without it,
+    # 'g1'+'1tok' == 'g11'+'tok' re-creates cross-group shared shingles at
+    # COPIES > 100 and silently breaks the constant-density guarantee
     grouped_text = F.when(grp == 0, F.col("text")).otherwise(
         F.array_join(
             F.transform(
                 F.split(F.col("text"), r"\s+"),
-                lambda t: F.concat(F.lit("g"), grp.cast("string"), t),
+                lambda t: F.concat(F.lit("g"), grp.cast("string"), F.lit("·"), t),
             ),
             " ",
         )
@@ -141,7 +144,12 @@ def main() -> None:
         .select(
             (F.col("o_orderkey") + F.col("copy") * n_ord).alias("o_orderkey"),
             *[c for c in orders.columns if c not in ("o_orderkey", "o_orderdate")],
-            F.expr("date_add(o_orderdate, CAST(copy * 7 AS INT))").alias("o_orderdate"),
+            # timestampadd, NOT date_add: the base fixture ships o_orderdate
+            # as TIMESTAMP and date_add would silently degrade the scaled
+            # tiers to DATE — cross-tier runs must see one schema
+            F.expr("timestampadd(DAY, CAST(copy * 7 AS INT), o_orderdate)").alias(
+                "o_orderdate"
+            ),
         )
         .repartition(16)
         .write.mode("overwrite")

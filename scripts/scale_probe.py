@@ -45,8 +45,8 @@ PROBE_QUERIES = (
     "simhash_near_dups",
     "bm25_search",
     "bpe_tokenizer",
-    "token_budget_sample",
-    "pii_redaction",
+    # token_budget_sample + pii_redaction merged into this carrier (r9)
+    "text_curation_audit",
     "mixture_plan",
     "sequence_packing",
     "embedding_near_dups",
