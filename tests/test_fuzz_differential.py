@@ -621,6 +621,58 @@ def case_mixture_plan(spark, rng):
     return got, rel, con
 
 
+def case_document_chunks(spark, rng):
+    """Fixed-width overlapping char chunking vs the DuckDB twin at RANDOM
+    (chunk_size, overlap) — the oracled entry pins only (120, 30). Unicode
+    multi-byte characters land ON chunk boundaries: both engines must count
+    CHARACTERS (not bytes) in length/substring and hash the chunk's UTF-8
+    bytes identically."""
+    from market_data_mining_project_spark.operators import text as TXT_
+
+    chunk = rng.randint(2, 40)
+    overlap = rng.randint(0, chunk - 1)
+    stride = chunk - overlap
+    pool = ["αβγδε", "ascii text here", "naïve é ü ñ", "", "x" * 95, "中文字符串测试",
+            "mixed ü中x", None, " padded  ", "🙂emoji🙂"]
+    n = rng.choice([0, 1, rng.randint(2, 25)])
+    rows = [(i, rng.choice(pool)) for i in range(n)]
+    sdf = spark.createDataFrame(rows, "id long, txt string")
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pa.table(
+            {
+                "id": pa.array([r[0] for r in rows], pa.int64()),
+                "txt": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+    )
+    got = TXT_.document_chunks(sdf, "txt", "id", chunk_size=chunk, overlap=overlap)
+    rel = con.sql(
+        f"""
+        WITH d AS (
+          SELECT id, txt, length(txt) AS len FROM t WHERE txt IS NOT NULL
+        ), counts AS (
+          SELECT id, txt,
+                 CASE WHEN len <= {chunk} THEN CAST(0 AS BIGINT)
+                      ELSE (len - {chunk} + {stride - 1}) // {stride} END AS last_idx
+          FROM d
+        ), exploded AS (
+          SELECT id, txt, unnest(generate_series(0, last_idx)) AS chunk_idx
+          FROM counts
+        )
+        SELECT id, chunk_idx,
+               CAST(chunk_idx * {stride} + 1 AS BIGINT) AS chunk_start,
+               CAST(length(substring(txt, CAST(chunk_idx * {stride} + 1 AS INT), {chunk})) AS BIGINT)
+                   AS chunk_len,
+               md5(substring(txt, CAST(chunk_idx * {stride} + 1 AS INT), {chunk})) AS chunk_md5
+        FROM exploded
+        """
+    )
+    return got, rel, con
+
+
+
 _TABLE_CASES = {
     "grouped_rollup": case_grouped_rollup,
     "salted_count_distinct": case_salted_count_distinct,
@@ -645,6 +697,7 @@ _EVENT_CASES = {
     "range_join_count": case_range_join_count,
     "pairwise_rules": case_pairwise_rules,
     "mixture_plan": case_mixture_plan,
+    "document_chunks": case_document_chunks,
 }
 
 
