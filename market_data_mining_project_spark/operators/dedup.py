@@ -355,6 +355,77 @@ def minhash_lsh_candidates(
     )
 
 
+#: Per-task state bound for the exact-jaccard self-join: a shingle whose
+#: document frequency exceeds this is salted so that no single (shingle,
+#: salt) join key buffers more than ~this many rows or emits more than
+#: ~this² candidate pairs. Env-tunable for probes; 2048 keeps the hot-key
+#: task state well under local[32]'s 0.25 GB/task heap share while leaving
+#: the cold (df ≤ bound) path — virtually every shingle in a real corpus —
+#: completely untouched.
+JACCARD_SALT_ROWS = int(os.environ.get("SPARK_GRAFT_JACCARD_SALT_ROWS", "2048"))
+
+
+def _bounded_self_pairs(sh: DataFrame, salt_rows: int) -> DataFrame:
+    """All (doc_a < doc_b) rows sharing a shingle — one output row per
+    shared shingle — with per-task join state BOUNDED regardless of
+    shingle-df skew.
+
+    The plain self-join keys on the shingle value, so a hot shingle shared
+    by m docs lands its whole m-row group (and its m² pair fan-out) on ONE
+    task — at sf5 density that is the difference between finishing on a
+    default 8 g heap and an OOM (local[32] ⇒ ~0.25 GB/task heap share; a
+    normal cluster provisions ~1–4 GB/task, which is why the wall only
+    shows at scale probes). Fix: square-law salting of hot shingles only.
+
+    A shingle with df > salt_rows (call it B) is split into
+    n_salt = ⌈(df/B)²⌉ salt buckets. The RIGHT side keeps its own bucket
+    (hash(doc) % n_salt); the LEFT side is replicated to every bucket.
+    Every unordered pair (a<b) sharing the shingle is then produced exactly
+    once — as (left=a, right=b) in b's bucket; the mirrored (left=b,
+    right=a) row dies on the a<b filter — so the result is row-identical
+    to the plain join. Bounds per (shingle, salt) key: right-side buffer
+    ≤ df/n_salt ≤ B²/df < B rows, task output ≤ df·(df/n_salt) = B² pairs.
+    Left-side replication costs df·n_salt = df³/B² extra shuffle rows —
+    always ≪ the df² candidate rows the shingle emits anyway.
+
+    Cold shingles (df ≤ B) take the plain single-copy join unchanged; the
+    hot set (stopword runs) is tiny and rides a broadcast anti/semi join,
+    so the only new full-width work is one map-side-combined df aggregate.
+    """
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > salt_rows)
+    )
+    cold = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    cold_pairs = (
+        cold.select(F.col("doc").alias("doc_a"), "sh")
+        .join(cold.select(F.col("doc").alias("doc_b"), "sh"), "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    ratio = F.col("df") / F.lit(float(salt_rows))
+    hot_sh = sh.join(F.broadcast(hot), "sh").withColumn(
+        "n_salt", F.ceil(ratio * ratio).cast("int")
+    )
+    left = hot_sh.select(
+        F.col("doc").alias("doc_a"),
+        "sh",
+        F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1)).alias("salt"),
+    )
+    right = hot_sh.select(
+        F.col("doc").alias("doc_b"),
+        "sh",
+        F.pmod(F.xxhash64("doc"), F.col("n_salt")).cast("int").alias("salt"),
+    )
+    hot_pairs = (
+        left.join(right, ["sh", "salt"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    return cold_pairs.unionByName(hot_pairs)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -362,6 +433,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
+    salt_rows: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via inverted index.
 
@@ -377,6 +449,13 @@ def ngram_jaccard_pairs(
     capped metric can move either way near the threshold (dropping hot
     shingles shrinks |A∪B| too) — the regression test bounds both the lost-
     pair and admitted-pair sides.
+
+    Even the EXACT (uncapped) metric is skew-safe: the self-join rides
+    :func:`_bounded_self_pairs`, which square-law-salts any shingle with
+    df > ``salt_rows`` (default :data:`JACCARD_SALT_ROWS`) so no task
+    buffers or emits an unbounded hot-key group. Results are row-identical
+    to the plain join — salting changes the partitioning of the pair
+    enumeration, never its contents.
     """
     # shingles() is already distinct per document — the exploded (doc, sh)
     # rows are unique, and a .distinct() here would re-shuffle the job's
@@ -399,15 +478,30 @@ def ngram_jaccard_pairs(
         # call N−1's frame. r9 sf5 probe: the uncached capped chain cost
         # +44% wall over uncapped despite eliminating the hot fan-out.
         sh = _cache_single_slot(sh, "jaccard_capped_index")
+    else:
+        # The salted self-join raises the uncapped index's consumer count
+        # from 2 (sizes + join) to 4 (sizes, hot-df aggregate, cold anti
+        # join, hot semi join) — past the point where recomputing the
+        # tokenize+shingle explode per consumer beats pinning it once
+        # (the r9 rule: cache when the recompute chain is no longer a
+        # single narrow pass). Same single-slot lifecycle as the capped
+        # frame; MEMORY_AND_DISK default evicts gracefully on small heaps.
+        sh = _cache_single_slot(sh, "jaccard_uncapped_index")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc").alias("doc_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    bound = salt_rows if salt_rows is not None else JACCARD_SALT_ROWS
+    if max_shingle_df is not None and max_shingle_df <= bound:
+        # the df cap already bounds every join group tighter than the salt
+        # bound would — the plain join IS the bounded join, skip the second
+        # df aggregate the salting path would pay
+        pairs = (
+            sh.select(F.col("doc").alias("doc_a"), "sh")
+            .join(sh.select(F.col("doc").alias("doc_b"), "sh"), "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+    else:
+        pairs = _bounded_self_pairs(sh, bound)
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter"))
     return (
         inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")

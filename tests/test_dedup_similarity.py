@@ -1041,11 +1041,69 @@ def test_capped_index_caches_use_single_slot_lifecycle(spark):
     D.ngram_jaccard_pairs(docs2, "text", "doc_id", max_shingle_df=100).collect()
     assert not first.storageLevel.useMemory, "call N must free call N-1's frame"
     assert D._PINNED_CACHES["jaccard_capped_index"].storageLevel.useMemory
-    # uncapped path must NOT touch the slot (it is a cheap narrow explode)
+    # the uncapped path pins its OWN slot (r10: the salted self-join reads
+    # the index 4×, past the recompute-beats-cache point) and must not
+    # disturb the capped slot
     before = D._PINNED_CACHES["jaccard_capped_index"]
     D.ngram_jaccard_pairs(docs1, "text", "doc_id").collect()
     assert D._PINNED_CACHES["jaccard_capped_index"] is before
+    assert D._PINNED_CACHES["jaccard_uncapped_index"].storageLevel.useMemory
+    first_uncapped = D._PINNED_CACHES["jaccard_uncapped_index"]
+    D.ngram_jaccard_pairs(docs2, "text", "doc_id").collect()
+    assert not first_uncapped.storageLevel.useMemory, "call N must free call N-1's frame"
     # cross-jaccard pins (and recycles) BOTH side slots
     D.cross_jaccard_flags(docs1, docs2, "text", "doc_id", max_shingle_df=100).collect()
     assert D._PINNED_CACHES["cross_jaccard_corpus_index"].storageLevel.useMemory
     assert D._PINNED_CACHES["cross_jaccard_batch_index"].storageLevel.useMemory
+
+
+def test_salted_self_join_equals_plain_on_hot_shingles(spark, sf_dir):
+    """r10: the exact-jaccard memory wall fix. A hot shingle (df > salt_rows)
+    takes the square-law salted join (`_bounded_self_pairs`); the result must
+    be ROW-IDENTICAL to the plain self-join — salting changes the
+    partitioning of the pair enumeration, never its contents. Fixture plants
+    one stopword shingle shared by EVERY doc (the skew shape that OOMed sf5
+    at default heap) plus genuine near-dup pairs; salt_rows=4 forces the hot
+    path on 40 docs, salt_rows=10**9 forces the plain path."""
+    rows = [(i, f"the quick fox tok{i} alpha beta gamma") for i in range(34)]
+    rows += [(100 + j, "the quick fox jumped over lazy dogs") for j in range(3)]
+    rows += [(200 + j, "the quick fox leaped over lazy dogs") for j in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def mine(salt):
+        return sorted(
+            (r.doc_a, r.doc_b, r.n_inter, r.sz_a, r.sz_b, r.jaccard)
+            for r in D.ngram_jaccard_pairs(
+                docs, "text", "doc_id", shingle_n=3, threshold=0.0, salt_rows=salt
+            ).collect()
+        )
+
+    plain = mine(10**9)
+    salted = mine(4)
+    assert plain, "fixture must produce pairs"
+    assert salted == plain
+    # the planted hot shingle really exercised multi-salt buckets: with
+    # df=40 and salt_rows=4, n_salt = ceil((40/4)^2) = 100 > 1
+    assert len({p[:2] for p in plain}) == len(plain), "pairs must be unique"
+
+
+def test_salted_join_hot_docs_pair_with_everyone(spark):
+    """Every doc shares the hot shingle, so the candidate set must include
+    ALL unordered pairs — the property the left-replication/right-bucket
+    scheme must not lose (a pair is produced exactly once, in the RIGHT
+    doc's salt bucket)."""
+    docs = spark.createDataFrame(
+        [(i, f"common shingle here tail{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(D.shingles(F.col("text"), 3)).alias("sh"),
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in D._bounded_self_pairs(sh, salt_rows=3).collect()
+    }
+    expected = {(a, b) for a in range(12) for b in range(12) if a < b}
+    # "common shingle here" is in all 12 docs -> each pair shares exactly 1
+    assert expected <= got
