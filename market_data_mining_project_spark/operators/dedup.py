@@ -27,6 +27,8 @@ import threading
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import truncate_lineage
+
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition when the scan is under-split.
@@ -686,13 +688,13 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
         .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     labels = (
         edges.select(F.col("src").alias("doc"))
         .distinct()
         .withColumn("cluster", F.col("doc"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     # Size-gate the in-loop broadcasts: labels covers every doc touched by a
     # dup edge — at web-crawl dup rates (30-50%) that is multi-GB, and an
@@ -722,7 +724,7 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             # materialize before the self-join below: DataFrames have no
             # subtree sharing, so an unmaterialized `stepped` would replay
             # the neighbor-min join+aggregate on BOTH sides of the jump
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         # pointer doubling: additionally adopt the label OF the current
         # label (cluster ids are doc ids, so they resolve in this same
@@ -743,7 +745,7 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                     F.col("cluster"), F.coalesce("__jc", F.col("cluster"))
                 ).alias("cluster"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         changed = (
             updated.alias("u")

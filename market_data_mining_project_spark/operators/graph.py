@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import truncate_lineage
+
 
 def pagerank(
     edges: DataFrame,
@@ -89,7 +91,7 @@ def pagerank(
         )
         .groupBy("__src", "__dst")
         .agg(F.sum("__w").alias("__w"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     # one pass validates weights AND sizes the dual-path decision: a zero,
     # negative or NULL edge weight corrupts both paths differently (NULL
@@ -125,7 +127,7 @@ def pagerank(
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     # nodes is checkpointed EAGERLY even when the local path below wins the
     # gate: the distributed path reuses it (ranks init + dangling mass), and
@@ -146,12 +148,12 @@ def pagerank(
     trans = (
         e.join(out_w.withColumnRenamed("node", "__src"), "__src")
         .select("__src", "__dst", (F.col("__w") / F.col("__out_w")).alias("__p"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     # derived from the CHECKPOINTED trans, then checkpointed itself: the
     # per-iteration dangling anti-join must not re-run the edge aggregate
     has_out = (
-        trans.select(F.col("__src").alias("node")).distinct().localCheckpoint(eager=True)
+        trans.select(F.col("__src").alias("node")).distinct().transform(truncate_lineage)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
@@ -185,7 +187,7 @@ def pagerank(
                 new_rank.alias("rank"),
                 F.abs(new_rank - F.col("__old")).alias("__delta"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         ranks = new_ranks.select("node", "rank")
         if iterations % check_every == 0 or iterations == max_iterations:

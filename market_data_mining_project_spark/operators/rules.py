@@ -30,6 +30,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import truncate_lineage
+
 try:  # MLlib import gated so a missing mllib build degrades gracefully
     from pyspark.ml.fpm import FPGrowth, PrefixSpan
 
@@ -322,8 +324,8 @@ def sequential_patterns(
     # frame to truncate that lineage BEFORE releasing the cache.
     sequences = sequences.cache()
     try:
-        pats = ps.findFrequentSequentialPatterns(sequences).localCheckpoint(
-            eager=True
+        pats = ps.findFrequentSequentialPatterns(sequences).transform(
+            truncate_lineage
         )
     finally:
         sequences.unpersist()

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import truncate_lineage
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -603,7 +605,7 @@ def semantic_dedup(
     )
     # two consumers (the pair search and the final annotation join) —
     # materialize once so the KMeans transform lineage doesn't run twice
-    assigned = assigned.localCheckpoint(eager=True)
+    assigned = assigned.transform(truncate_lineage)
     pairs = cosine_near_dups_blocked(
         assigned, vec_col, id_col, threshold, n_blocks, within_col="cell"
     )

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import truncate_lineage
+
 #: Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
 #: Deliberately small + deterministic; real deployments would broadcast a
 #: bigger lexicon — the plan shape (scan → map) is identical.
@@ -259,7 +261,7 @@ def token_budget_select(
     # materialize once: the totals collect, the keep-whole semi-join and
     # the boundary window all consume this frame, and the upstream profile
     # (repetition signals etc.) is too expensive to evaluate three times
-    bucketed = df.withColumn("__bk", bucket).localCheckpoint(eager=True)
+    bucketed = df.withColumn("__bk", bucket).transform(truncate_lineage)
     totals = (
         bucketed.groupBy(group_col, "__bk")
         .agg(F.sum(tokens_col).alias("__tok"))
@@ -418,7 +420,7 @@ def char_ngram_lm(ref_docs: DataFrame, text_col: str, n: int = 3) -> tuple[DataF
     # the scoring join both consume it, and without this the reference-corpus
     # gram aggregation lineage would execute twice
     counts = (
-        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
+        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c")).transform(truncate_lineage)
     )
     row = counts.agg(F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")).collect()[0]
     return counts, int(row["total"] or 0), int(row["v"] or 0)

@@ -16,6 +16,7 @@ from market_data_mining_project_spark.operators import retrieval as RET
 from market_data_mining_project_spark.operators import similarity as SIM
 from market_data_mining_project_spark.operators import text as TXT
 from market_data_mining_project_spark.sources.tables import load_table
+from market_data_mining_project_spark.session import truncate_lineage
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,7 +374,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(TXT.lower_tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     totals = freq.agg(
         F.sum("freq").alias("total_tokens"),
@@ -656,7 +657,7 @@ def q_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE corpus scan: the full word table is materialized once and feeds
     # both the capped training collect and the (twice-referenced) stats
     # audit — the stats always weigh EVERY word; only training is capped
-    wf = TOK.word_freq_table(docs, "text").localCheckpoint(eager=True)
+    wf = TOK.word_freq_table(docs, "text").transform(truncate_lineage)
     # top-V cap only (no min_count): on any corpus whose vocabulary fits
     # the cap — every fixture — training input is EXACTLY the full table
     # (pytest-pinned), while at web scale the TakeOrderedAndProject bound
@@ -690,7 +691,7 @@ def q_tokenized_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_data_mining_project_spark.operators import tokenize as TOK
 
     docs = D.ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    wf = TOK.word_freq_table(docs, "text").localCheckpoint(eager=True)
+    wf = TOK.word_freq_table(docs, "text").transform(truncate_lineage)
     merges = TOK.train_bpe(
         [(r.word, r.freq) for r in TOK.cap_word_table(wf, top_v=200_000).collect()],
         num_merges=500,
@@ -701,7 +702,7 @@ def q_tokenized_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The materialized frame is just (doc_id, long).
     counts = TOK.doc_bpe_token_counts(
         docs, "text", "doc_id", merges, word_freqs=wf
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
     assigned = PK.pack_sequences(counts, "doc_id", "bpe_pieces", seq_len=1024, buckets=8)
     stats = PK.packing_stats(assigned, seq_len=1024)
     totals = counts.agg(

@@ -45,6 +45,37 @@ _DEFAULTS = {
 }
 
 
+def truncate_lineage(df, eager: bool = True):
+    """Cut a DataFrame's lineage — the iterative-loop idiom (pointer
+    doubling, PageRank, BPE merges) where an uncut plan grows
+    exponentially with iterations.
+
+    Local mode defaults to ``localCheckpoint``: blocks live on executor
+    local storage, no distributed-FS round-trip. That is the WRONG default
+    on a real cluster with executor loss or dynamic allocation — a
+    locally-checkpointed block is unrecoverable (lineage is truncated, so
+    nothing can recompute it) and the job dies. Set
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` (an HDFS/S3/shared path) to switch every
+    call site to reliable ``checkpoint()``: blocks are written to the
+    fault-tolerant store and survive any executor. The knob is read per
+    call so a long-lived session can adopt it; the checkpoint dir is set on
+    the SparkContext on first use (idempotent — Spark keeps the last value,
+    and re-setting the same path is a no-op in practice).
+    """
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        # setCheckpointDir appends a UUID subdir, so the context's stored
+        # value never string-equals the knob — track the last value WE set
+        # instead (re-setting on change lets a long-lived session adopt a
+        # new knob value; Spark allows it and old checkpoints stay valid).
+        if getattr(sc, "_graft_ckpt_dir", None) != ckpt_dir:
+            sc.setCheckpointDir(ckpt_dir)
+            sc._graft_ckpt_dir = ckpt_dir
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def get_spark(app_name: str = "market-data-mining-spark", **overrides: str) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults.
 
