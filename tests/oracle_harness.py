@@ -121,7 +121,10 @@ def compare(name: str, spark_df, duck_rel) -> list[str]:
 
 
 def run_all(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
-    sys.path.insert(0, "/root/repo")
+    # __spark_entry__ lives at the repo root (one level above tests/) —
+    # resolve it from THIS file so the harness runs from any cwd and from
+    # an installed (pip install -e) environment, not only PYTHONPATH=repo
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
