@@ -91,16 +91,20 @@ class _StageTelemetry:
         with urllib.request.urlopen(f"{self._base}/stages?status={status}", timeout=10) as r:
             return json.loads(r.read())
 
-    def _drain(self, deadline_s: float = 2.0) -> None:
+    def _drain(self, deadline_s: float = 2.0) -> bool:
         """Poll until no ACTIVE stages remain (bounded). The query action
         has returned, but listener-bus lag can leave its trailing stages
         un-completed at sample time — without the drain those stages'
-        spill/memory would be attributed to the NEXT entry's delta."""
+        spill/memory would be attributed to the NEXT entry's delta.
+        Returns False when the deadline expired with stages still active —
+        the caller records that, so a misattributed sample is identifiable
+        instead of silent (heavy entries can lag the listener bus > 2 s)."""
         end = time.perf_counter() + deadline_s
         while time.perf_counter() < end:
             if not self._stages("active"):
-                return
+                return True
             time.sleep(0.05)
+        return False
 
     def _snapshot(self) -> list:
         new = []
@@ -116,12 +120,13 @@ class _StageTelemetry:
         if self._base is None:
             return None
         try:
-            self._drain()
+            drained = self._drain()
             new = self._snapshot()
         except Exception:
             self._base = None  # one failure disables; don't retry per query
             return None
         return {
+            **({} if drained else {"drain_timeout": True}),
             "spill_bytes": sum(
                 s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0) for s in new
             ),

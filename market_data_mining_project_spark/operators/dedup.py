@@ -651,7 +651,16 @@ def incremental_ingest(
     # broadcast-size estimate and every anti-join degrades to sort-merge.
     # Single-slot lifecycle: the next call releases this call's frame.
     if cache_batch is None:
-        cache_batch = existing.count() >= INGEST_CACHE_MIN_CORPUS_ROWS
+        # parquet-footer row count when the corpus is a plain scan (the
+        # shipped shape) — zero Spark jobs; only an exotic corpus plan
+        # (filters/joins upstream) pays the count() action, and such
+        # callers are told above to pass cache_batch explicitly
+        from ..sources.tables import scan_row_count
+
+        n_corpus = scan_row_count(existing)
+        if n_corpus is None:
+            n_corpus = existing.count()
+        cache_batch = n_corpus >= INGEST_CACHE_MIN_CORPUS_ROWS
     if cache_batch:
         batch = _cache_single_slot(batch, "ingest_batch")
     flagged = cross_jaccard_flags(

@@ -277,10 +277,13 @@ def ntile_score_histogram(
     ReuseExchange then evaluates the (possibly expensive) upstream once,
     where per-chain-link histograms would each re-run it. The caller
     guarantees ``hist_from[metric]`` is the same multiset as
-    ``df[metric]`` (true whenever the chain only adds columns); a
-    violation (a df value missing from hist_from) fails LOUDLY at
-    execution via an in-plan ``raise_error`` instead of silently
-    dropping the unmatched rows.
+    ``df[metric]`` (true whenever the chain only adds columns). The guard
+    enforces the NARROWER half of that contract: a df value entirely
+    ABSENT from hist_from fails loudly at execution via an in-plan
+    ``raise_error``; a multiplicity mismatch (same values, different
+    counts) is undetectable here and silently yields wrong ``__base``/
+    ``__n`` and therefore wrong scores — if your chain can drop or
+    duplicate rows, don't pass it as ``hist_from``.
     """
     reserved = {"__mv", "__base", "__n", "__cnt"} & set(df.columns)
     if reserved:

@@ -741,8 +741,20 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # designed ~linear shape. Unchanged at the driver SFs (k stays 8
     # through sf1), so rows-only outputs there are identical.
     from market_data_mining_project_spark.ml import persistence as PERSIST
+    from market_data_mining_project_spark.sources.tables import scan_row_count
 
-    n_cells = max(8, emb.count() // 2500)
+    # corpus size for the k scaling: parquet footers when the frame is a
+    # plain scan (zero jobs — the warm/cache-hit path no longer pays a
+    # full count action per call, r9 ADVICE); otherwise count once per
+    # data version (the version stamp already keys on path+mtime+size,
+    # so in-process rewrites invalidate the memo)
+    n_emb = scan_row_count(emb)
+    if n_emb is None:
+        ver_key = (sf_dir, PERSIST.data_version(sf_dir, ("embeddings",)))
+        if ver_key not in _EMB_COUNTS:
+            _EMB_COUNTS[ver_key] = emb.count()
+        n_emb = _EMB_COUNTS[ver_key]
+    n_cells = max(8, n_emb // 2500)
     ann = SIM.semantic_dedup(
         emb, "embedding", "vec_id", threshold=0.4, n_cells=n_cells, seed=42,
         n_blocks=2, max_iter=5,
@@ -971,6 +983,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PK.packing_stats(assigned, seq_len=1024)
 
 
+_EMB_COUNTS: dict[tuple[str, str], int] = {}
 _DUP_CLUSTERS_PATHS: dict[str, str] = {}
 _JACCARD_PAIRS_PATHS: dict[str, str] = {}
 _JACCARD_CAPPED_PATHS: dict[str, str] = {}

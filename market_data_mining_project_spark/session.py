@@ -44,6 +44,27 @@ _DEFAULTS = {
     "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
 }
 
+# JDK-8192647 mitigation: with many executor threads in one JVM (local[32],
+# or fat executors on a cluster), allocation during a JNI critical section
+# (lz4/zstd shuffle+cache compression pins the heap via
+# GetPrimitiveArrayCritical) can starve on the GC lock — HotSpot retries an
+# allocation only GCLockerRetryAllocationCount (default 2!) times before
+# throwing a SPURIOUS java.lang.OutOfMemoryError ("Retried waiting for
+# GCLocker too often") with plenty of free heap. The r9 "exact-jaccard
+# memory wall" at sf5 was exactly this: raising the retry count lets the
+# same job finish on the default 8 g heap (192 s, zero OOM) where it
+# previously needed 48 g. The option is diagnostic (needs the unlock flag)
+# and was REMOVED with the whole GCLocker in JDK ≥22 — set
+# SPARK_GRAFT_JVM_GC_OPTS="" there (or to your own flags) or the JVM will
+# refuse to start on the unknown option.
+_GC_OPTS = os.environ.get(
+    "SPARK_GRAFT_JVM_GC_OPTS",
+    "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
+)
+if _GC_OPTS:
+    _DEFAULTS["spark.driver.extraJavaOptions"] = _GC_OPTS
+    _DEFAULTS["spark.executor.extraJavaOptions"] = _GC_OPTS
+
 
 def truncate_lineage(df, eager: bool = True):
     """Cut a DataFrame's lineage — the iterative-loop idiom (pointer

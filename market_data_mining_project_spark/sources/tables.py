@@ -141,3 +141,45 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TE
     """Register temp views so queries can also be expressed in Spark SQL."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+#: Logical-plan nodes that preserve the scan's row count — a frame whose
+#: optimized plan is built ONLY of these over a relation leaf has exactly
+#: as many rows as its parquet footers claim.
+_ROW_PRESERVING_NODES = ("Relation", "Project", "Repartition", "Sort")
+
+
+def scan_row_count(df: DataFrame) -> int | None:
+    """Row count from parquet footer metadata — NO Spark job, no lineage
+    execution. Returns None unless the frame is a row-count-preserving
+    wrap of a local parquet scan (a Filter/Join/Aggregate anywhere in the
+    optimized plan, or remote/unreadable files, disqualify it).
+
+    The cheap signal for adaptive gates that only need corpus SIZE (the
+    ingest batch-cache gate, SemDeDup's cells-per-vector k): running a
+    full ``df.count()`` there silently executes the whole upstream plan
+    just to pick a strategy. Footer reads cost ~1 ms/file on local disk.
+    """
+    files = df.inputFiles()
+    if not files:
+        return None
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return None
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:").split(" ", 1)[0]
+        if node and not any(node.startswith(ok) for ok in _ROW_PRESERVING_NODES):
+            return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            local = f[len("file:"):] if f.startswith("file:") else f
+            if "://" in local:
+                return None  # remote store: footer read could stall the driver
+            total += pq.ParquetFile(local).metadata.num_rows
+        return total
+    except Exception:
+        return None
