@@ -610,6 +610,29 @@ def q_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_EWMA_TREND = """
+WITH RECURSIVE e AS (
+  SELECT event_id, user_id, epoch_ms(ts) // 1000 AS ts_epoch,
+         CAST(value AS DOUBLE) AS value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE value IS NOT NULL
+), rec AS (
+  -- the linear recurrence itself, row by row per user: y_1 = v_1,
+  -- y_t = 0.8*y_{t-1} + 0.2*v_t (pandas ewm adjust=False). Work is
+  -- |rows| total — each recursion step advances every user by one rank.
+  SELECT user_id, rn, value AS ewma FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, 0.8 * r.ewma + 0.2 * e.value
+  FROM rec r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT e.event_id, e.user_id, CAST(e.ts_epoch AS BIGINT) AS ts_epoch, e.value,
+       ROUND(r.ewma, 6) AS ewma_value,
+       ROUND(e.value - r.ewma, 6) AS trend_deviation
+FROM e JOIN rec r ON e.user_id = r.user_id AND e.rn = r.rn
+"""
+
+
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch audit: per event type, HLL-estimated distinct
     users + EXACT value quantiles beside exact counts. Every coarse-grain
@@ -689,8 +712,9 @@ QUERIES = {
     "session_stats": q_session_stats,
     "daily_resample_locf": q_daily_resample_locf,
     "value_anomalies": q_value_anomalies,
-    # ewma_trend: rows-only (stateful linear recurrence — no SQL-window
-    # equivalent in any engine; exact pytest recursion parity instead)
+    # ewma_trend: r10 — hash-oracled via a DuckDB RECURSIVE CTE that steps
+    # the linear recurrence rank by rank (no SQL *window* expresses EWMA,
+    # but recursion does; the slot came from the scan_search_audit merge)
     "ewma_trend": q_ewma_trend,
     "sketch_rollup": q_sketch_rollup,
 }
@@ -704,5 +728,6 @@ ORACLE = {
     "session_stats": SQL_SESSION_STATS,
     "daily_resample_locf": SQL_DAILY_RESAMPLE_LOCF,
     "value_anomalies": SQL_VALUE_ANOMALIES,
+    "ewma_trend": SQL_EWMA_TREND,
     # sketch_rollup: rows-only (sketch internals; pytest gates)
 }

@@ -191,6 +191,52 @@ WHERE lower(p_name) LIKE '%prom%'
 """
 
 
+def q_scan_search_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P3 projected+range+IN scan (former ``filtered_scan``) stacked
+    over the P5 icontains search (former ``search_icontains``) in ONE
+    oracled entry — a column-aligned UNION tagged by ``grain``, every cell
+    of both former entries still hash-checked (the r9 slot-merge
+    discipline: thin related entries share a window slot; the freed slot
+    oracles ``ewma_trend``). Both legs stay independent predicate scans —
+    the union adds no join/shuffle, and each leg's filters still push into
+    its parquet scan (plan-asserted)."""
+    scan = q_filtered_scan(spark, sf_dir).select(
+        F.lit("scan").alias("grain"),
+        F.col("l_orderkey").cast("long").alias("k1"),
+        F.col("l_partkey").cast("long").alias("k2"),
+        F.col("l_quantity").cast("double").alias("v1"),
+        F.col("l_extendedprice").cast("double").alias("v2"),
+        F.col("l_returnflag").alias("s1"),
+        F.lit("").alias("s2"),
+        F.lit("").alias("s3"),
+    )
+    search = q_search(spark, sf_dir).select(
+        F.lit("search").alias("grain"),
+        F.col("p_partkey").cast("long").alias("k1"),
+        F.lit(-1).cast("long").alias("k2"),
+        F.lit(-1.0).alias("v1"),
+        F.lit(-1.0).alias("v2"),
+        F.col("p_name").alias("s1"),
+        F.col("p_brand").alias("s2"),
+        F.col("p_type").alias("s3"),
+    )
+    return scan.unionByName(search)
+
+
+SQL_SCAN_SEARCH_AUDIT = f"""
+SELECT 'scan' AS grain, CAST(l_orderkey AS BIGINT) AS k1,
+       CAST(l_partkey AS BIGINT) AS k2, CAST(l_quantity AS DOUBLE) AS v1,
+       CAST(l_extendedprice AS DOUBLE) AS v2, l_returnflag AS s1,
+       '' AS s2, '' AS s3
+FROM ({SQL_FILTERED_SCAN})
+UNION ALL
+SELECT 'search' AS grain, CAST(p_partkey AS BIGINT) AS k1,
+       CAST(-1 AS BIGINT) AS k2, -1.0 AS v1, -1.0 AS v2,
+       p_name AS s1, p_brand AS s2, p_type AS s3
+FROM ({SQL_SEARCH})
+"""
+
+
 # --- O3/O4: multi-column sort + offset pagination + keyset (seek) page ----------
 
 
@@ -842,8 +888,9 @@ QUERIES = {
     "category_rollup": q_category_rollup,
     "basket_rollup_top25": q_basket_rollup_top25,
     "product_rollup_having": q_product_rollup_having,
-    "filtered_scan": q_filtered_scan,
-    "search_icontains": q_search,
+    # filtered_scan + search_icontains serve through the merged
+    # scan_search_audit entry (r10 slot merge; functions + SQL stay here)
+    "scan_search_audit": q_scan_search_audit,
     "pagination": q_pagination,
     # repair_recompute_audit serves through llm_pipeline's merged
     # vocab_stats_audit entry (stats_repair_audit rode vocab_coverage in
@@ -865,8 +912,7 @@ ORACLE = {
     "category_rollup": SQL_CATEGORY_ROLLUP,
     "basket_rollup_top25": SQL_BASKET_ROLLUP_TOP25,
     "product_rollup_having": SQL_PRODUCT_ROLLUP_HAVING,
-    "filtered_scan": SQL_FILTERED_SCAN,
-    "search_icontains": SQL_SEARCH,
+    "scan_search_audit": SQL_SCAN_SEARCH_AUDIT,
     "pagination": SQL_PAGINATION,
     "order_gaps": SQL_ORDER_GAPS,
     "monthly_sales": SQL_MONTHLY_SALES,

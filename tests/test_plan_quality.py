@@ -24,7 +24,9 @@ def test_keyset_branch_pushes_seek_predicate(spark, sf_dir):
 
 
 def test_filtered_scan_pushes_filters(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "filtered_scan")
+    # the scan leg rides the merged scan_search_audit entry (r10); its
+    # predicates must still reach the lineitem parquet scan inside the union
+    plan = _plan(spark, sf_dir, "scan_search_audit")
     assert "PushedFilters: [" in plan
     # at least one real pushed predicate, not an empty list
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
