@@ -706,7 +706,8 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "asof_enrichment": q_asof_enrichment,
     "ohlc_rollup": q_ohlc_rollup,
-    "range_join_errors": q_range_join_errors,
+    # range_join_errors serves through pipeline_io's merged
+    # range_join_audit entry (r10; function + SQL stay here, reused there)
     "rolling_user_features": q_rolling_user_features,
     "funnel_analysis": q_funnel_analysis,
     "session_stats": q_session_stats,
@@ -722,7 +723,6 @@ QUERIES = {
 ORACLE = {
     "asof_enrichment": SQL_ASOF_ENRICHMENT,
     "ohlc_rollup": SQL_OHLC_ROLLUP,
-    "range_join_errors": SQL_RANGE_JOIN_ERRORS,
     "rolling_user_features": SQL_ROLLING_USER_FEATURES,
     "funnel_analysis": SQL_FUNNEL_ANALYSIS,
     "session_stats": SQL_SESSION_STATS,

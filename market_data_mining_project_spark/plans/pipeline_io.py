@@ -431,6 +431,47 @@ WHERE o_orderkey < 3000
 """
 
 
+
+
+def q_range_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ±15-min interval join computed by TWO independent algorithms in
+    ONE oracled entry (r10 slot merge of ``range_join_errors`` +
+    ``streaming_range_join``): the batch banded range join stacked over
+    the Structured Streaming symmetric-hash-join replay, tagged by
+    ``grain``. Both legs are column-identical by contract (the former
+    pytest equality gate) — now BOTH are hash-checked against the same
+    DuckDB naive-inequality-join twin, so the streaming leg graduates
+    from equals-batch pytest gate to the driver's independent oracle
+    without spending a window slot."""
+    from market_data_mining_project_spark.plans import events_temporal as ET
+
+    def tag(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("ts_epoch").cast("long").alias("ts_epoch"),
+            F.col("value").cast("double").alias("value"),
+            F.col("n_errors_15min").cast("long").alias("n_errors_15min"),
+            F.col("error_value_15min").cast("double").alias("error_value_15min"),
+        )
+
+    batch = tag(ET.q_range_join_errors(spark, sf_dir), "batch")
+    stream = tag(q_streaming_range_join(spark, sf_dir), "stream")
+    return batch.unionByName(stream)
+
+
+def _sql_range_join_audit() -> str:
+    from market_data_mining_project_spark.plans import events_temporal as ET
+
+    leg = "SELECT '{g}' AS grain, CAST(event_id AS BIGINT) AS event_id, " \
+          "CAST(user_id AS BIGINT) AS user_id, CAST(ts_epoch AS BIGINT) AS ts_epoch, " \
+          "CAST(value AS DOUBLE) AS value, CAST(n_errors_15min AS BIGINT) AS n_errors_15min, " \
+          "CAST(error_value_15min AS DOUBLE) AS error_value_15min FROM ({q})"
+    q = ET.SQL_RANGE_JOIN_ERRORS
+    return leg.format(g="batch", q=q) + "\nUNION ALL\n" + leg.format(g="stream", q=q)
+
+
 QUERIES = {
     # csv_roundtrip serves through tpch_relational's merged
     # "relational_audits" entry (its function + SQL stay here, reused there)
@@ -438,7 +479,9 @@ QUERIES = {
     "streaming_sessions": q_streaming_sessions,
     "running_user_totals": q_running_user_totals,
     "streaming_enriched": q_streaming_enriched,
-    "streaming_range_join": q_streaming_range_join,
+    # range_join_errors + streaming_range_join serve through the merged
+    # range_join_audit entry (r10; both functions + the batch SQL stay put)
+    "range_join_audit": q_range_join_audit,
     "streaming_dedup": q_streaming_dedup,
     "media_pipeline": q_media_pipeline,
 }
@@ -448,6 +491,7 @@ ORACLE = {
     "streaming_sessions": SQL_STREAMING_SESSIONS,
     "running_user_totals": SQL_RUNNING_USER_TOTALS,
     "streaming_enriched": SQL_STREAMING_ENRICHED,
+    "range_join_audit": _sql_range_join_audit(),
     "media_pipeline": SQL_MEDIA_PIPELINE,
     # streaming_dedup: rows-only (watermark-scoped state; pytest replay gate)
 }

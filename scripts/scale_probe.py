@@ -294,6 +294,13 @@ def main() -> None:
 
     queries.setdefault("ngram_jaccard", LLM.q_ngram_jaccard)
     queries.setdefault("dup_clusters", LLM.q_dup_clusters)
+    # the range-join legs merged into range_join_audit (r10): probe the
+    # UNDERLYING functions so each algorithm's slope is measured alone
+    from market_data_mining_project_spark.plans import events_temporal as ET
+    from market_data_mining_project_spark.plans import pipeline_io as PIO
+
+    queries.setdefault("range_join_errors", ET.q_range_join_errors)
+    queries.setdefault("streaming_range_join", PIO.q_streaming_range_join)
 
     rows = {}
     for fam in requested:

@@ -456,16 +456,16 @@ def test_streaming_range_join_equals_batch(spark, sf_dir):
     batch banded range join FRAME-FOR-FRAME (same pairs found by the
     symmetric hash join as by banded blocking, zero-match purchases
     re-attached)."""
-    import __spark_entry__ as entry_mod
+    from market_data_mining_project_spark.plans import events_temporal as ET
+    from market_data_mining_project_spark.plans import pipeline_io as PIO
 
-    qs = entry_mod.queries()
     stream_rows = {
         r.event_id: (r.user_id, r.ts_epoch, r.value, r.n_errors_15min, r.error_value_15min)
-        for r in qs["streaming_range_join"](spark, sf_dir).collect()
+        for r in PIO.q_streaming_range_join(spark, sf_dir).collect()
     }
     batch_rows = {
         r.event_id: (r.user_id, r.ts_epoch, r.value, r.n_errors_15min, r.error_value_15min)
-        for r in qs["range_join_errors"](spark, sf_dir).collect()
+        for r in ET.q_range_join_errors(spark, sf_dir).collect()
     }
     assert stream_rows == batch_rows
     assert any(v[3] > 0 for v in batch_rows.values()), "fixture has no matches"

@@ -171,6 +171,9 @@ def test_temporal_plans_avoid_cartesian_and_python(spark, sf_dir):
     def plan_of(name):
         return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
 
+    from market_data_mining_project_spark.plans import events_temporal as ET
+
+    qs = {**qs, "range_join_errors": ET.q_range_join_errors}
     for name in ("asof_enrichment", "ohlc_rollup", "range_join_errors"):
         plan = plan_of(name)
         assert "CartesianProduct" not in plan, name
