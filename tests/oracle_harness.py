@@ -30,6 +30,14 @@ TABLES = (
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound DuckDB's spill: an in-memory connection otherwise writes its
+    # temp storage under the CWD with NO size limit — the sf5 sweep's
+    # uncapped-jaccard twin filled the host's root filesystem to 99%
+    # before being killed (r10). With the cap, an over-disk oracle twin
+    # fails ITS entry with a recorded error instead of wedging the host.
+    tmp_gb = os.environ.get("SPARK_GRAFT_DUCK_TMP_GB", "40")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
+    con.execute(f"SET max_temp_directory_size='{int(tmp_gb)}GiB'")
     for t in TABLES:
         p = os.path.join(sf_dir, t + ".parquet")
         if os.path.isdir(p):
@@ -120,7 +128,9 @@ def compare(name: str, spark_df, duck_rel) -> list[str]:
     return errors
 
 
-def run_all(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
+def run_all(
+    spark, sf_dir: str, only: list[str] | None = None, progress: bool = False
+) -> dict[str, list[str]]:
     # __spark_entry__ lives at the repo root (one level above tests/) —
     # resolve it from THIS file so the harness runs from any cwd and from
     # an installed (pip install -e) environment, not only PYTHONPATH=repo
@@ -137,9 +147,12 @@ def run_all(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, list
             raise SystemExit(f"unknown query names (not in the catalog): {unknown}")
     con = duck_connection(sf_dir)
     results: dict[str, list[str]] = {}
+    import time as _time
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        t0 = _time.monotonic()
         try:
             if name not in oracles:
                 df = fn(spark, sf_dir)
@@ -156,6 +169,17 @@ def run_all(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, list
             results[name] = compare(name, df, rel)
         except Exception as exc:  # noqa: BLE001
             results[name] = [f"{name}: EXCEPTION {exc}"]
+        finally:
+            if progress and name in results:
+                # per-entry line AS each completes — a multi-hour scale
+                # sweep is otherwise a black box until the final summary
+                # (r10: the sf5 sweep needed a kill decision mid-run with
+                # zero visibility into which twin was grinding)
+                status = "OK " if not results[name] else "FAIL"
+                print(
+                    f"[{status}] {name} ({_time.monotonic() - t0:.1f}s)",
+                    flush=True,
+                )
     return results
 
 
@@ -177,7 +201,7 @@ if __name__ == "__main__":
         },
     )
     print(f"ansi={spark.conf.get('spark.sql.ansi.enabled')} sf={sf}")
-    outcome = run_all(spark, sf, only)
+    outcome = run_all(spark, sf, only, progress=True)
     failed = 0
     for name, errs in sorted(outcome.items()):
         status = "OK " if not errs else "FAIL"
