@@ -38,6 +38,14 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     tmp_gb = os.environ.get("SPARK_GRAFT_DUCK_TMP_GB", "40")
     con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
     con.execute(f"SET max_temp_directory_size='{int(tmp_gb)}GiB'")
+    # Bound DuckDB's threads: at the host's full 32, per-thread partitioned
+    # join/aggregate state on a scale-tier twin (26M-row self-join inputs)
+    # thrashes the shared-with-Spark RAM and offloads tens of GB of blocks
+    # — the sf5 pairwise_rules twin hit the 40 GiB temp cap at 32 threads
+    # yet finishes in 55 s at 8 (measured, r10). 8 keeps twins streaming;
+    # values are thread-count-independent.
+    threads = os.environ.get("SPARK_GRAFT_DUCK_THREADS", "8")
+    con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
         p = os.path.join(sf_dir, t + ".parquet")
         if os.path.isdir(p):
@@ -176,8 +184,11 @@ def run_all(
                 # (r10: the sf5 sweep needed a kill decision mid-run with
                 # zero visibility into which twin was grinding)
                 status = "OK " if not results[name] else "FAIL"
+                # carry the first error inline: on a multi-hour sweep the
+                # cause of a FAIL must not wait for the final summary
+                first = f" {results[name][0]}" if results[name] else ""
                 print(
-                    f"[{status}] {name} ({_time.monotonic() - t0:.1f}s)",
+                    f"[{status}] {name} ({_time.monotonic() - t0:.1f}s){first}",
                     flush=True,
                 )
     return results
