@@ -1511,54 +1511,88 @@ def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MLlib (math.ceil(minSupport * baskets)): CEIL must run on DOUBLE, not a
 # decimal literal, or 0.02*15000 rounds differently across engines.
 SQL_FPGROWTH_RULES = """
-WITH ib AS (
+WITH ib AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS b, p_brand AS item
   FROM lineitem JOIN part ON l_partkey = p_partkey
 ),
 t AS (SELECT COUNT(DISTINCT b) AS t FROM ib),
 mc AS (SELECT CAST(CEIL(CAST(0.02 AS DOUBLE) * t) AS BIGINT) AS mc, t FROM t),
-i1 AS (SELECT item, COUNT(*) AS c1 FROM ib GROUP BY item),
-p2 AS (
-  SELECT a.item AS ia, b.item AS ibb, COUNT(*) AS c2
-  FROM ib a JOIN ib b ON a.b = b.b AND a.item < b.item
+i1 AS MATERIALIZED (SELECT item, COUNT(*) AS c1 FROM ib GROUP BY item),
+-- per-basket ordered item list: pair/triple candidates GENERATE from each
+-- list via lateral index unnest instead of basket-keyed self-joins. The
+-- join form's a⋈b intermediate (|ib| x items-per-basket rows) became a
+-- DuckDB hash-join BUILD side at the sf5 tier (26M-row ib → ~90M-row
+-- build) and blew the 40 GiB temp bound; the generate form materializes
+-- nothing bigger than the combination stream feeding the aggregate.
+-- Result-identical: it is DISTINCT + ASC-ordered, so it[x] < it[y] for
+-- x < y reproduces exactly the a.item < b.item pairs (and triples).
+bk AS MATERIALIZED (
+  SELECT b, LIST(item ORDER BY item) AS it FROM ib GROUP BY b
+),
+-- collapse baskets onto their exact (sorted, distinct) item-set signature
+-- BEFORE generating combinations: at the brand grain the 7.4M sf5 baskets
+-- carry only ~55K distinct signatures, so pair/triple enumeration runs
+-- over the signature table weighted by its basket count — identical sums,
+-- ~130x less generation work, and no per-generated-row list materialization
+-- (the unweighted form's 320M combo rows each dragged the list column
+-- along and drew >100 GB; the kernel OOM-killed the sweep, r10).
+bs AS MATERIALIZED (
+  SELECT it, COUNT(*) AS nb FROM bk GROUP BY it
+),
+p2 AS MATERIALIZED (
+  SELECT bs.it[s1.x] AS ia, bs.it[s2.y] AS ibb,
+         CAST(SUM(nb) AS BIGINT) AS c2
+  FROM bs,
+       UNNEST(generate_series(1, len(bs.it))) AS s1(x),
+       UNNEST(generate_series(1, len(bs.it))) AS s2(y)
+  WHERE s1.x < s2.y
   GROUP BY 1, 2
-  HAVING COUNT(*) >= (SELECT mc FROM mc)
+  HAVING CAST(SUM(nb) AS BIGINT) >= (SELECT mc FROM mc)
 ),
-p3 AS (
-  SELECT a.item AS ia, b.item AS ibb, c.item AS ic, COUNT(*) AS c3
-  FROM ib a
-  JOIN ib b ON a.b = b.b AND a.item < b.item
-  JOIN ib c ON b.b = c.b AND b.item < c.item
+p3 AS MATERIALIZED (
+  SELECT bs.it[s1.x] AS ia, bs.it[s2.y] AS ibb, bs.it[s3.z] AS ic,
+         CAST(SUM(nb) AS BIGINT) AS c3
+  FROM bs,
+       UNNEST(generate_series(1, len(bs.it))) AS s1(x),
+       UNNEST(generate_series(1, len(bs.it))) AS s2(y),
+       UNNEST(generate_series(1, len(bs.it))) AS s3(z)
+  WHERE s1.x < s2.y AND s2.y < s3.z
   GROUP BY 1, 2, 3
-  HAVING COUNT(*) >= (SELECT mc FROM mc)
+  HAVING CAST(SUM(nb) AS BIGINT) >= (SELECT mc FROM mc)
 ),
+-- antecedent/consequent base counts ride explicit equi-joins, not
+-- correlated scalar subqueries: DuckDB decorrelates those into delim
+-- joins that re-inline p2's whole generation pipeline per reference —
+-- at the sf5 tier that re-planning spilled >35 GB while every joined CTE
+-- stage alone costs seconds (r10). Joins are exact: p2/p3 keys are
+-- unique by construction (grouped on them) and i1 is keyed by item.
 r1 AS (
-  SELECT ia AS antecedent, ibb AS consequent, 1 AS n_antecedent, c2 AS cu,
-         (SELECT c1 FROM i1 WHERE item = ia) AS ca,
-         (SELECT c1 FROM i1 WHERE item = ibb) AS cc
-  FROM p2
+  SELECT p2.ia AS antecedent, p2.ibb AS consequent, 1 AS n_antecedent,
+         p2.c2 AS cu, fa.c1 AS ca, fc.c1 AS cc
+  FROM p2 JOIN i1 fa ON fa.item = p2.ia JOIN i1 fc ON fc.item = p2.ibb
   UNION ALL
-  SELECT ibb, ia, 1, c2,
-         (SELECT c1 FROM i1 WHERE item = ibb),
-         (SELECT c1 FROM i1 WHERE item = ia)
-  FROM p2
+  SELECT p2.ibb, p2.ia, 1, p2.c2, fa.c1, fc.c1
+  FROM p2 JOIN i1 fa ON fa.item = p2.ibb JOIN i1 fc ON fc.item = p2.ia
 ),
 r2 AS (
-  SELECT ia || '|' || ibb AS antecedent, ic AS consequent, 2 AS n_antecedent, c3 AS cu,
-         (SELECT c2 FROM p2 WHERE p2.ia = p3.ia AND p2.ibb = p3.ibb) AS ca,
-         (SELECT c1 FROM i1 WHERE item = ic) AS cc
+  SELECT p3.ia || '|' || p3.ibb AS antecedent, p3.ic AS consequent,
+         2 AS n_antecedent, p3.c3 AS cu, pa.c2 AS ca, fc.c1 AS cc
   FROM p3
+  JOIN p2 pa ON pa.ia = p3.ia AND pa.ibb = p3.ibb
+  JOIN i1 fc ON fc.item = p3.ic
   UNION ALL
-  SELECT ia || '|' || ic, ibb, 2, c3,
-         (SELECT c2 FROM p2 WHERE p2.ia = p3.ia AND p2.ibb = p3.ic) AS ca,
-         (SELECT c1 FROM i1 WHERE item = ibb)
+  SELECT p3.ia || '|' || p3.ic, p3.ibb, 2, p3.c3, pa.c2, fc.c1
   FROM p3
+  JOIN p2 pa ON pa.ia = p3.ia AND pa.ibb = p3.ic
+  JOIN i1 fc ON fc.item = p3.ibb
   UNION ALL
-  SELECT ibb || '|' || ic, ia, 2, c3,
-         (SELECT c2 FROM p2 WHERE p2.ia = p3.ibb AND p2.ibb = p3.ic) AS ca,
-         (SELECT c1 FROM i1 WHERE item = ia)
+  SELECT p3.ibb || '|' || p3.ic, p3.ia, 2, p3.c3, pa.c2, fc.c1
   FROM p3
+  JOIN p2 pa ON pa.ia = p3.ibb AND pa.ibb = p3.ic
+  JOIN i1 fc ON fc.item = p3.ia
 ),
+-- (no outer-join leg needed: downward closure — c3 >= mc implies every
+-- sub-pair's count >= c3 >= mc, so each pair lookup always hits p2)
 r AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
 SELECT antecedent, consequent, n_antecedent,
        ROUND(CAST(cu AS DOUBLE) / (SELECT t FROM t), 6) AS support,

@@ -617,14 +617,26 @@ WITH RECURSIVE e AS (
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
   WHERE value IS NOT NULL
+), ul AS (
+  -- one row per user carrying the ordered value sequence: the recursion
+  -- below steps against THIS |users|-row table, not the |events|-row one.
+  -- The first twin shape joined rec to e on rn = r.rn + 1, which probes
+  -- the FULL events table once per iteration — O(max_rank x |events|),
+  -- ~25e9 row-scans at the sf5 tier (max rank 4950, 5M events; measured
+  -- as an hours-long grind, r10). List indexing makes each iteration
+  -- O(|users|), total O(|events|) like the operator itself.
+  SELECT user_id, MAX(rn) AS n, LIST(value ORDER BY rn) AS vs
+  FROM e GROUP BY user_id
 ), rec AS (
   -- the linear recurrence itself, row by row per user: y_1 = v_1,
-  -- y_t = 0.8*y_{t-1} + 0.2*v_t (pandas ewm adjust=False). Work is
-  -- |rows| total — each recursion step advances every user by one rank.
-  SELECT user_id, rn, value AS ewma FROM e WHERE rn = 1
+  -- y_t = 0.8*y_{t-1} + 0.2*v_t (pandas ewm adjust=False) — the same
+  -- double arithmetic in the same order as the e-join form, so results
+  -- are bit-identical; only the probe side changed.
+  SELECT user_id, 1 AS rn, vs[1] AS ewma FROM ul
   UNION ALL
-  SELECT e.user_id, e.rn, 0.8 * r.ewma + 0.2 * e.value
-  FROM rec r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+  SELECT r.user_id, r.rn + 1, 0.8 * r.ewma + 0.2 * ul.vs[r.rn + 1]
+  FROM rec r JOIN ul ON ul.user_id = r.user_id
+  WHERE r.rn < ul.n
 )
 SELECT e.event_id, e.user_id, CAST(e.ts_epoch AS BIGINT) AS ts_epoch, e.value,
        ROUND(r.ewma, 6) AS ewma_value,

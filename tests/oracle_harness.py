@@ -46,6 +46,13 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # values are thread-count-independent.
     threads = os.environ.get("SPARK_GRAFT_DUCK_THREADS", "8")
     con.execute(f"SET threads={int(threads)}")
+    # Explicit memory ceiling: DuckDB's default (80% of RAM) ignores the
+    # Spark JVM sharing the box — a twin that actually reaches it gets the
+    # HOST process kernel-OOM-killed before DuckDB ever starts spilling
+    # (observed on the sf5 sweep, r10). Under the ceiling DuckDB spills to
+    # the bounded temp dir above and an over-budget twin fails ITS entry.
+    mem_gb = os.environ.get("SPARK_GRAFT_DUCK_MEM_GB", "48")
+    con.execute(f"SET memory_limit='{int(mem_gb)}GiB'")
     for t in TABLES:
         p = os.path.join(sf_dir, t + ".parquet")
         if os.path.isdir(p):
