@@ -457,7 +457,12 @@ def ngram_jaccard_pairs(
     df > ``salt_rows`` (default :data:`JACCARD_SALT_ROWS`) so no task
     buffers or emits an unbounded hot-key group. Results are row-identical
     to the plain join — salting changes the partitioning of the pair
-    enumeration, never its contents.
+    enumeration, never its contents: a hot shingle with df docs splits into
+    ⌈(df/salt_rows)²⌉ buckets, the right side hashes to its own bucket, the
+    left side replicates to all, so every unordered pair (a<b) is produced
+    EXACTLY ONCE — (a,b) materializes in b's bucket and the mirrored (b,a)
+    dies on the a<b filter — while no (shingle, salt) task holds more than
+    ~``salt_rows`` right rows or ~``salt_rows``² output pairs.
     """
     # shingles() is already distinct per document — the exploded (doc, sh)
     # rows are unique, and a .distinct() here would re-shuffle the job's
