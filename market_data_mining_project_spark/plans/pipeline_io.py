@@ -312,22 +312,92 @@ GROUP BY user_id
 """
 
 
-def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingest-side exact dedup (``dropDuplicatesWithinWatermark``): replayed
-    payloads — same (user, type, value, props) re-sent under a fresh
-    event_id — are dropped while their key is younger than the watermark, so
-    state stays bounded. Bounded replay, then a batch rollup of the surviving
-    events. Rows-only: watermark-scoped streaming state is not SQL; the
-    drop-replays contract is pytest-gated
-    (tests/test_streaming_io.py::test_streaming_dedup_drops_replayed_events)."""
-    stream = EV.read_event_stream(spark, sf_dir).drop("event_id")
-    deduped = EV.streaming_dedup(stream, watermark="1 hour")
-    out = _bounded(deduped, "stream_dedup")
-    return out.agg(
-        F.count(F.lit(1)).alias("events_after_dedup"),
-        F.countDistinct("user_id").alias("users"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+def q_streaming_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three stateful ingest paths per user in ONE oracled entry (r11 merge
+    of ``running_user_totals`` + the formerly rows-only ``streaming_dedup``),
+    tagged by ``grain``:
+
+    - ``totals``: the applyInPandasWithState running per-user totals,
+      converged state (the former ``running_user_totals`` entry, reused).
+    - ``stream_dedup``: ``dropDuplicatesWithinWatermark`` over the event
+      stream PLUS a deterministic replay slice — every 7th event re-sent
+      payload-identical under a dropped event_id (the reference's
+      clean-transactions keep-one semantics, SURVEY U2, lifted to event
+      time). The watermark delay covers the whole fixture horizon (the
+      backfill rule, same as the range-join replay), so no key is evicted
+      mid-replay and the surviving set is exactly one event per distinct
+      payload — deterministic, hence SQL-expressible.
+    - ``batch_dedup``: :func:`streaming.events.reconcile_dedup_sink` — the
+      periodic batch sweep the streaming dedup composes with — over the
+      same replayed input.
+
+    The two dedup grains run INDEPENDENT algorithms (watermark-scoped
+    streaming state vs a batch window keep-earliest) that must agree
+    row-for-row, and all three grains hash-check against one DuckDB twin
+    (``DISTINCT`` over the payload columns ≡ the md5(to_json(payload))
+    content key — the fixture has no NULL/NaN payload cells, and to_json is
+    injective on the remaining values). Per-user rollups deliberately avoid
+    ``ts``: which replica survives a dedup is ts-ambiguous under arrival
+    order, but every non-ts column is part of the dedup key, so the rollup
+    is representative-independent."""
+    rollup = lambda df: df.groupBy("user_id").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("events_seen"),
+        F.round(F.sum("value"), 2).alias("value_total"),
     )
+
+    def tag(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("events_seen").cast("long").alias("events_seen"),
+            F.col("value_total").cast("double").alias("value_total"),
+        )
+
+    totals = tag(q_running_user_totals(spark, sf_dir), "totals")
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts").cast("long"), F.max("ts").cast("long")).collect()[0]
+    if lo is None:
+        # empty events: nothing to replay — all three grains are empty with
+        # the real schema (the bm25_topk degenerate-corpus rule)
+        return totals
+    horizon_days = int((hi - lo) // 86400) + 2
+
+    stream = EV.read_event_stream(spark, sf_dir)
+    replayed_stream = stream.drop("event_id").unionByName(
+        stream.filter(F.col("event_id") % 7 == 0).drop("event_id")
+    )
+    deduped = EV.streaming_dedup(replayed_stream, watermark=f"{horizon_days} days")
+    stream_leg = tag(rollup(_bounded(deduped, "dedup_audit")), "stream_dedup")
+
+    replayed_batch = ev.drop("event_id").unionByName(
+        ev.filter(F.col("event_id") % 7 == 0).drop("event_id")
+    )
+    swept = EV.reconcile_dedup_sink(replayed_batch, time_col="ts")
+    batch_leg = tag(rollup(swept), "batch_dedup")
+
+    return totals.unionByName(stream_leg).unionByName(batch_leg)
+
+
+SQL_STREAMING_STATE_AUDIT = """
+WITH replayed AS (
+  SELECT user_id, event_type, value, props FROM events
+  UNION ALL
+  SELECT user_id, event_type, value, props FROM events WHERE event_id % 7 = 0
+),
+ded AS (SELECT DISTINCT user_id, event_type, value, props FROM replayed)
+SELECT 'totals' AS grain, user_id,
+       COUNT(*) AS events_seen, ROUND(SUM(value), 2) AS value_total
+FROM events GROUP BY user_id
+UNION ALL
+SELECT 'stream_dedup' AS grain, user_id,
+       COUNT(*) AS events_seen, ROUND(SUM(value), 2) AS value_total
+FROM ded GROUP BY user_id
+UNION ALL
+SELECT 'batch_dedup' AS grain, user_id,
+       COUNT(*) AS events_seen, ROUND(SUM(value), 2) AS value_total
+FROM ded GROUP BY user_id
+"""
 
 
 # --- Multimodal columns ---------------------------------------------------------
@@ -477,21 +547,22 @@ QUERIES = {
     # "relational_audits" entry (its function + SQL stay here, reused there)
     "streaming_window_stats": q_streaming_window_stats,
     "streaming_sessions": q_streaming_sessions,
-    "running_user_totals": q_running_user_totals,
+    # running_user_totals + streaming_dedup serve through the merged
+    # streaming_state_audit entry (r11; q_running_user_totals + its SQL
+    # stay put, reused by the merged entry's totals grain)
+    "streaming_state_audit": q_streaming_state_audit,
     "streaming_enriched": q_streaming_enriched,
     # range_join_errors + streaming_range_join serve through the merged
     # range_join_audit entry (r10; both functions + the batch SQL stay put)
     "range_join_audit": q_range_join_audit,
-    "streaming_dedup": q_streaming_dedup,
     "media_pipeline": q_media_pipeline,
 }
 
 ORACLE = {
     "streaming_window_stats": SQL_STREAMING_WINDOW_STATS,
     "streaming_sessions": SQL_STREAMING_SESSIONS,
-    "running_user_totals": SQL_RUNNING_USER_TOTALS,
+    "streaming_state_audit": SQL_STREAMING_STATE_AUDIT,
     "streaming_enriched": SQL_STREAMING_ENRICHED,
     "range_join_audit": _sql_range_join_audit(),
     "media_pipeline": SQL_MEDIA_PIPELINE,
-    # streaming_dedup: rows-only (watermark-scoped state; pytest replay gate)
 }

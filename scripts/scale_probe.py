@@ -301,6 +301,12 @@ def main() -> None:
 
     queries.setdefault("range_join_errors", ET.q_range_join_errors)
     queries.setdefault("streaming_range_join", PIO.q_streaming_range_join)
+    # running_user_totals merged into streaming_state_audit (r11): probe the
+    # underlying stateful-totals function alone — the merged entry's dedup
+    # grains are excluded from slopes for the same reason streaming_dedup
+    # always was (the 10x fixture leaves the content-key columns unchanged,
+    # so 9/10 of the input collapses as duplicates)
+    queries.setdefault("running_user_totals", PIO.q_running_user_totals)
 
     rows = {}
     for fam in requested:
