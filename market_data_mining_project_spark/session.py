@@ -42,6 +42,13 @@ _DEFAULTS = {
     ),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+    # Only meaningful off local[*] (local mode executes in the driver JVM).
+    # Spark's 1g default is sized for nothing real: under
+    # local-cluster[2,8,8192] the full catalog churned executors until the
+    # standalone master killed the app (r11) — 8 task slots sharing 1 GB of
+    # heap. Cluster deployments size this to the worker; the default here
+    # keeps a multi-executor smoke run viable.
+    "spark.executor.memory": os.environ.get("SPARK_EXECUTOR_MEMORY", "6g"),
 }
 
 # JDK-8192647 mitigation: with many executor threads in one JVM (local[32],
@@ -97,6 +104,40 @@ def truncate_lineage(df, eager: bool = True):
     return df.localCheckpoint(eager=eager)
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Distribute this package to executor Python workers on any
+    multi-process master.
+
+    Module-level UDFs (the stateful-streaming updaters, the BPE/packing
+    Arrow passes) are cloudpickled BY REFERENCE — the worker must import
+    ``market_data_mining_project_spark`` itself. Local mode hides that
+    (workers fork with the driver's environment); the first multi-executor
+    run (local-cluster, r11) failed exactly those four entries with
+    ModuleNotFoundError. Zipping the package once per context and
+    ``addPyFile``-ing it makes the library self-shipping on a bare cluster
+    — the same contract as ``spark-submit --py-files``, without requiring
+    the package pre-installed on every worker (a pre-installed copy just
+    shadows the shipped one; both are this exact code)."""
+    sc = spark.sparkContext
+    if sc.master == "local" or sc.master.startswith("local["):
+        return  # single-JVM: python workers inherit the driver's sys.path
+    if getattr(sc, "_graft_pkg_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="mdmp_pyfiles_")
+    zip_path = shutil.make_archive(
+        os.path.join(staging, "market_data_mining_project_spark"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    sc.addPyFile(zip_path)
+    sc._graft_pkg_shipped = True
+
+
 def get_spark(app_name: str = "market-data-mining-spark", **overrides: str) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults.
 
@@ -109,4 +150,6 @@ def get_spark(app_name: str = "market-data-mining-spark", **overrides: str) -> S
     conf = {**_DEFAULTS, **{k: str(v) for k, v in overrides.items()}}
     for key, value in conf.items():
         builder = builder.config(key, value)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark

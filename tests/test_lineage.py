@@ -52,3 +52,34 @@ def test_reliable_path_is_consumed_by_iterative_operators(spark, monkeypatch, tm
     got = {r.doc: r.cluster for r in dup_clusters(pairs).collect()}
     assert set(got.values()) == {0}, "chain must collapse to one cluster"
     assert any(True for _ in os.walk(ckpt)), "checkpoint dir unused"
+
+
+def test_reliable_checkpoint_survives_executor_kill(tmp_path):
+    """End-to-end executor-loss recovery — the first multi-executor
+    (separate-JVM) execution in the suite: an iterative truncate_lineage
+    loop under ``local-cluster[2,4,2048]`` has one of its executor JVMs
+    SIGKILLed mid-loop and must still complete with the exact result,
+    because SPARK_GRAFT_CHECKPOINT_DIR routes every lineage cut to the
+    fault-tolerant store (a localCheckpoint block on the dead executor
+    would be unrecoverable and abort the job). Runs in a subprocess: the
+    session-scoped local[*] context can't share a JVM with a second
+    master."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.update(
+        SPARK_MASTER="local-cluster[2,4,2048]",
+        SPARK_GRAFT_CHECKPOINT_DIR=str(tmp_path / "reliable_ckpt"),
+        SPARK_DRIVER_MEMORY="2g",
+    )
+    child = os.path.join(os.path.dirname(__file__), "_kill_executor_child.py")
+    proc = subprocess.run(
+        [sys.executable, child],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, f"child failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}"
+    assert "KILLTEST_OK" in proc.stdout, proc.stdout[-3000:]
