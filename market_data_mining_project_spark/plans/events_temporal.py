@@ -610,6 +610,22 @@ def q_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_ewma_trend(user_mod: int | None = None) -> str:
+    """The ewma twin, optionally restricted to the deterministic user
+    sample ``user_id % user_mod = 0`` — the scale-tier form (see
+    ``scripts/sweep_scale.py``). The recursion's cost is
+    O(max_rank × |users|) and per-user sequences are INDEPENDENT, so a
+    user sample divides the twin's cost by ``user_mod`` while each sampled
+    user's recurrence is still stepped at its FULL history depth — the
+    per-user depth coverage is undiminished; only user breadth (already a
+    homogeneous population by construction of the fixture) is sampled.
+    ``None`` (the driver-tier default) is the whole-population twin."""
+    pred = f"\n    AND user_id % {int(user_mod)} = 0" if user_mod else ""
+    return SQL_EWMA_TREND.replace(
+        "WHERE value IS NOT NULL", f"WHERE value IS NOT NULL{pred}", 1
+    )
+
+
 SQL_EWMA_TREND = """
 WITH RECURSIVE e AS (
   SELECT event_id, user_id, epoch_ms(ts) // 1000 AS ts_epoch,

@@ -123,11 +123,16 @@ def _ship_package(spark: SparkSession) -> None:
         return  # single-JVM: python workers inherit the driver's sys.path
     if getattr(sc, "_graft_pkg_shipped", False):
         return
+    import atexit
     import shutil
     import tempfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     staging = tempfile.mkdtemp(prefix="mdmp_pyfiles_")
+    # Spark copies the zip into its own file server dir on addPyFile, so
+    # the staging copy can go when the process exits (not before: executors
+    # joining late re-fetch from the file server, not from here)
+    atexit.register(shutil.rmtree, staging, True)
     zip_path = shutil.make_archive(
         os.path.join(staging, "market_data_mining_project_spark"),
         "zip",

@@ -1,0 +1,134 @@
+"""Whole-catalog scale-tier oracle sweep (sf1 / sf5) as a standing gate.
+
+The r10 sf5 sweep proved the catalog at the top tier but cost hours, with
+two structural taxes this script removes so the sweep can run EVERY round:
+
+- ``ewma_trend``: the DuckDB recursive twin is O(max_rank × |users|) —
+  2225 s at sf5, almost all of it sequential DuckDB recursion. Here the
+  sf5-tier check compares the Spark result restricted to the deterministic
+  user sample ``user_id % EWMA_USER_MOD = 0`` against the twin with the
+  same predicate (``plans.events_temporal.sql_ewma_trend``). Per-user
+  recurrences are independent and every sampled user is still stepped at
+  FULL history depth (the sf5 fixture's 4950-deep histories), so the
+  downgrade samples user breadth only — the dimension the fixture
+  replicates homogeneously. The FULL twin remains the sf1-and-below gate.
+- ``dedup_reports``: the deliberately-uncapped exact-jaccard twin needs
+  ~120 GB of DuckDB temp at sf5 (> this host's disk). The independent
+  check at sf5 is ``scripts/recount_jaccard.py`` — sampled-pair exact
+  recount + planted near-threshold probes, O(sample) — run as a child
+  here. The quadratic twin remains the sf1-and-below gate; the cluster
+  grain is additionally covered by the pair-table identity (clusters are
+  a pure function of the hash-checked pair set, pytest-pinned).
+
+Everything else runs the normal full-twin harness comparison.
+
+Run:
+    python scripts/build_sf1.py                     # sf1 -> /tmp/mdmp_sf1
+    SPARK_GRAFT_SCALE_COPIES=50 SPARK_GRAFT_SCALE_OUT=/tmp/mdmp_sf5 \
+        python scripts/build_sf1.py                 # sf5
+    SPARK_GRAFT_SF_DIR=/tmp/mdmp_sf5 python scripts/sweep_scale.py
+
+Knobs: SPARK_GRAFT_EWMA_USER_MOD (default 10; set 0/1 to force the full
+twin), SPARK_GRAFT_SKIP_RECOUNT=1 to skip the dedup recount child (when
+it has already been run standalone this round).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DOWNGRADED = ("ewma_trend", "dedup_reports")
+
+
+def check_ewma_sampled(spark, con, sf_dir: str, user_mod: int) -> list[str]:
+    from pyspark.sql import functions as F
+
+    from market_data_mining_project_spark.plans import events_temporal as ET
+    from tests.oracle_harness import compare
+
+    df = ET.q_ewma_trend(spark, sf_dir).filter(F.col("user_id") % user_mod == 0)
+    rel = con.sql(ET.sql_ewma_trend(user_mod))
+    return compare(f"ewma_trend[user%{user_mod}]", df, rel)
+
+
+def check_dedup_recount(sf_dir: str) -> list[str]:
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "recount_jaccard.py")],
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        capture_output=True,
+        text=True,
+    )
+    tail = proc.stdout.strip().splitlines()
+    if proc.returncode != 0:
+        return [f"dedup recount failed rc={proc.returncode}: {tail[-3:]} {proc.stderr[-500:]}"]
+    print(f"[sweep] recount: {tail[-1] if tail else '?'}", flush=True)
+    return []
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/tmp/mdmp_sf5")
+    user_mod = int(os.environ.get("SPARK_GRAFT_EWMA_USER_MOD", "10"))
+    t0 = time.monotonic()
+
+    from market_data_mining_project_spark.session import get_spark
+    from tests.oracle_harness import duck_connection, run_all
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(
+        "mdmp-scale-sweep",
+        **{"spark.ui.enabled": "false"},
+    )
+    names = [q for q in entry_mod.queries() if q not in DOWNGRADED]
+    results = run_all(spark, sf_dir, only=names, progress=True)
+
+    t_main = time.monotonic() - t0
+    con = duck_connection(sf_dir)
+    if user_mod > 1:
+        results["ewma_trend[sampled]"] = check_ewma_sampled(spark, con, sf_dir, user_mod)
+    else:
+        from market_data_mining_project_spark.plans import events_temporal as ET
+        from tests.oracle_harness import compare
+
+        results["ewma_trend"] = compare(
+            "ewma_trend", ET.q_ewma_trend(spark, sf_dir), con.sql(ET.SQL_EWMA_TREND)
+        )
+    t_ewma = time.monotonic() - t0 - t_main
+    if os.environ.get("SPARK_GRAFT_SKIP_RECOUNT") != "1":
+        # run LAST (its child Spark session competes for the host)
+        spark.stop()
+        results["dedup_reports[recount]"] = check_dedup_recount(sf_dir)
+
+    failed = 0
+    for name, errs in sorted(results.items()):
+        if errs:
+            print(f"[FAIL] {name}")
+            for e in errs[:4]:
+                print(f"    {e}")
+        failed += bool(errs)
+    wall = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "entries": len(results),
+                "failed": failed,
+                "wall_sec": round(wall, 1),
+                "main_sweep_sec": round(t_main, 1),
+                "ewma_tier_sec": round(t_ewma, 1),
+                "ewma_user_mod": user_mod,
+            }
+        )
+    )
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
