@@ -192,7 +192,6 @@ def run_all(
         unknown = sorted(set(only) - set(queries))
         if unknown:
             raise SystemExit(f"unknown query names (not in the catalog): {unknown}")
-    con = duck_connection(sf_dir)
     results: dict[str, list[str]] = {}
     import time as _time
 
@@ -212,8 +211,19 @@ def run_all(
                 results[name] = [] if n > 0 else [f"{name}: rows-only result is empty"]
                 continue
             df = fn(spark, sf_dir)
-            rel = con.sql(oracles[name])
-            results[name] = compare(name, df, rel)
+            # fresh connection PER ENTRY: DuckDB's buffer pool and temp-dir
+            # accounting live for the connection — on a shared connection a
+            # scale-tier sweep's earlier twins leave the pool warm enough
+            # that a later heavy twin offloads into the 40 GiB temp cap and
+            # fails (r11: the sf5 pairwise twin, 110 s on a fresh
+            # connection in r10, ground 580 s into the cap on the shared
+            # one). Views are per-connection; rebuilding them is ~ms.
+            con = duck_connection(sf_dir)
+            try:
+                rel = con.sql(oracles[name])
+                results[name] = compare(name, df, rel)
+            finally:
+                con.close()
         except Exception as exc:  # noqa: BLE001
             results[name] = [f"{name}: EXCEPTION {exc}"]
         finally:
