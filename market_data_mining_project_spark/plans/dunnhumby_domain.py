@@ -201,7 +201,12 @@ def q_pairwise_rules_product(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PAIRWISE_RULES_PRODUCT = """
-WITH ib AS (
+-- heavy CTEs AS MATERIALIZED: DuckDB inlines CTEs by default, so the
+-- 30M-row DISTINCT (ib) would re-evaluate once per consumer (tot, freq,
+-- fib) and the scalar (SELECT total FROM tot) once per reference -- the
+-- same re-inlining blowup the fpgrowth twin hit at sf5 (r10). Pure
+-- execution hint: values unchanged.
+WITH ib AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS b, l_partkey AS item FROM lineitem
 ), tot AS (
   SELECT COUNT(DISTINCT b) AS total FROM ib
@@ -209,7 +214,7 @@ WITH ib AS (
   SELECT item, COUNT(*) AS item_baskets FROM ib GROUP BY item
   ORDER BY item_baskets DESC, item ASC
   LIMIT 500
-), fib AS (
+), fib AS MATERIALIZED (
   SELECT ib.b, ib.item FROM ib JOIN freq ON ib.item = freq.item
 ), pairs AS (
   SELECT a.item AS item_a, b2.item AS item_b, COUNT(*) AS pair_baskets
@@ -238,7 +243,9 @@ LIMIT 2000
 
 
 SQL_PAIRWISE_RULES_BRAND = """
-WITH ib AS (
+-- ib/fib AS MATERIALIZED: same re-inlining guard as the product grain --
+-- without it this grain ground 450 s / >40 GiB of temp at sf5 (r11)
+WITH ib AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS b, p_brand AS item
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE p_brand IS NOT NULL
@@ -252,7 +259,7 @@ WITH ib AS (
 ), freq AS (
   SELECT item, COUNT(*) AS item_baskets FROM ib GROUP BY item
   HAVING COUNT(*) >= (SELECT min_count FROM mc)
-), fib AS (
+), fib AS MATERIALIZED (
   SELECT ib.b, ib.item FROM ib JOIN freq ON ib.item = freq.item
 ), pairs AS (
   SELECT a.item AS item_a, b2.item AS item_b, COUNT(*) AS pair_baskets

@@ -1232,16 +1232,23 @@ WITH RECURSIVE toks AS (
   FROM prof
 ), floor_kept AS (
   SELECT * FROM scored WHERE quality >= 0.3
-), exact_kept AS (
+), exact_kept AS MATERIALIZED (
+  -- AS MATERIALIZED on every multiply-consumed heavy CTE below: DuckDB
+  -- inlines CTEs by default, so exact_kept (consumed by sh0 + final),
+  -- sh0 (x2: sh FROM + its NOT IN hot-shingle subquery), sh (x3: sizes +
+  -- both self-join sides) and pair (x2 via edges -- its chain contains
+  -- the corpus self-join) would each re-run per consumer; at sf5 that
+  -- re-inlining made this twin the sweep's 1445 s tail (r10/r11).
+  -- Pure execution hint: values unchanged (hash re-verified at sf0.01).
   SELECT doc_id, text, ts, detected_lang, quality
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
         FROM floor_kept)
   WHERE rn = 1
-), sh0 AS (
+), sh0 AS MATERIALIZED (
   SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
   FROM exact_kept, UNNEST(range(1, GREATEST(len(ts) - 2, 1) + 1)) AS r(i)
   WHERE array_to_string(ts[i:i+2], ' ') <> ''
-), sh AS (
+), sh AS MATERIALIZED (
   SELECT doc_id, shingle FROM sh0
   WHERE shingle NOT IN (
     SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 100)
@@ -1251,7 +1258,7 @@ WITH RECURSIVE toks AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-), pair AS (
+), pair AS MATERIALIZED (
   SELECT i.doc_a, i.doc_b
   FROM inter i
   JOIN sizes sa ON i.doc_a = sa.doc_id
