@@ -160,7 +160,12 @@ def q_cf_recommendations_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CF_RECOMMENDATIONS = f"""
 WITH fact AS ({_SQL_BRAND_FACT}),
-ui AS (
+-- ui AS MATERIALIZED: consumed 5x below (norms, qu, both dots sides,
+-- scored, unseen) -- DuckDB inlines CTEs by default, so the 30M-row
+-- fact rollup would re-run per consumer (the r11 sf5 sweep ground this
+-- twin 600 s into the 40 GiB temp cap). Pure execution hint: values
+-- unchanged, hash re-verified at sf0.01.
+ui AS MATERIALIZED (
   SELECT o_custkey AS usr, p_brand AS item, COUNT(*) AS cnt
   FROM fact WHERE p_brand IS NOT NULL GROUP BY 1, 2
 ), norms AS (
@@ -289,7 +294,9 @@ def _hybrid_blend_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_HYBRID_RECOMMENDATIONS = f"""
 WITH fact AS ({_SQL_BRAND_FACT}),
-ib AS (
+-- AS MATERIALIZED below: same re-inlining guard as the CF twin (ui is
+-- consumed 6x here; ib 3x; purchased 2x)
+ib AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS b, p_brand AS item
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE p_brand IS NOT NULL
@@ -298,7 +305,7 @@ mc AS (SELECT GREATEST(1, CAST(CEIL(CAST(0.02 AS DOUBLE) * total) AS BIGINT)) AS
 freq AS (
   SELECT item, COUNT(*) AS item_baskets FROM ib GROUP BY item
   HAVING COUNT(*) >= (SELECT min_count FROM mc)
-), fib AS (SELECT ib.b, ib.item FROM ib JOIN freq ON ib.item = freq.item),
+), fib AS MATERIALIZED (SELECT ib.b, ib.item FROM ib JOIN freq ON ib.item = freq.item),
 pairs AS (
   SELECT a.item AS item_a, b2.item AS item_b, COUNT(*) AS pair_baskets
   FROM fib a JOIN fib b2 ON a.b = b2.b AND a.item < b2.item
@@ -316,11 +323,11 @@ pairs AS (
   JOIN freq fa ON d.antecedent = fa.item
   JOIN freq fb ON d.consequent = fb.item
   WHERE ROUND(CAST(d.pair_baskets AS DOUBLE) / fa.item_baskets, 6) >= 0.05
-), ui AS (
+), ui AS MATERIALIZED (
   SELECT o_custkey AS usr, p_brand AS item, COUNT(*) AS cnt
   FROM fact WHERE p_brand IS NOT NULL GROUP BY 1, 2
 ), qu AS (SELECT DISTINCT usr FROM ui WHERE usr % 100 = 0),
-purchased AS (SELECT u.usr, u.item FROM ui u JOIN qu ON u.usr = qu.usr),
+purchased AS MATERIALIZED (SELECT u.usr, u.item FROM ui u JOIN qu ON u.usr = qu.usr),
 assoc AS (
   SELECT p.usr, r.consequent AS item, MAX(r.confidence * r.lift) AS score
   FROM purchased p JOIN rules r ON p.item = r.antecedent

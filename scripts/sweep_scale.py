@@ -72,24 +72,61 @@ def check_dedup_recount(sf_dir: str) -> list[str]:
     return []
 
 
+def run_segment(names: list[str], sf_dir: str, idx: int, total: int) -> dict[str, list[str]]:
+    """One catalog segment in a FRESH subprocess (own JVM + Python).
+
+    A single-process whole-catalog sf5 sweep accumulates session state —
+    single-slot caches, memory-sink generations, persisted-model handles,
+    broadcast blocks — until the driver heap OOMs mid-catalog (r11: entry
+    57 of 72 died with java.lang.OutOfMemoryError and poisoned every entry
+    after it). Segments bound that accumulation AND contain the blast
+    radius of any one entry's JVM damage, the same shape the r10 sweep ran
+    by hand. Progress lines stream through live."""
+    print(f"[sweep] segment {idx + 1}/{total}: {len(names)} entries", flush=True)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tests", "oracle_harness.py"), *names],
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    failures: dict[str, list[str]] = {}
+    assert proc.stdout is not None
+    for line in proc.stdout:
+        line = line.rstrip("\n")
+        if line.startswith(("[OK ]", "[FAIL]")):
+            print(line, flush=True)
+        if line.startswith("[FAIL]"):
+            parts = line.split()
+            failures.setdefault(parts[1], []).append(line)
+    rc = proc.wait()
+    if rc != 0 and not failures:
+        failures[f"segment_{idx}"] = [f"segment exited rc={rc} with no [FAIL] line"]
+    return failures
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/tmp/mdmp_sf5")
     user_mod = int(os.environ.get("SPARK_GRAFT_EWMA_USER_MOD", "10"))
+    n_segments = max(1, int(os.environ.get("SPARK_GRAFT_SWEEP_SEGMENTS", "4")))
     t0 = time.monotonic()
-
-    from market_data_mining_project_spark.session import get_spark
-    from tests.oracle_harness import duck_connection, run_all
 
     import __spark_entry__ as entry_mod
 
-    spark = get_spark(
-        "mdmp-scale-sweep",
-        **{"spark.ui.enabled": "false"},
-    )
     names = [q for q in entry_mod.queries() if q not in DOWNGRADED]
-    results = run_all(spark, sf_dir, only=names, progress=True)
+    size = (len(names) + n_segments - 1) // n_segments
+    segments = [names[i : i + size] for i in range(0, len(names), size)]
+    results: dict[str, list[str]] = {name: [] for name in names}
+    for i, seg in enumerate(segments):
+        results.update(run_segment(seg, sf_dir, i, len(segments)))
 
     t_main = time.monotonic() - t0
+    # the ewma tier runs in THIS process (fresh JVM — the segments were
+    # subprocesses), with its own bounded DuckDB connection
+    from market_data_mining_project_spark.session import get_spark
+    from tests.oracle_harness import duck_connection
+
+    spark = get_spark("mdmp-scale-sweep", **{"spark.ui.enabled": "false"})
     con = duck_connection(sf_dir)
     if user_mod > 1:
         results["ewma_trend[sampled]"] = check_ewma_sampled(spark, con, sf_dir, user_mod)
@@ -100,6 +137,7 @@ def main() -> None:
         results["ewma_trend"] = compare(
             "ewma_trend", ET.q_ewma_trend(spark, sf_dir), con.sql(ET.SQL_EWMA_TREND)
         )
+    con.close()
     t_ewma = time.monotonic() - t0 - t_main
     if os.environ.get("SPARK_GRAFT_SKIP_RECOUNT") != "1":
         # run LAST (its child Spark session competes for the host)
