@@ -534,12 +534,24 @@ def q_range_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_range_join_audit() -> str:
     from market_data_mining_project_spark.plans import events_temporal as ET
 
-    leg = "SELECT '{g}' AS grain, CAST(event_id AS BIGINT) AS event_id, " \
-          "CAST(user_id AS BIGINT) AS user_id, CAST(ts_epoch AS BIGINT) AS ts_epoch, " \
-          "CAST(value AS DOUBLE) AS value, CAST(n_errors_15min AS BIGINT) AS n_errors_15min, " \
-          "CAST(error_value_15min AS DOUBLE) AS error_value_15min FROM ({q})"
-    q = ET.SQL_RANGE_JOIN_ERRORS
-    return leg.format(g="batch", q=q) + "\nUNION ALL\n" + leg.format(g="stream", q=q)
+    # ONE materialized evaluation of the naive inequality join, selected
+    # twice with different grain tags: the two grains are column-identical
+    # by contract, so duplicating the subquery per leg would only run the
+    # twin's most expensive join twice — at sf5 that was the whole sweep's
+    # tail (the duplicated form measured 1563 s; the shared form halves
+    # it). Oracle-side only; same rows either way.
+    leg = (
+        "SELECT '{g}' AS grain, CAST(event_id AS BIGINT) AS event_id, "
+        "CAST(user_id AS BIGINT) AS user_id, CAST(ts_epoch AS BIGINT) AS ts_epoch, "
+        "CAST(value AS DOUBLE) AS value, CAST(n_errors_15min AS BIGINT) AS n_errors_15min, "
+        "CAST(error_value_15min AS DOUBLE) AS error_value_15min FROM shared_rj"
+    )
+    return (
+        f"WITH shared_rj AS MATERIALIZED ({ET.SQL_RANGE_JOIN_ERRORS})\n"
+        + leg.format(g="batch")
+        + "\nUNION ALL\n"
+        + leg.format(g="stream")
+    )
 
 
 QUERIES = {

@@ -117,8 +117,29 @@ def main() -> None:
     size = (len(names) + n_segments - 1) // n_segments
     segments = [names[i : i + size] for i in range(0, len(names), size)]
     results: dict[str, list[str]] = {name: [] for name in names}
-    for i, seg in enumerate(segments):
-        results.update(run_segment(seg, sf_dir, i, len(segments)))
+    # SPARK_GRAFT_SWEEP_PARALLEL (default 2): segments are independent
+    # processes, so running P at once divides the wall time by ~P on an
+    # otherwise-idle host (the r11 sequential sf5 run measured 87 min of
+    # main sweep — parallel 2 brings the whole gate under the hour). Each
+    # child's DuckDB memory ceiling is divided by P so concurrent twins
+    # can't jointly outgrow the box; per-pid temp dirs already isolate
+    # their spill accounting.
+    par = max(1, int(os.environ.get("SPARK_GRAFT_SWEEP_PARALLEL", "2")))
+    if par > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        child_mem = max(8, int(os.environ.get("SPARK_GRAFT_DUCK_MEM_GB", "48")) // par)
+        os.environ["SPARK_GRAFT_DUCK_MEM_GB"] = str(child_mem)
+        with ThreadPoolExecutor(max_workers=par) as pool:
+            futs = [
+                pool.submit(run_segment, seg, sf_dir, i, len(segments))
+                for i, seg in enumerate(segments)
+            ]
+            for fut in futs:
+                results.update(fut.result())
+    else:
+        for i, seg in enumerate(segments):
+            results.update(run_segment(seg, sf_dir, i, len(segments)))
 
     t_main = time.monotonic() - t0
     # the ewma tier runs in THIS process (fresh JVM — the segments were
