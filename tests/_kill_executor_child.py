@@ -75,8 +75,17 @@ def main() -> None:
         if i == KILL_AFTER_ITER:
             # both executors have by now written + read checkpoint blocks;
             # kill one JVM outright (SIGKILL — no shutdown hooks, the
-            # crash shape, not a graceful decommission)
-            pids = _own_executor_pids(driver_port)
+            # crash shape, not a graceful decommission). POLL for both
+            # executor JVMs first: on a loaded host (the full pytest suite
+            # plus concurrent sweeps) the second executor can still be
+            # registering when this iteration arrives, and an immediate
+            # assert flakes (r11, in-suite run).
+            deadline = time.monotonic() + 60
+            while time.monotonic() < deadline:
+                pids = _own_executor_pids(driver_port)
+                if len(pids) >= 2:
+                    break
+                time.sleep(0.5)
             assert len(pids) >= 2, f"expected 2 executor JVMs, ps found {pids}"
             os.kill(pids[0], signal.SIGKILL)
             deadline = time.monotonic() + 30

@@ -72,6 +72,9 @@ def test_reliable_checkpoint_survives_executor_kill(tmp_path):
         SPARK_MASTER="local-cluster[2,4,2048]",
         SPARK_GRAFT_CHECKPOINT_DIR=str(tmp_path / "reliable_ckpt"),
         SPARK_DRIVER_MEMORY="2g",
+        # must fit the 2048 MiB/worker above — the session default (6g,
+        # sized for catalog sweeps) would refuse to launch
+        SPARK_EXECUTOR_MEMORY="1g",
     )
     child = os.path.join(os.path.dirname(__file__), "_kill_executor_child.py")
     proc = subprocess.run(
