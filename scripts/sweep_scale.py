@@ -30,7 +30,11 @@ Run:
 
 Knobs: SPARK_GRAFT_EWMA_USER_MOD (default 10; set 0/1 to force the full
 twin), SPARK_GRAFT_SKIP_RECOUNT=1 to skip the dedup recount child (when
-it has already been run standalone this round).
+it has already been run standalone this round),
+SPARK_GRAFT_SWEEP_SEGMENTS (default 4 fresh subprocesses — a
+single-process sf5 run OOMs the driver heap from accumulated session
+state), SPARK_GRAFT_SWEEP_PARALLEL (default 2 concurrent segments; each
+child's DuckDB ceiling is divided by this).
 """
 
 from __future__ import annotations
