@@ -104,9 +104,16 @@ def apply_mixture(
 
     Deterministic, not random: each doc gets ``floor(rate)`` full copies
     plus one more iff ``hash_frac(id, seed) < frac(rate)`` — a seeded
-    xxhash64 uniform in [0,1), so the sample is reproducible across runs,
+    hash uniform in [0,1), so the sample is reproducible across runs,
     machines and partitionings (``rand()`` is none of those), and a
-    driver recount can verify it exactly. Shape: one broadcast join of
+    driver recount can verify it exactly. The hash is the first 32 bits
+    of ``md5(id || ':' || seed)`` rather than Spark's ``xxhash64``: MD5
+    is the one seeded-uniform primitive BOTH engines of the oracle
+    harness compute bit-identically (DuckDB has no xxhash64; its
+    ``hash()`` is engine-private), which is what lets the whole
+    mixture-apply audit be hash-checked against an independent DuckDB
+    twin instead of staying rows-only. Still a JVM-side codegen'd
+    expression — no Python in the hot path. Shape: one broadcast join of
     the |sources|-row plan + one bounded ``explode(sequence)`` — no
     shuffle beyond the plan broadcast. Output adds ``copy`` (0-based
     repetition index) so downstream packing can distinguish epochs.
@@ -121,11 +128,20 @@ def apply_mixture(
     joined = docs.join(
         F.broadcast(rates), F.col(source_col).eqNullSafe(F.col("__src"))
     ).drop("__src")
+    # k / 2^32 with k the first 8 md5 hex digits: k < 2^32 <= 2^53 so the
+    # double quotient is EXACT, and the same expression is replicable in
+    # DuckDB as CAST('0x' || substr(md5(id || ':seed'), 1, 8) AS BIGINT)
     frac_hash = (
-        F.pmod(
-            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(1_000_000)
-        )
-        / 1_000_000.0
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
     )
     n_copies = (
         F.floor(F.col("__rate"))

@@ -303,11 +303,17 @@ def sequential_patterns(
     sibling of the FPGrowth basket rules: "customers who buy brand A in
     one order later buy brand B". Input is the ``sequence`` frame from
     :func:`sequence_itemsets`; output flattens each pattern to a
-    canonical string (steps ``>``-joined, items ``|``-joined — item
-    arrays arrive sorted from the sequence build) beside its absolute
-    frequency. No SQL oracle can recount subsequence containment, so
-    catalog exposure is rows-only with an exact containment-recount
-    pytest gate."""
+    canonical string (steps ``>``-joined, items ``|``-joined, itemsets
+    SORTED — MLlib orders items inside a mined itemset by its internal
+    descending-frequency rank, which is partition-order-dependent under
+    frequency ties, so canonicalizing here is what makes the output
+    deterministic and twin-comparable) beside its absolute frequency.
+    At ``max_pattern_length <= 2`` the support counts ARE
+    SQL-expressible (single items; same-step pairs via a day-level
+    self-join; step-ordered pairs via min-day(A) < max-day(B)), which is
+    how the catalog's `sequential_patterns` entry is hash-oracled; the
+    exact containment-recount pytest gate remains for the general
+    depth."""
     if not HAS_FPGROWTH:  # pragma: no cover
         raise NotImplementedError("pyspark.ml.fpm.PrefixSpan unavailable in this build")
     ps = PrefixSpan(
@@ -331,7 +337,7 @@ def sequential_patterns(
         sequences.unpersist()
     return pats.select(
         F.array_join(
-            F.transform("sequence", lambda s: F.array_join(s, "|")), ">"
+            F.transform("sequence", lambda s: F.array_join(F.array_sort(s), "|")), ">"
         ).alias("pattern"),
         F.size("sequence").alias("n_steps"),
         F.col("freq").cast("long").alias("freq"),

@@ -1501,14 +1501,49 @@ def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     which brand sets customers buy in successive orders ("A then B"),
     not merely together. Sequences: per customer, the day-ordered list
     of distinct-brand order baskets (deterministic: items sorted within
-    step, steps sorted by day). Rows-only — subsequence-containment
-    support has no SQL twin; the pytest gate recounts the top patterns'
-    frequencies exactly by containment over the collected fixture
-    sequences (tests/test_rules_ml.py)."""
+    step, steps sorted by day). Hash-oracled (r12, was rows-only): at
+    max_pattern_length=2 every pattern shape has an exact SQL support
+    recount (SQL_SEQUENTIAL_PATTERNS — enumerate-then-filter is exact
+    because support is anti-monotone); the containment-recount pytest
+    gate over collected fixture sequences remains (tests/test_rules_ml.py)."""
     fact = _brand_fact(spark, sf_dir)
     seqs = RULES.sequence_itemsets(fact, "o_custkey", "day", "p_brand")
     out = RULES.sequential_patterns(seqs, min_support=0.3, max_pattern_length=2)
     return out.orderBy(F.desc("freq"), "pattern")
+
+
+#: Exact support recount of every <=2-item sequential pattern — the full
+#: enumeration equals PrefixSpan's pruned search because support is
+#: anti-monotone (a frequent 2-pattern's 1-prefix is frequent), so
+#: enumerate-then-filter is EXACT, not approximate. Containment per
+#: pattern shape: single item A = customer has A in any step; same-step
+#: itemset A|B = some day's basket holds both; step-ordered A>B (A=B
+#: allowed) = min day(A) < max day(B) — exists d1<d2 with A@d1, B@d2 iff
+#: that inequality holds, which turns the quadratic day-level self-join
+#: into a per-(customer, brand) min/max join. minCount mirrors MLlib
+#: PrefixSpan's math.ceil(minSupport * n_sequences) on DOUBLE (same
+#: ceil-on-double note as SQL_FPGROWTH_RULES).
+SQL_SEQUENTIAL_PATTERNS = f"""
+WITH base AS ({_SQL_BRAND_FACT}),
+f AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, day AS d, p_brand AS b FROM base),
+mc AS (SELECT CAST(CEIL(CAST(0.3 AS DOUBLE) * COUNT(DISTINCT c)) AS BIGINT) AS mc FROM f),
+cb AS MATERIALIZED (SELECT c, b, MIN(d) AS dmin, MAX(d) AS dmax FROM f GROUP BY c, b),
+s1 AS (SELECT b AS pattern, 1 AS n_steps, CAST(COUNT(*) AS BIGINT) AS freq FROM cb GROUP BY b),
+s2same AS (
+  SELECT a.b || '|' || x.b AS pattern, 1 AS n_steps, CAST(COUNT(DISTINCT a.c) AS BIGINT) AS freq
+  FROM f a JOIN f x ON a.c = x.c AND a.d = x.d AND a.b < x.b
+  GROUP BY a.b, x.b
+),
+s2seq AS (
+  SELECT a.b || '>' || x.b AS pattern, 2 AS n_steps, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM cb a JOIN cb x ON a.c = x.c AND a.dmin < x.dmax
+  GROUP BY a.b, x.b
+)
+SELECT pattern, n_steps, freq
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2same UNION ALL SELECT * FROM s2seq) u, mc
+WHERE u.freq >= mc.mc
+ORDER BY freq DESC, pattern
+"""
 
 
 # Exact frequent-itemset enumeration up to size 3 (antecedent size ≤ 2) — at
@@ -1860,8 +1895,6 @@ QUERIES = {
     # brand_outlook entry
     "brand_outlook": q_brand_outlook,
     "fpgrowth_rules": q_fpgrowth_rules,
-    # sequential_patterns: rows-only (subsequence-containment support has
-    # no SQL twin; exact containment recount in tests/test_rules_ml.py)
     "sequential_patterns": q_sequential_patterns,
     # brand_centrality: rows-only (iterative fixpoint; numpy power-iteration
     # parity gate in tests/test_graph.py)
@@ -1887,6 +1920,10 @@ ORACLE = {
     "pivot_brand_matrices": _sql_pivot_brand_matrices(),
     "brand_outlook": _sql_brand_outlook(),
     "fpgrowth_rules": SQL_FPGROWTH_RULES,
+    # sequential_patterns joined the hash-oracled set in r12: at the
+    # catalog's max_pattern_length=2 the PrefixSpan support counts have an
+    # exact enumerate-then-filter SQL recount (anti-monotone support)
+    "sequential_patterns": SQL_SEQUENTIAL_PATTERNS,
     # als_recommendations / churn_model_scores / churn_threshold_sweep /
     # minhash_candidates / simhash_near_dups: rows-only (pytest ground truth)
 }

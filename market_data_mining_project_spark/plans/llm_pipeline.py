@@ -914,9 +914,14 @@ def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractional epoch), src1/src2 downsample, the rest drop entirely.
     Per-source audit over the FULL plan (left join — dropped sources show
     zero): kept docs / emitted rows (copies included) / kept tokens vs
-    the plan's expectation. Rows-only; an exact per-document copy-count
-    recount and the expected-mass tolerance are pytest-gated
-    (tests/test_dedup_similarity.py::test_apply_mixture_*)."""
+    the plan's expectation. Hash-oracled (r12, was rows-only):
+    SQL_MIXTURE_APPLY re-derives the skewed plan with the identical
+    IEEE-double expression structure and replays the per-document copy
+    decision — floor(rate) copies plus one iff md5-frac < frac(rate) —
+    in DuckDB, which computes the md5-frac primitive bit-identically
+    (the reason apply_mixture hashes md5, not DuckDB-absent xxhash64).
+    The exact per-document copy recount and expected-mass tolerance stay
+    pytest-gated (tests/test_dedup_similarity.py::test_apply_mixture_*)."""
     from market_data_mining_project_spark.operators import corpus as C
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -938,6 +943,62 @@ def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .fillna({"docs_kept": 0, "rows_emitted": 0, "tokens_kept": 0})
         .orderBy("source")
     )
+
+
+#: The apply-side twin: re-derives the SKEWED plan (target src0:4,
+#: src1:1, src2:1 → weights 4/6, 1/6, 1/6; max_epochs 2.5) with the same
+#: IEEE-double expression structure as corpus.mixture_weights — every
+#: literal forced to DOUBLE because DuckDB types bare `4.0` as DECIMAL,
+#: whose exact division would diverge from Python float arithmetic —
+#: then replays corpus.apply_mixture's per-document copy decision:
+#: n = floor(rate) + (md5_frac < rate - floor(rate)), where md5_frac is
+#: the first 8 md5 hex digits of 'doc_id:42' over 2^32 (bit-identical in
+#: both engines; k < 2^32 <= 2^53 so the quotient is exact). Audit joins
+#: are null-safe (IS NOT DISTINCT FROM) to mirror the engine's
+#: eqNullSafe plan join.
+SQL_MIXTURE_APPLY = """
+WITH tok AS MATERIALIZED (
+  SELECT source,
+         CAST(COALESCE(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+'))), 0) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, tokens,
+         CASE source WHEN 'src0' THEN CAST(4.0 AS DOUBLE) / CAST(6.0 AS DOUBLE)
+                     WHEN 'src1' THEN CAST(1.0 AS DOUBLE) / CAST(6.0 AS DOUBLE)
+                     WHEN 'src2' THEN CAST(1.0 AS DOUBLE) / CAST(6.0 AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END AS wt
+  FROM tok
+), b AS (
+  SELECT MIN(CAST(tokens AS DOUBLE) * CAST(2.5 AS DOUBLE) / wt) AS budget
+  FROM w WHERE wt > 0
+), plan AS MATERIALIZED (
+  SELECT w.source,
+         ROUND(CASE WHEN w.wt > 0 THEN w.wt * b.budget / w.tokens ELSE CAST(0.0 AS DOUBLE) END, 6) AS sample_rate,
+         CAST(TRUNC(CASE WHEN w.wt > 0 THEN w.wt * b.budget ELSE CAST(0.0 AS DOUBLE) END) AS BIGINT) AS expected_tokens
+  FROM w, b
+), perdoc AS (
+  SELECT d.source,
+         CAST(len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS BIGINT) AS t,
+         CAST(FLOOR(p.sample_rate) AS BIGINT)
+           + CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 8) AS BIGINT)
+                       / CAST(4294967296.0 AS DOUBLE)
+                     < p.sample_rate - FLOOR(p.sample_rate)
+                  THEN 1 ELSE 0 END AS n
+  FROM documents d JOIN plan p ON d.source IS NOT DISTINCT FROM p.source
+), audit AS (
+  SELECT source,
+         CAST(COUNT(*) FILTER (WHERE n > 0) AS BIGINT) AS docs_kept,
+         CAST(COALESCE(SUM(n), 0) AS BIGINT) AS rows_emitted,
+         CAST(COALESCE(SUM(t * n), 0) AS BIGINT) AS tokens_kept
+  FROM perdoc GROUP BY source
+)
+SELECT p.source, p.sample_rate, p.expected_tokens,
+       COALESCE(a.docs_kept, 0) AS docs_kept,
+       COALESCE(a.rows_emitted, 0) AS rows_emitted,
+       COALESCE(a.tokens_kept, 0) AS tokens_kept
+FROM plan p LEFT JOIN audit a ON p.source IS NOT DISTINCT FROM a.source
+ORDER BY p.source
+"""
 
 
 def q_leakage_free_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1625,6 +1686,10 @@ ORACLE = {
     # pii_redaction entries (slot merge — both remain hash-verified)
     "text_curation_audit": _sql_text_curation_audit(),
     "mixture_plan": SQL_MIXTURE_PLAN,
+    # mixture_apply joined the hash-oracled set in r12: the copy-decision
+    # hash is md5-based (DuckDB-replicable) precisely to make this twin
+    # possible — see corpus.apply_mixture
+    "mixture_apply": SQL_MIXTURE_APPLY,
     "text_profile": SQL_TEXT_PROFILE,
     "span_dedup": SQL_SPAN_DEDUP,
     "vocab_stats_audit": _sql_vocab_stats_audit(),

@@ -47,8 +47,15 @@ def run_bench_once(idx: int) -> dict:
         raise SystemExit(
             f"bench run {idx} failed rc={proc.returncode}\n{proc.stderr[-3000:]}"
         )
-    last = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(last)
+    json_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    if not json_lines:
+        # rc=0 with no JSON line (truncated/redirected output) must name
+        # the run, not die in an opaque IndexError (ADVICE r11)
+        raise SystemExit(
+            f"bench run {idx} exited 0 but printed no JSON line; stdout tail:\n"
+            f"{proc.stdout[-2000:]}"
+        )
+    return json.loads(json_lines[-1])
 
 
 def merge_min(runs: list[dict]) -> dict:
@@ -76,10 +83,48 @@ def merge_min(runs: list[dict]) -> dict:
     return out
 
 
+def per_entry_map(artifact: dict, path: str) -> dict[str, float]:
+    """Extract the warm_fresh per-entry map from ANY artifact shape.
+
+    Two shapes exist in the wild: this protocol's own output (and
+    bench.py's), which carries full ``queries_warm_fresh`` /
+    ``queries`` maps — and the DRIVER's ``BENCH_r*.json``, which stores
+    only ``{n, rc, cpus, sf, tail, parsed}`` where ``tail`` is the LAST
+    2000 chars of bench stdout. Because bench.py emits its maps in
+    cold → warm → warm_fresh → totals order, the tail's surviving
+    per-entry fragment IS the (front-truncated) warm_fresh map — the
+    right grain for the delta report. Parse it with a regex over
+    ``"name": float`` pairs, cut at ``"totals"`` so the three totals
+    scalars don't masquerade as entries; the front-truncated first pair
+    lacks its opening quote and is correctly skipped. An artifact with
+    NO per-entry data is a hard error — r11's judge fed a driver
+    artifact and got a silent '0 common entries' no-op (VERDICT r11)."""
+    q = artifact.get("queries_warm_fresh") or artifact.get("queries")
+    if q:
+        return q
+    tail = artifact.get("tail") or ""
+    body = tail.split('"totals"')[0]
+    import re
+
+    pairs = re.findall(r'"([A-Za-z0-9_]+)": ([0-9]+(?:\.[0-9]+)?)[,}]', body)
+    parsed = {name: float(val) for name, val in pairs}
+    # drop bench.py scalar keys that can precede the per-entry maps in a
+    # pathologically short tail (value/value_warm/... are totals, not entries)
+    for scalar in ("value", "value_warm", "value_warm_fresh", "sf", "cpus"):
+        parsed.pop(scalar, None)
+    if len(parsed) < 5:
+        raise SystemExit(
+            f"{path}: no usable per-entry map (no queries_warm_fresh/queries "
+            f"keys and only {len(parsed)} pairs parsed from its tail) — "
+            "cannot build a delta report from this artifact"
+        )
+    return parsed
+
+
 def delta_report(merged: dict, prev_path: str, threshold_pct: float) -> None:
     with open(prev_path) as fh:
         prev = json.load(fh)
-    prev_q = prev.get("queries_warm_fresh") or prev.get("queries") or {}
+    prev_q = per_entry_map(prev, prev_path)
     cur_q = merged.get("queries_warm_fresh") or merged.get("queries") or {}
     common = sorted(set(prev_q) & set(cur_q))
     print(

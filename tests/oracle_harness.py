@@ -38,13 +38,16 @@ TABLES = (
 )
 
 
-def _env_gb(var: str, default: int) -> int:
-    """Parse an integer-GiB env knob, failing with the variable's NAME.
+def _env_int(var: str, default: int, unit: str) -> int:
+    """Parse an integer env knob, failing with the variable's NAME and the
+    knob's actual UNIT.
 
     A bare ``int(os.environ[...])`` on a value like ``'40.5'`` or
     ``'48GiB'`` raised an anonymous ValueError that aborted the whole
-    sweep before any entry ran (ADVICE r10); naming the variable and the
-    documented form makes the misconfiguration a one-line fix.
+    sweep before any entry ran (ADVICE r10); and the first fix hardcoded
+    a GiB hint that misled for the THREADS knob (ADVICE r11) — the unit
+    rides per call now, e.g. ``_env_int(..., "whole GiB")`` vs
+    ``_env_int(..., "a thread count")``.
     """
     raw = os.environ.get(var)
     if raw is None:
@@ -53,7 +56,7 @@ def _env_gb(var: str, default: int) -> int:
         return int(raw)
     except ValueError:
         raise SystemExit(
-            f"{var}={raw!r} is not an integer (the knob takes whole GiB, e.g. {var}=40)"
+            f"{var}={raw!r} is not an integer (the knob takes {unit}, e.g. {var}={default})"
         ) from None
 
 
@@ -68,7 +71,7 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # max_temp_directory_size accounting are per-DuckDB-instance, so two
     # concurrent harness/pytest processes sharing one directory could
     # collide or spuriously trip each other's cap (ADVICE r10).
-    tmp_gb = _env_gb("SPARK_GRAFT_DUCK_TMP_GB", 40)
+    tmp_gb = _env_int("SPARK_GRAFT_DUCK_TMP_GB", 40, "whole GiB")
     con.execute(f"SET temp_directory='/tmp/duckdb_oracle_tmp_{os.getpid()}'")
     con.execute(f"SET max_temp_directory_size='{tmp_gb}GiB'")
     # Bound DuckDB's threads: at the host's full 32, per-thread partitioned
@@ -77,14 +80,14 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # — the sf5 pairwise_rules twin hit the 40 GiB temp cap at 32 threads
     # yet finishes in 55 s at 8 (measured, r10). 8 keeps twins streaming;
     # values are thread-count-independent.
-    threads = _env_gb("SPARK_GRAFT_DUCK_THREADS", 8)
+    threads = _env_int("SPARK_GRAFT_DUCK_THREADS", 8, "a thread count")
     con.execute(f"SET threads={threads}")
     # Explicit memory ceiling: DuckDB's default (80% of RAM) ignores the
     # Spark JVM sharing the box — a twin that actually reaches it gets the
     # HOST process kernel-OOM-killed before DuckDB ever starts spilling
     # (observed on the sf5 sweep, r10). Under the ceiling DuckDB spills to
     # the bounded temp dir above and an over-budget twin fails ITS entry.
-    mem_gb = _env_gb("SPARK_GRAFT_DUCK_MEM_GB", 48)
+    mem_gb = _env_int("SPARK_GRAFT_DUCK_MEM_GB", 48, "whole GiB")
     con.execute(f"SET memory_limit='{mem_gb}GiB'")
     for t in TABLES:
         p = os.path.join(sf_dir, t + ".parquet")
@@ -243,6 +246,44 @@ def run_all(
     return results
 
 
+def executor_churn_line(spark) -> str | None:
+    """One-line executor-churn report for non-local masters, or None.
+
+    The r11 local-cluster sweeps exposed an observability gap: executor
+    churn mid-run (1g default memory starving workers until the
+    standalone master killed the app) was only diagnosable from raw
+    master logs, and post-success teardown-race stderr looked identical
+    to a real mid-run storm. This queries the app's own status REST API
+    (/api/v1/.../allexecutors) WHILE the app is still alive — so any
+    `removed>0` here is a mid-run loss, never the teardown race — and
+    prints one glanceable line. Needs the UI (the REST API rides it):
+    the __main__ below enables it automatically for non-local masters.
+    """
+    master = spark.sparkContext.master
+    if master.startswith("local") and not master.startswith("local-cluster"):
+        return None
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return "[executors] spark.ui disabled — churn not measurable via REST"
+    import json as _json
+    import urllib.request
+
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app_id}/allexecutors", timeout=10
+        ) as resp:
+            execs = _json.load(resp)
+    except Exception as exc:  # noqa: BLE001 — diagnostics must not fail the sweep
+        return f"[executors] churn query failed: {exc}"
+    workers = [e for e in execs if e.get("id") != "driver"]
+    dead = sorted(e["id"] for e in workers if not e.get("isActive", True))
+    line = f"[executors] registered={len(workers)} removed={len(dead)}"
+    if dead:
+        line += f" removed_ids={dead} — mid-run executor loss, NOT teardown noise"
+    return line
+
+
 if __name__ == "__main__":
     from market_data_mining_project_spark.session import get_spark
 
@@ -252,11 +293,15 @@ if __name__ == "__main__":
     # semantics; unset/true is the pinned Spark 4 default (session.py).
     # Both modes must be green — the engine's results are mode-independent.
     ansi = os.environ.get("SPARK_GRAFT_ANSI", "true")
+    # non-local masters keep the UI ON: its REST API is what makes the
+    # post-run executor-churn line possible (see executor_churn_line)
+    _master = os.environ.get("SPARK_MASTER", "local")
+    _non_local = not _master.startswith("local") or _master.startswith("local-cluster")
     spark = get_spark(
         "oracle-harness",
         **{
             "spark.sql.shuffle.partitions": "8",
-            "spark.ui.enabled": "false",
+            "spark.ui.enabled": "true" if _non_local else "false",
             "spark.sql.ansi.enabled": ansi,
         },
     )
@@ -273,5 +318,8 @@ if __name__ == "__main__":
         for e in errs[:6]:
             print(f"    {e}")
         failed += bool(errs)
+    churn = executor_churn_line(spark)
+    if churn:
+        print(churn, flush=True)
     print(f"\n{len(outcome) - failed}/{len(outcome)} queries match")
     sys.exit(1 if failed else 0)

@@ -746,16 +746,17 @@ def test_apply_mixture_matches_exact_recount(spark, sf_dir):
     got: dict = {}
     for r in sampled.collect():
         got[r.doc_id] = got.get(r.doc_id, 0) + 1
-    # independent recount: same hash expression evaluated standalone
+    # independent recount: the md5 fraction recomputed in PURE PYTHON
+    # (hashlib), not by re-evaluating the Spark expression — a stronger
+    # mirror than the pre-r12 same-engine xxhash64 standalone eval
+    import hashlib
+
     fr = {
-        r.doc_id: r.f
-        for r in docs.select(
-            "doc_id",
-            (
-                F.pmod(F.xxhash64(F.col("doc_id").cast("string"), F.lit(42)), F.lit(1_000_000))
-                / 1_000_000.0
-            ).alias("f"),
-        ).collect()
+        r.doc_id: int(
+            hashlib.md5(f"{r.doc_id}:42".encode()).hexdigest()[:8], 16
+        )
+        / 4294967296.0
+        for r in docs.select("doc_id").collect()
     }
     src = {r.doc_id: r.source for r in docs.collect()}
     for d, s in src.items():

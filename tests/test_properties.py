@@ -408,12 +408,14 @@ def test_pack_sequences_invariants_any_corpus(spark, docs, seq_len):
 @settings(**_SETTINGS)
 def test_apply_mixture_copy_bounds_any_rates(spark, rates):
     """Every doc of a rate-r source appears EXACTLY floor(r) + (hash_frac <
-    frac(r)) times. The fraction is recomputed from the same Spark hash
-    expression — which pins the floor/fractional arithmetic and the
-    join/explode shape; the hash expression ITSELF is pinned separately
-    below against hardcoded xxhash64 reference values, so the two checks
-    together are independent of the implementation. Copy indices must be
-    0-based and dense; unplanned sources drop entirely."""
+    frac(r)) times. The fraction is recomputed in PURE PYTHON (hashlib
+    md5 — the operator hashes md5 since r12 so the DuckDB oracle twin can
+    replay the copy decision bit-identically), which pins the hash, the
+    floor/fractional arithmetic and the join/explode shape independently
+    of Spark; three hardcoded reference values additionally pin the
+    seed/substring/scale conventions. Copy indices must be 0-based and
+    dense; unplanned sources drop entirely."""
+    import hashlib
     import math
     from collections import Counter
 
@@ -428,21 +430,15 @@ def test_apply_mixture_copy_bounds_any_rates(spark, rates):
     sampled = C.apply_mixture(docs, plan, "source", "doc_id", seed=7).collect()
     out = Counter(r.doc_id for r in sampled)
     fr = {
-        r.doc_id: r.f
-        for r in docs.select(
-            "doc_id",
-            (
-                F.pmod(F.xxhash64(F.col("doc_id").cast("string"), F.lit(7)), F.lit(1_000_000))
-                / 1_000_000.0
-            ).alias("f"),
-        ).collect()
+        i: int(hashlib.md5(f"{i}:7".encode()).hexdigest()[:8], 16) / 4294967296.0
+        for i in range(12)
     }
-    # pin the hash expression against fixed xxhash64 reference values —
-    # a silently changed seed/modulus/cast would otherwise corrupt BOTH
-    # the operator and this recount identically
-    assert round(fr[0] * 1_000_000) == 480965
-    assert round(fr[5] * 1_000_000) == 708033
-    assert round(fr[11] * 1_000_000) == 206699
+    # pin the hash convention against fixed md5 reference values — a
+    # silently changed seed/prefix-width/scale would otherwise corrupt
+    # BOTH the operator and this recount identically
+    assert round(fr[0] * 4294967296) == 2263107895
+    assert round(fr[5] * 4294967296) == 186683737
+    assert round(fr[11] * 4294967296) == 1938757134
     for i in range(12):
         s = f"s{i % 3}"
         if s not in rates:
