@@ -1001,6 +1001,61 @@ ORDER BY p.source
 """
 
 
+def q_mixture_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged mixture carrier (r12 slot merge): the UNIFORM-target plan
+    (ex catalog entry `mixture_plan`) and the SKEWED-target apply audit
+    (ex `mixture_apply`) joined per source — every cell of both donors
+    still hash-checks, one catalog slot. The merge funds the r12 oracle
+    conversions against the driver's 50-entry correctness window (the
+    same accounting as the r6 slot merges). Both legs keep their exact
+    arithmetic: see q_mixture_plan / q_mixture_apply, whose SQL twins
+    compose verbatim into SQL_MIXTURE_REPORTS."""
+    uni = q_mixture_plan(spark, sf_dir).select(
+        "source",
+        "tokens",
+        F.col("weight").alias("weight_uniform"),
+        F.col("sample_rate").alias("rate_uniform"),
+        F.col("expected_tokens").alias("expected_uniform"),
+    ).alias("u")
+    app = q_mixture_apply(spark, sf_dir).select(
+        "source",
+        F.col("sample_rate").alias("rate_skewed"),
+        F.col("expected_tokens").alias("expected_skewed"),
+        "docs_kept",
+        "rows_emitted",
+        "tokens_kept",
+    ).alias("a")
+    # null-safe: mixture_weights plans a row for a NULL source group
+    return (
+        uni.join(app, F.col("u.source").eqNullSafe(F.col("a.source")))
+        .select(
+            "u.source", "u.tokens", "u.weight_uniform", "u.rate_uniform",
+            "u.expected_uniform", "a.rate_skewed", "a.expected_skewed",
+            "a.docs_kept", "a.rows_emitted", "a.tokens_kept",
+        )
+        .orderBy("source")
+    )
+
+
+#: The donors' twins compose VERBATIM — uni is SQL_MIXTURE_PLAN, app is
+#: SQL_MIXTURE_APPLY (nested WITH inside a CTE is legal DuckDB), joined
+#: null-safely per source. No arithmetic is re-derived here, so the
+#: merged oracle can't drift from the donor oracles.
+SQL_MIXTURE_REPORTS = f"""
+WITH uni AS ({SQL_MIXTURE_PLAN}),
+app AS ({SQL_MIXTURE_APPLY})
+SELECT u.source, u.tokens,
+       u.weight AS weight_uniform,
+       u.sample_rate AS rate_uniform,
+       u.expected_tokens AS expected_uniform,
+       a.sample_rate AS rate_skewed,
+       a.expected_tokens AS expected_skewed,
+       a.docs_kept, a.rows_emitted, a.tokens_kept
+FROM uni u JOIN app a ON u.source IS NOT DISTINCT FROM a.source
+ORDER BY u.source
+"""
+
+
 def q_leakage_free_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware k-fold assignment (Lee et al. 2021 §6: near-dups must
     not straddle train/valid): members of a ≥0.5-Jaccard cluster inherit
@@ -1656,8 +1711,9 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "quality_classifier": q_quality_classifier,
     "sequence_packing": q_sequence_packing,
-    "mixture_plan": q_mixture_plan,
-    "mixture_apply": q_mixture_apply,
+    # mixture_plan + mixture_apply serve through the merged
+    # mixture_reports entry (r12 slot merge — both remain hash-verified)
+    "mixture_reports": q_mixture_reports,
     "leakage_free_folds": q_leakage_free_folds,
     "incremental_ingest": q_incremental_ingest,
     "text_profile": q_text_profile,
@@ -1685,11 +1741,11 @@ ORACLE = {
     # text_curation_audit carries the former token_budget_sample +
     # pii_redaction entries (slot merge — both remain hash-verified)
     "text_curation_audit": _sql_text_curation_audit(),
-    "mixture_plan": SQL_MIXTURE_PLAN,
-    # mixture_apply joined the hash-oracled set in r12: the copy-decision
-    # hash is md5-based (DuckDB-replicable) precisely to make this twin
-    # possible — see corpus.apply_mixture
-    "mixture_apply": SQL_MIXTURE_APPLY,
+    # mixture_apply joined the hash-oracled set in r12 (the copy-decision
+    # hash is md5-based — DuckDB-replicable — precisely to make its twin
+    # possible; see corpus.apply_mixture), then merged with mixture_plan
+    # into one carrier whose twin composes both donor twins verbatim
+    "mixture_reports": SQL_MIXTURE_REPORTS,
     "text_profile": SQL_TEXT_PROFILE,
     "span_dedup": SQL_SPAN_DEDUP,
     "vocab_stats_audit": _sql_vocab_stats_audit(),

@@ -15,10 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from market_data_mining_project_spark.sources.tables import register_views
 
-# Three SQL reports in ONE column-aligned statement (slot merge of the
-# former sql_pricing_summary + sql_revenue_rollups entries — every cell of
-# both still hash-checks; measures a scope doesn't use are pinned to typed
-# zeros per the oracle determinism rules):
+# Four SQL reports in ONE column-aligned statement (slot merge of the
+# former sql_pricing_summary + sql_revenue_rollups entries, joined in r12
+# by the former sql_repurchase_exists — every cell of all four still
+# hash-checks; measures a scope doesn't use are pinned to typed zeros per
+# the oracle determinism rules):
 #   'pricing'      — TPC-H Q1-shaped pricing summary (conditional money
 #                    math, multi-aggregate, single wide scan; the classic
 #                    whole-stage-codegen showcase)
@@ -26,6 +27,13 @@ from market_data_mining_project_spark.sources.tables import register_views
 #                    top-k — broadcast-join + TakeOrderedAndProject)
 #   'nation'       — nation rollup through two dims (join reordering +
 #                    COUNT DISTINCT)
+#   'repurchase'   — the J6 banded correlated EXISTS (reference repurchase
+#                    label ml_models.py:262-293): per-order 30-day
+#                    repurchase labels, one row per order (key1=orderkey,
+#                    key2=custkey, label in count_order) — per-row label
+#                    parity is preserved, Catalyst still rewrites the
+#                    correlated subquery to a semi join
+#                    (test_sql_exists_rewrites_to_semi_join)
 SQL_REPORTS = """
 SELECT 'pricing' AS scope,
        l_returnflag AS key1,
@@ -86,20 +94,23 @@ FROM nation
 JOIN customer ON c_nationkey = n_nationkey
 JOIN orders ON o_custkey = c_custkey
 GROUP BY n_name
-"""
-
-# Banded correlated EXISTS (J6; reference repurchase label ml_models.py:262-293)
-# — Catalyst rewrites the correlated subquery into a left semi join natively;
-# the same text runs on DuckDB, per-row label parity.
-SQL_REPURCHASE_EXISTS = """
-SELECT o1.o_orderkey,
-       o1.o_custkey,
-       CASE WHEN EXISTS (
+UNION ALL
+SELECT 'repurchase' AS scope,
+       CAST(o1.o_orderkey AS STRING) AS key1,
+       CAST(o1.o_custkey AS STRING) AS key2,
+       CAST(0 AS BIGINT) AS customers,
+       CAST(0 AS DOUBLE) AS revenue,
+       CAST(0 AS DOUBLE) AS sum_base_price,
+       CAST(0 AS DOUBLE) AS sum_qty,
+       CAST(0 AS DOUBLE) AS avg_qty,
+       CAST(0 AS DOUBLE) AS avg_disc,
+       CAST(CASE WHEN EXISTS (
            SELECT 1 FROM orders o2
            WHERE o2.o_custkey = o1.o_custkey
              AND o2.o_orderdate > o1.o_orderdate
              AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
-       ) THEN 1 ELSE 0 END AS repurchase_30d
+       ) THEN 1 ELSE 0 END AS BIGINT) AS count_order,
+       'ALL' AS detail
 FROM orders o1
 """
 
@@ -115,17 +126,11 @@ def q_sql_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, SQL_REPORTS)
 
 
-def q_sql_repurchase_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run(spark, sf_dir, SQL_REPURCHASE_EXISTS)
-
-
 QUERIES = {
     "sql_reports": q_sql_reports,
-    "sql_repurchase_exists": q_sql_repurchase_exists,
 }
 
 # the oracle is the SAME string Spark executes — by construction
 ORACLE = {
     "sql_reports": SQL_REPORTS,
-    "sql_repurchase_exists": SQL_REPURCHASE_EXISTS,
 }

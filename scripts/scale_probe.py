@@ -47,7 +47,8 @@ PROBE_QUERIES = (
     "bpe_tokenizer",
     # token_budget_sample + pii_redaction merged into this carrier (r9)
     "text_curation_audit",
-    "mixture_plan",
+    # mixture_plan + mixture_apply merged into this carrier (r12)
+    "mixture_reports",
     "sequence_packing",
     "embedding_near_dups",
     "lsh_topk",

@@ -91,9 +91,10 @@ def test_monthly_sales_salts_the_aggregation(spark, sf_dir):
 
 
 def test_sql_exists_rewrites_to_semi_join(spark, sf_dir):
-    """The banded correlated EXISTS through the SQL text API must compile to
+    """The banded correlated EXISTS through the SQL text API (the
+    'repurchase' scope of the merged sql_reports carrier) must compile to
     a semi join, not a per-row subquery."""
-    plan = _plan(spark, sf_dir, "sql_repurchase_exists")
+    plan = _plan(spark, sf_dir, "sql_reports")
     assert "LeftSemi" in plan or "ExistenceJoin" in plan.replace(" ", "")
 
 
