@@ -59,7 +59,9 @@ def main() -> None:
     spark = get_spark(
         "executor-kill-test",
         **{
-            "spark.ui.enabled": "false",
+            # UI ON: the post-kill churn-line assertion below reads the
+            # app status REST API, which rides the UI server
+            "spark.ui.enabled": "true",
             "spark.sql.shuffle.partitions": "8",
             # give the scheduler room to reschedule the killed executor's
             # in-flight tasks (default 4 is enough; explicit for clarity)
@@ -104,6 +106,16 @@ def main() -> None:
     ckpt = os.environ["SPARK_GRAFT_CHECKPOINT_DIR"]
     files = [f for _, _, fs in os.walk(ckpt) for f in fs]
     assert files, "reliable checkpoint dir is empty"
+    # the harness's executor-churn observability line must COUNT the loss:
+    # queried while the app is alive, so the SIGKILLed executor shows as
+    # removed (never confusable with the standalone teardown race)
+    from tests.oracle_harness import executor_churn_line
+
+    churn = executor_churn_line(spark)
+    print(churn)
+    assert churn and "removed=" in churn and "removed=0" not in churn, (
+        f"churn line failed to count the killed executor: {churn!r}"
+    )
     print(f"KILLTEST_OK total={total} ckpt_files={len(files)}")
     spark.stop()
 
