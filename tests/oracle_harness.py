@@ -228,8 +228,26 @@ def run_all(
             finally:
                 con.close()
         except Exception as exc:  # noqa: BLE001
-            results[name] = [f"{name}: EXCEPTION {exc}"]
+            # flatten + cap, but KEEP the root cause: Py4J errors put the
+            # Java stack on later lines, and recording only line one left
+            # the r12 sf5 sweep's one failure ("An error occurred while
+            # calling o…count.") undiagnosable from the sweep log
+            msg = " | ".join(ln.strip() for ln in str(exc).splitlines() if ln.strip())
+            results[name] = [f"{name}: EXCEPTION {msg[:1500]}"]
         finally:
+            # drop caches the entry pinned for its own stages — the same
+            # footprint isolation bench.py applies between entries. A
+            # multi-entry sweep otherwise ACCUMULATES cached relations in
+            # the storage pool until a later entry's broadcast build has
+            # no driver heap left: the r12 sf5 sweep's horizon_predictions
+            # died exactly so ("Not enough memory to build and broadcast")
+            # after 6 state-heavy predecessors in its segment, yet passed
+            # standalone. Disk-backed derived tables and persisted models
+            # are unaffected (path-memoized parquet, not Spark cache).
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001 — cleanup must not mask results
+                pass
             if progress and name in results:
                 # per-entry line AS each completes — a multi-hour scale
                 # sweep is otherwise a black box until the final summary
