@@ -980,7 +980,12 @@ WITH tok AS MATERIALIZED (
   SELECT d.source,
          CAST(len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS BIGINT) AS t,
          CAST(FLOOR(p.sample_rate) AS BIGINT)
-           + CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 8) AS BIGINT)
+           + CASE WHEN CAST('0x' || substr(md5(
+                        -- mirror Spark's concat_ws NULL handling: a NULL id
+                        -- is SKIPPED (hash of '42'), not propagated to NULL
+                        CASE WHEN d.doc_id IS NULL THEN '42'
+                             ELSE CAST(d.doc_id AS VARCHAR) || ':42' END
+                      ), 1, 8) AS BIGINT)
                        / CAST(4294967296.0 AS DOUBLE)
                      < p.sample_rate - FLOOR(p.sample_rate)
                   THEN 1 ELSE 0 END AS n

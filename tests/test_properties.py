@@ -454,6 +454,27 @@ def test_apply_mixture_copy_bounds_any_rates(spark, rates):
         assert sorted(cps) == list(range(len(cps)))
 
 
+def test_apply_mixture_null_id_hashes_seed_only(spark):
+    """A NULL id rides concat_ws, which SKIPS nulls — the hash input is
+    just the seed string ('7'), not NULL. Pinned because the DuckDB twin
+    must mirror this exact convention (a naive `id || ':seed'` there
+    propagates NULL and silently drops the fractional copy)."""
+    import hashlib
+    import math
+
+    from market_data_mining_project_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(None, "s0", 10), (1, "s0", 20)], "doc_id long, source string, t long"
+    )
+    plan = spark.createDataFrame([("s0", 1.5)], "source string, sample_rate double")
+    out = C.apply_mixture(docs, plan, "source", "doc_id", seed=7).collect()
+    null_copies = sum(1 for r in out if r.doc_id is None)
+    frac = int(hashlib.md5(b"7").hexdigest()[:8], 16) / 4294967296.0
+    want = math.floor(1.5) + (1 if frac < 0.5 else 0)
+    assert null_copies == want, (null_copies, want, frac)
+
+
 # --- sessionize bucket-stitch (r6p3) --------------------------------------
 
 session_events = st.lists(
