@@ -140,58 +140,25 @@ def q_cf_recommendations_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVING variant of M13: k-NN CF with the neighborhood capped to
     each query user's top-50 most-similar users (``max_neighbors``) before
     the scoring join. The exact entry above keeps the reference's
-    score-against-everyone semantics (fine at its 2.5K households,
-    collab_filter.py:58-73); at 10⁸ users the uncapped neighborhood join is
-    the bottleneck, and this capped plan — one extra row_number window over
-    the similarity frame, then a join whose left side is ≤ 50 rows/user —
-    is the one a deployment binds.
-
-    HASH-ORACLED (r13; formerly rows-only): the cap cutoff orders by
-    ``(sim DESC, other_user ASC)``, and that ordering IS cross-engine
-    bit-stable — ``dot`` and both squared norms are sums of products of
-    integer counts, exact in double regardless of accumulation order
-    (every partial sum is an integer ≪ 2⁵³), and sqrt / multiply / divide
-    are single correctly-rounded IEEE ops on identical inputs, so every
-    similarity is the same double in Spark and DuckDB and the top-50
-    frontier cannot disagree. Only the post-cap score aggregation sums
-    non-integer doubles, and it is rounded like the exact entry's. The
-    capped-vs-exact contract stays pytest-gated
+    score-against-everyone semantics (fine at its 2.5K households and
+    SQL-oracle-able); at 10⁸ users the uncapped neighborhood join is the
+    bottleneck, and this capped plan — one extra row_number window over the
+    similarity frame, then a join whose left side is ≤ 50 rows/user — is the
+    one a deployment binds. Rows-only: the cap cutoff rides on unrounded
+    float similarity ordering, which is not bit-stable across engines; the
+    capped-vs-exact contract is pytest-gated instead
     (tests/test_rec_cache.py::test_cf_max_neighbors_*)."""
     ui = _ui_matrix(spark, sf_dir)
     query_users = ui.select("user").filter(F.col("user") % 100 == 0).distinct()
     return (
         REC.cosine_cf_scores(
-            None, "o_custkey", "p_brand", query_users, k=5,
-            max_neighbors=_CF_NEIGHBOR_CAP, ui=ui
+            None, "o_custkey", "p_brand", query_users, k=5, max_neighbors=50, ui=ui
         )
         .withColumnRenamed("user", "o_custkey")
     )
 
 
-#: ONE constant for the serving neighborhood cap: the Spark query and the
-#: DuckDB twin below must prune at the SAME depth or the hash check
-#: compares different algorithms.
-_CF_NEIGHBOR_CAP = 50
-
-
-def _sql_cf(neighbor_cap: int | None) -> str:
-    """The user-user cosine CF twin, exact (``None``) or k-NN-capped.
-
-    One generator for both so the exact and capped oracles cannot drift:
-    the capped form differs ONLY by the ``capped`` CTE pruning each query
-    user's neighborhood to its top-``neighbor_cap`` similarities before
-    scoring — the same ``(sim DESC, other_user ASC)`` ordering the Spark
-    plan's row_number window uses (cross-engine deterministic; see
-    q_cf_recommendations_capped)."""
-    capped_cte = "" if neighbor_cap is None else f""", capped AS (
-  SELECT query_user, other_user, sim FROM (
-    SELECT s.*, ROW_NUMBER() OVER (
-      PARTITION BY query_user ORDER BY sim DESC, other_user ASC) AS nr
-    FROM sims s
-  ) WHERE nr <= {neighbor_cap}
-)"""
-    neighborhood = "sims" if neighbor_cap is None else "capped"
-    return f"""
+SQL_CF_RECOMMENDATIONS = f"""
 WITH fact AS ({_SQL_BRAND_FACT}),
 -- ui AS MATERIALIZED: consumed 5x below (norms, qu, both dots sides,
 -- scored, unseen) -- DuckDB inlines CTEs by default, so the 30M-row
@@ -217,9 +184,9 @@ ui AS MATERIALIZED (
   JOIN norms nq ON d.query_user = nq.usr
   JOIN norms no ON d.other_user = no.usr
   WHERE d.dot / (nq.nrm * no.nrm) > 0
-){capped_cte}, scored AS (
+), scored AS (
   SELECT s.query_user AS usr, u.item, SUM(s.sim * u.cnt) AS score
-  FROM {neighborhood} s JOIN ui u ON s.other_user = u.usr
+  FROM sims s JOIN ui u ON s.other_user = u.usr
   GROUP BY 1, 2
 ), unseen AS (
   SELECT sc.* FROM scored sc
@@ -233,10 +200,6 @@ ui AS MATERIALIZED (
 SELECT usr AS o_custkey, item, ROUND(score, 6) AS score, rec_rank
 FROM ranked WHERE rec_rank <= 5
 """
-
-
-SQL_CF_RECOMMENDATIONS = _sql_cf(None)
-SQL_CF_RECOMMENDATIONS_CAPPED = _sql_cf(_CF_NEIGHBOR_CAP)
 
 
 # --- M14: hybrid rules + CF blend ----------------------------------------------
@@ -1949,11 +1912,6 @@ QUERIES = {
 
 ORACLE = {
     "recommendation_reports": SQL_RECOMMENDATION_REPORTS,
-    # cf_recommendations_capped joined the hash-oracled set in r13: the
-    # neighborhood-cap ordering (sim DESC, other_user ASC) is cross-engine
-    # bit-stable because dot and norm² are exact-integer sums (see the
-    # query's docstring) — the last not-yet rows-only entry, settled
-    "cf_recommendations_capped": SQL_CF_RECOMMENDATIONS_CAPPED,
     "churn_features": SQL_CHURN_FEATURES,
     "horizon_features": SQL_HORIZON_FEATURES,
     # stat_pivot_audit carries the former stat_tests + pivot_nation_brand

@@ -430,63 +430,6 @@ FROM numbered GROUP BY user_id, session_seq
 """
 
 
-_FUNNEL_COLS = ("funnel_stage", "t_view", "t_click", "t_purchase", "secs_to_convert")
-_SESSION_COLS = (
-    "session_seq", "session_start", "session_end",
-    "duration_secs", "n_events", "value_cents",
-)
-
-
-def q_session_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged user-behavior carrier (r13 slot merge): the conversion-funnel
-    frame (ex catalog entry ``funnel_analysis``) and the gap-sessionization
-    frame (ex ``session_stats``) stacked in one scope-tagged superset UNION
-    — every cell of both donors still hash-checks, NULL-padded across the
-    other scope's columns (both donors are user-keyed event analytics; all
-    padded columns are integer-typed so the padding is type-exact). The
-    merge funds the r13 ``cf_recommendations_capped`` oracle conversion
-    against the driver's 50-entry correctness window, the same accounting
-    as the r12 ``mixture_reports`` / ``sql_reports`` merges. Both donors
-    keep their own documented plans and their SQL twins compose verbatim
-    into SQL_SESSION_REPORTS. |union| = |users| + |sessions|."""
-    null_l = lambda c: F.lit(None).cast("long").alias(c)  # noqa: E731
-    fl = q_funnel_analysis(spark, sf_dir).select(
-        F.lit("funnel").alias("scope"),
-        "user_id",
-        *_FUNNEL_COLS,
-        *[null_l(c) for c in _SESSION_COLS],
-    )
-    ss = q_session_stats(spark, sf_dir).select(
-        F.lit("session").alias("scope"),
-        "user_id",
-        F.lit(None).cast("int").alias("funnel_stage"),
-        *[null_l(c) for c in _FUNNEL_COLS[1:]],
-        *_SESSION_COLS,
-    )
-    return fl.unionByName(ss)
-
-
-#: The donors' twins compose VERBATIM — the funnel scope is
-#: SQL_FUNNEL_ANALYSIS, the session scope is SQL_SESSION_STATS, stacked
-#: with type-exact NULL padding. No logic is re-derived here, so the
-#: merged oracle can't drift from the donor oracles.
-SQL_SESSION_REPORTS = f"""
-SELECT 'funnel' AS scope, user_id, funnel_stage, t_view, t_click, t_purchase,
-       secs_to_convert,
-       CAST(NULL AS BIGINT) AS session_seq, CAST(NULL AS BIGINT) AS session_start,
-       CAST(NULL AS BIGINT) AS session_end, CAST(NULL AS BIGINT) AS duration_secs,
-       CAST(NULL AS BIGINT) AS n_events, CAST(NULL AS BIGINT) AS value_cents
-FROM ({SQL_FUNNEL_ANALYSIS}) fl
-UNION ALL
-SELECT 'session' AS scope, user_id, CAST(NULL AS INT) AS funnel_stage,
-       CAST(NULL AS BIGINT) AS t_view, CAST(NULL AS BIGINT) AS t_click,
-       CAST(NULL AS BIGINT) AS t_purchase, CAST(NULL AS BIGINT) AS secs_to_convert,
-       session_seq, session_start, session_end, duration_secs, n_events,
-       value_cents
-FROM ({SQL_SESSION_STATS}) ss
-"""
-
-
 def q_daily_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resampling to a regular daily grid with gap-fill: per
     user, a dense day spine from first to last activity (``sequence`` +
@@ -794,10 +737,8 @@ QUERIES = {
     # range_join_errors serves through pipeline_io's merged
     # range_join_audit entry (r10; function + SQL stay here, reused there)
     "rolling_user_features": q_rolling_user_features,
-    # funnel_analysis + session_stats serve through the merged
-    # session_reports carrier (r13 slot merge — both remain hash-verified;
-    # the freed slot funds the cf_recommendations_capped oracle)
-    "session_reports": q_session_reports,
+    "funnel_analysis": q_funnel_analysis,
+    "session_stats": q_session_stats,
     "daily_resample_locf": q_daily_resample_locf,
     "value_anomalies": q_value_anomalies,
     # ewma_trend: r10 — hash-oracled via a DuckDB RECURSIVE CTE that steps
@@ -811,7 +752,8 @@ ORACLE = {
     "asof_enrichment": SQL_ASOF_ENRICHMENT,
     "ohlc_rollup": SQL_OHLC_ROLLUP,
     "rolling_user_features": SQL_ROLLING_USER_FEATURES,
-    "session_reports": SQL_SESSION_REPORTS,
+    "funnel_analysis": SQL_FUNNEL_ANALYSIS,
+    "session_stats": SQL_SESSION_STATS,
     "daily_resample_locf": SQL_DAILY_RESAMPLE_LOCF,
     "value_anomalies": SQL_VALUE_ANOMALIES,
     "ewma_trend": SQL_EWMA_TREND,

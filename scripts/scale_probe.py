@@ -308,10 +308,6 @@ def main() -> None:
     # always was (the 10x fixture leaves the content-key columns unchanged,
     # so 9/10 of the input collapses as duplicates)
     queries.setdefault("running_user_totals", PIO.q_running_user_totals)
-    # session_stats merged into session_reports (r13): probe the underlying
-    # sessionization function alone so the slope isn't diluted by the
-    # funnel leg riding the same carrier
-    queries.setdefault("session_stats", ET.q_session_stats)
 
     rows = {}
     for fam in requested:

@@ -261,10 +261,8 @@ def test_temporal_catalog_entries_ship_bucketed_grain(spark, sf_dir):
         for ln in carry
     ), carry[0]
 
-    # the session leg of the merged session_reports carrier (r13): the
-    # in-bucket running-sum window is (user_id, __bkt). Pin the catalog
-    # entry itself — the session leg's plan rides inside the union.
-    plan = _plan(spark, sf_dir, "session_reports")
+    # session_stats: the in-bucket running-sum window is (user_id, __bkt)
+    plan = _plan(spark, sf_dir, "session_stats")
     lcum = [
         ln for ln in _grain_lines(plan, "windowspecdefinition") if "__lcum" in ln
     ]
