@@ -30,8 +30,22 @@ from pyspark.sql import functions as F
 from ..session import truncate_lineage
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    by: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Round-robin repartition when the scan is under-split.
+
+    ``by``: hash-repartition on those columns instead of round-robin —
+    the right spread when a downstream aggregation groups by (a superset
+    of) them: round-robin scatters one group's rows across every task, so
+    the map-side partial aggregate re-emits the same group once PER TASK
+    (measured on the cf serving entry: the pair-dots shuffle grew 67 → 259
+    MB round-robin — ~4× duplicated partials — while keyed repartition
+    keeps each group's partials in one task and the shuffle at its exact
+    group count). Round-robin also pays a sort-before-repartition pass
+    (SPARK-23207) that keyed repartition skips.
 
     Small single-row-group files arrive as ONE partition, serializing the
     CPU-heavy shingle/hash stages onto one core (AQE can't split a scan).
@@ -64,6 +78,8 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
             return df  # big files: the scan already range-splits to >= target
     except OSError:
         pass  # non-local fs: fall through on the few-file signal alone
+    if by:
+        return df.repartition(target, *[F.col(c) for c in by])
     return df.repartition(target)
 
 
@@ -680,7 +696,11 @@ def incremental_ingest(
     return batch.join(drop, id_col, "left_anti")
 
 
-def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    small_graph_edges: int = 1_000_000,
+) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS: connected components by
     iterative min-label propagation.
 
@@ -694,6 +714,20 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     convergence ~log(diameter) rounds instead of linear, so even long
     chain-shaped components (incrementally edited boilerplate) finish well
     inside the default cap. Returns (doc, cluster).
+
+    Dual execution path (the ``graph.pagerank`` idiom): at or below
+    ``small_graph_edges`` DISTINCT directed edges, the edge list is
+    collected and resolved with a driver-local union-find — per-round JOB
+    SCHEDULING dominates the distributed fixpoint on small graphs
+    (measured at sf0.1: 5 edges cost 2.9 s as ~5 serial Spark jobs per
+    round, <10 ms driver-local), and near-dup edge sets are sparse by
+    construction (every detector thresholds aggressively). Min-label
+    components are algorithm-independent, so the two paths return
+    IDENTICAL rows (pytest-pinned). Set ``small_graph_edges=0`` to force
+    the distributed loop; the ``max_iterations`` diameter cap (and its
+    loud overflow error) is a property of that loop only. An edge with a
+    NULL endpoint routes to the distributed path, which preserves the
+    established inner-join NULL semantics.
     """
     # checkpoint the edge set ONCE — it sits inside every iteration's
     # lineage, and without this the (possibly expensive) pair-detection
@@ -704,6 +738,14 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .distinct()
         .transform(truncate_lineage)
     )
+    # the count is a metadata-cheap job over the checkpoint-materialized
+    # frame; the same bound caps the collect below (~30 MB/M edges)
+    if edges.count() <= small_graph_edges:
+        rows = edges.collect()
+        if not any(r["src"] is None or r["dst"] is None for r in rows):
+            return _dup_clusters_local(
+                pairs.sparkSession, pairs.schema["doc_a"].dataType, rows
+            )
     labels = (
         edges.select(F.col("src").alias("doc"))
         .distinct()
@@ -792,6 +834,45 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                 "max_iterations (propagation needs ~longest-path rounds)"
             )
     return labels
+
+
+def _dup_clusters_local(spark, doc_type, edge_rows) -> DataFrame:
+    """Driver-local union-find over the collected DISTINCT edge list —
+    the same (doc, min-reachable-doc) mapping the distributed loop
+    converges to, computed without per-round Spark jobs. Bounded by the
+    caller's ``small_graph_edges`` gate."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r["src"], r["dst"]
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for v in parent:
+        root = find(v)
+        m = comp_min.get(root)
+        if m is None or v < m:
+            comp_min[root] = v
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("doc", doc_type), StructField("cluster", doc_type)]
+    )
+    return spark.createDataFrame(
+        [(v, comp_min[find(v)]) for v in parent], schema
+    )
 
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2) -> DataFrame:

@@ -129,6 +129,21 @@ def cosine_cf_scores(
     """
     if ui is None:
         ui = user_item_counts(fact, user, item)
+    else:
+        # a prebuilt ui is typically a small materialized parquet (the
+        # shared derived table): a few-row-group scan arrives in ~1-3
+        # partitions, which serializes the |ui|x|Q| inverted-index
+        # expansion below onto as many cores (measured at sf0.1: the
+        # 52M-row dots stage ran 20 s of executor time on 3 tasks — the
+        # whole entry's dominant cost). Keyed on ``user`` so each task
+        # holds complete users and the pair-dots partial aggregate stays
+        # duplication-free (round-robin measured 4× the shuffle bytes).
+        # Only under-split small scans repartition; at scale the scan is
+        # many-file and this is a no-op (the bm25/lsh idiom). Aggregated
+        # frames (no file lineage) pass through unchanged.
+        from market_data_mining_project_spark.operators.dedup import ensure_parallelism
+
+        ui = ensure_parallelism(ui, by=("user",))
     qu = query_users.select(F.col(query_users.columns[0]).alias("user")).distinct()
     sims = user_similarities(ui, qu).filter(F.col("sim") > min_sim)
     if max_neighbors is not None:
@@ -167,11 +182,21 @@ def als_recommendations(
     seed: int = 42,
     ui: DataFrame | None = None,
     max_iter: int = 10,
+    cache_version: str | None = None,
 ) -> DataFrame:
     """Implicit-feedback ALS — the 100 TB replacement for all-pairs cosine
     (SURVEY §7.4.10: the reference's dense pivot is fine for 2.5K households,
     not for 10⁸ users). Requires integer user ids. A prebuilt ``ui`` matrix
     (user, item, cnt) skips the fact aggregation (``fact`` may then be None).
+
+    ``cache_version``: a data-version token (``ml.persistence.data_version``)
+    enabling the load-or-train model cache every other estimator here
+    already rides (churn GBT, horizon MLP, quality LR — the reference's
+    ``has_cached_models`` contract, ml_models.py:101-214): the fit is
+    seeded and its input partitioning deterministic, so a cached factor
+    model serves the IDENTICAL recommendation frame while a warm session
+    skips the ~10-iteration refit that dominated every serve. ``None``
+    keeps the always-refit shape (tests pin the fit path through it).
 
     Returns (user, item, score, rec_rank) like :func:`cosine_cf_scores`.
     """
@@ -220,7 +245,27 @@ def als_recommendations(
         coldStartStrategy="drop",
         maxIter=max_iter,
     )
-    model = als.fit(ui.withColumn("cnt", F.col("cnt").cast("float")))
+    if cache_version is not None:
+        from pyspark.ml import Pipeline
+
+        from market_data_mining_project_spark.ml import persistence as PERSIST
+        from market_data_mining_project_spark.ml.pipelines import TrainedModel
+
+        # one-stage Pipeline wrapper so the ALSModel rides the SAME
+        # PipelineModel save/load surface as every other cached estimator
+        pm, _metrics, _cached = PERSIST.load_or_train(
+            f"als_r{rank}_i{max_iter}_s{seed}",
+            cache_version,
+            lambda: TrainedModel(
+                model=Pipeline(stages=[als]).fit(
+                    ui.withColumn("cnt", F.col("cnt").cast("float"))
+                ),
+                metrics={},
+            ),
+        )
+        model = pm.stages[0]
+    else:
+        model = als.fit(ui.withColumn("cnt", F.col("cnt").cast("float")))
     # the fitted factors replace the ratings matrix — recommendForAllUsers
     # never reads ui, so release it instead of pinning a full user-item
     # matrix in executor storage per serve call. item_ids stays cached: the

@@ -580,18 +580,52 @@ def ewma(
     key_type = summary.schema[key].dataType.simpleString()
     carry_schema = f"`{key}` {key_type}, `__bkt` bigint, `__cin` double"
 
-    def _carry(pdf):
-        pdf = pdf.sort_values("__bkt")
-        s = float(pdf["__first_val"].iloc[0])  # pre-history state = first value
-        cins = []
-        for m, le in zip(pdf["__m"], pdf["__local_end"]):
-            cins.append(s)
-            s = float(le) + (1.0 - alpha) ** int(m) * s
-        pdf = pdf[[key, "__bkt"]].copy()
-        pdf["__cin"] = cins
-        return pdf
+    def _carry_iter(batches):
+        # ONE mapInPandas pass over key-partitioned, (key, __bkt)-sorted
+        # summary rows — the same recursion the former groupBy(key).
+        # applyInPandas ran, minus its per-GROUP Arrow cost: with |keys|
+        # groups of ≤ |buckets| rows each, per-group batching paid one
+        # Arrow slice + pandas construction + Python call PER KEY (~4 ms
+        # × |keys| — measured 3.7 s of a 4.9 s entry at sf0.1, serialized
+        # in one post-AQE task). Partition-level batches amortize that to
+        # one crossing per task; the Python-float arithmetic below is
+        # expression-identical to the old _carry, so carry states are
+        # bit-identical. The one group that can straddle an Arrow batch
+        # boundary chains through ``tail`` (the _local_iter idiom);
+        # NaN-normalized key identity keeps a NULL key's buckets chained.
+        tail: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            import pandas as pd
 
-    carry = summary.groupBy(key).applyInPandas(_carry, schema=carry_schema)
+            keys = [None if pd.isna(k) else k for k in pdf[key]]
+            ms = pdf["__m"].tolist()
+            les = pdf["__local_end"].tolist()
+            firsts = pdf["__first_val"].tolist()
+            cins = []
+            prev = object()  # sentinel != any key value
+            s = 0.0
+            for pos in range(len(keys)):
+                k = keys[pos]
+                if pos == 0 and k in tail:
+                    s = tail.pop(k)
+                elif k != prev or pos == 0:
+                    # pre-history state = the key's first value
+                    s = float(firsts[pos])
+                cins.append(s)
+                s = float(les[pos]) + (1.0 - alpha) ** int(ms[pos]) * s
+                prev = k
+            tail = {keys[-1]: s}
+            out = pdf[[key, "__bkt"]].copy()
+            out["__cin"] = cins
+            yield out
+
+    carry = (
+        summary.repartition(key)
+        .sortWithinPartitions(key, "__bkt")
+        .mapInPandas(_carry_iter, schema=carry_schema)
+    )
     # NULL-SAFE carry join: a NULL key is a legitimate group on the plain
     # path (Spark windows/groupBys treat NULL as a value), so the stitch
     # must not lose it to SQL's NULL != NULL

@@ -1652,8 +1652,13 @@ def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweeps and each extra iteration is two full shuffles of the ratings —
     measured ~3 s of the entry at sf0.1 for no ranking change on the gate."""
     ui = _ui_matrix(spark, sf_dir)
+    # cache_version: load-or-train on the shared data-version key — a warm
+    # session serves the identical factor model without the refit that
+    # dominated every serve (r13; the churn/horizon/quality persistence
+    # contract, reference ml_models.py:101-214)
     return REC.als_recommendations(
-        None, "o_custkey", "p_brand", k=5, rank=8, seed=42, ui=ui, max_iter=6
+        None, "o_custkey", "p_brand", k=5, rank=8, seed=42, ui=ui, max_iter=6,
+        cache_version=PERSIST.data_version_cached(sf_dir),
     )
 
 

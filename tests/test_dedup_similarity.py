@@ -865,8 +865,10 @@ def test_dup_clusters_raises_when_chain_exceeds_iteration_cap(spark):
         [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="still changing"):
-        D.dup_clusters(chain, max_iterations=2)
-    ok = {(r.doc, r.cluster) for r in D.dup_clusters(chain, max_iterations=20).collect()}
+        D.dup_clusters(chain, max_iterations=2, small_graph_edges=0)
+    ok = {(r.doc, r.cluster) for r in D.dup_clusters(
+        chain, max_iterations=20, small_graph_edges=0
+    ).collect()}
     assert ok == {(i, 0) for i in range(9)}
 
 
@@ -897,8 +899,25 @@ def test_dup_clusters_pointer_doubling_converges_on_long_chains(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
     )
-    got = {(r.doc, r.cluster) for r in D.dup_clusters(chain, max_iterations=10).collect()}
+    got = {(r.doc, r.cluster) for r in D.dup_clusters(
+        chain, max_iterations=10, small_graph_edges=0
+    ).collect()}
     assert got == {(i, 0) for i in range(201)}
+
+
+def test_dup_clusters_local_path_matches_distributed(spark):
+    """The driver-local union-find (small-edge gate) must return exactly
+    the distributed min-label propagation's rows — chains, a triangle
+    merging into one component, an isolated pair, and a self-loop."""
+    edges = [(5, 6), (6, 7), (2, 9), (9, 3), (3, 2), (40, 41), (50, 50), (8, 1)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    local = {(r.doc, r.cluster) for r in D.dup_clusters(pairs).collect()}
+    dist = {(r.doc, r.cluster) for r in D.dup_clusters(
+        pairs, small_graph_edges=0
+    ).collect()}
+    assert local == dist
+    assert local == {(5, 5), (6, 5), (7, 5), (2, 2), (9, 2), (3, 2),
+                     (40, 40), (41, 40), (50, 50), (8, 1), (1, 1)}
 
 
 def test_first_fit_tree_matches_linear_scan():

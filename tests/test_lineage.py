@@ -49,7 +49,12 @@ def test_reliable_path_is_consumed_by_iterative_operators(spark, monkeypatch, tm
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], ["doc_a", "doc_b"]
     )
-    got = {r.doc: r.cluster for r in dup_clusters(pairs).collect()}
+    # force the distributed loop: THIS test pins the reliable-checkpoint
+    # consumption of the iterative path, which the small-edge local gate
+    # would otherwise route around
+    got = {r.doc: r.cluster for r in dup_clusters(
+        pairs, small_graph_edges=0
+    ).collect()}
     assert set(got.values()) == {0}, "chain must collapse to one cluster"
     assert any(True for _ in os.walk(ckpt)), "checkpoint dir unused"
 
