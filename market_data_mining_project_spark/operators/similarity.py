@@ -19,6 +19,9 @@ float once) for deterministic, engine-portable results.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -29,19 +32,45 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product — deterministic order, JVM codegen."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential-fold dot product — deterministic order.
+
+    With ``dim`` (a known fixed vector width) the fold is unrolled into a
+    whole-stage-codegen multiply-add chain — higher-order functions are
+    evaluated interpreted, one lambda frame per element, which dominates
+    pair-verification stages (measured ~3× on the 20k-pair cosine_topk
+    shape). Bit-identical to the fold for every input: the adds run in the
+    same left-to-right order, and the trailing ``+ 0.0`` reproduces the
+    fold's ``0.0`` seed on the one input class where it matters (an
+    all-negative-zero sum). ``F.get`` (NULL out of range, no ANSI abort)
+    mirrors ``zip_with``'s NULL padding when an array is shorter than
+    ``dim``; callers must pass the exact width — extra elements past
+    ``dim`` would be silently ignored, where the fold includes them.
+    Each product is cast to double AFTER the multiply: the fold multiplies
+    at the arrays' native element type (float×float stays a float product)
+    and only the accumulator add promotes to double, so the unrolled chain
+    must do the same — a bare float term chain would accumulate in single
+    precision, and a pre-multiply cast would compute double products the
+    fold never saw. The cast is a Catalyst no-op for double arrays.
+    """
+    if dim is not None:
+        terms = ((F.get(a, i) * F.get(b, i)).cast("double") for i in range(dim))
+        return functools.reduce(operator.add, terms) + F.lit(0.0)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column, dim: int | None = None) -> Column:
+    """L2 norm; ``dim`` unrolls the fold exactly like :func:`dot`."""
+    if dim is not None:
+        terms = ((F.get(a, i) * F.get(a, i)).cast("double") for i in range(dim))
+        return F.sqrt(functools.reduce(operator.add, terms) + F.lit(0.0))
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def cosine_topk(
@@ -50,6 +79,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k for each query vector.
 
@@ -73,7 +103,7 @@ def cosine_topk(
             F.col(id_col).alias("query_id"),
             _as_double(F.col(vec_col)).alias("qv"),
         )
-        .withColumn("__qn", norm(F.col("qv")))
+        .withColumn("__qn", norm(F.col("qv"), dim))
         .filter(F.col("__qn") > 0)
     )
     c = (
@@ -81,7 +111,7 @@ def cosine_topk(
             F.col(id_col).alias("neighbor_id"),
             _as_double(F.col(vec_col)).alias("cv"),
         )
-        .withColumn("__cn", norm(F.col("cv")))
+        .withColumn("__cn", norm(F.col("cv"), dim))
         .filter(F.col("__cn") > 0)
     )
     scored = (
@@ -91,7 +121,7 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")),
+                dot(F.col("qv"), F.col("cv"), dim) / (F.col("__qn") * F.col("__cn")),
                 6,
             ).alias("cos"),
         )
@@ -123,6 +153,7 @@ def cosine_near_dups(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, all-pairs).
 
@@ -144,7 +175,7 @@ def cosine_near_dups(
     # the pair loop folds both arrays 3× per pair instead of 1×
     base = (
         corpus.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
-        .withColumn("n", norm(F.col("v")))
+        .withColumn("n", norm(F.col("v"), dim))
         .filter(F.col("n") > 0)
     )
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
@@ -155,7 +186,7 @@ def cosine_near_dups(
         .select(
             "id_a",
             "id_b",
-            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos"),
+            F.round(dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -505,6 +536,7 @@ def cluster_profile(
     k: int = 10,
     seed: int = 42,
     cache_version: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Corpus organization by embedding clustering: seeded KMeans over the
     embedding column, profiled per cluster — size, cohesion (mean cosine of
@@ -540,7 +572,7 @@ def cluster_profile(
         )
     )
     members = assigned.join(cent_df, "cell").withColumn(
-        "__cos", cosine(F.col(vec_col), F.col("centroid"))
+        "__cos", cosine(F.col(vec_col), F.col("centroid"), dim)
     )
     if label_col is None:
         return members.groupBy(F.col("cell").alias("cluster")).agg(
@@ -634,6 +666,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     cache_version: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest cells per query,
     exact cosine within. Scans ~nprobe/n_cells of the corpus per query —
@@ -653,7 +686,7 @@ def ivf_topk(
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
         )
-        .withColumn("__qn", norm(F.col("qv")))  # once per query, pre-explode
+        .withColumn("__qn", norm(F.col("qv"), dim))  # once per query, pre-explode
         .filter(F.col("__qn") > 0)  # zero-norm drop (cosine_topk contract)
     )
     # rank cells per query by SQUARED EUCLIDEAN distance to the centroid —
@@ -688,7 +721,7 @@ def ivf_topk(
         assigned.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
         )
-        .withColumn("__cn", norm(F.col("cv")))
+        .withColumn("__cn", norm(F.col("cv"), dim))
         .filter(F.col("__cn") > 0),  # zero-norm drop (cosine_topk contract)
         "cell",
     ).filter(F.col("neighbor_id") != F.col("query_id"))
@@ -696,7 +729,7 @@ def ivf_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")), 6
+            dot(F.col("qv"), F.col("cv"), dim) / (F.col("__qn") * F.col("__cn")), 6
         ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -756,20 +789,25 @@ def lsh_topk(
     # annotations` stringifies inline hints, which pandas_udf can't resolve
     # against a function-local pandas import
     _bucket_ids.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
-    bucket_ids = pandas_udf(_bucket_ids, "array<long>")
+    # asNondeterministic: the optimizer otherwise duplicates the Arrow
+    # crossing — one ArrowEvalPython below the pushed-down null/generate
+    # filter and a second in the projection — so every vector paid the
+    # matmul twice (guide §4.4 pattern; plan-verified). The function is
+    # pure, the flag only pins a single evaluation.
+    bucket_ids = pandas_udf(_bucket_ids, "array<long>").asNondeterministic()
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
     # norms BEFORE the posexplode: once per vector, not once per table;
     # zero-norm rows dropped (cosine_topk contract — ANSI 0/0 would abort)
     cb = c.withColumn("c_bs", bucket_ids("cv")).withColumn(
-        "__cn", norm(F.col("cv"))
+        "__cn", norm(F.col("cv"), dim)
     ).filter(F.col("__cn") > 0).select(
         "neighbor_id", "cv", "__cn", "c_bs",
         F.posexplode("c_bs").alias("tbl", "bucket"),
     )
     qb = q.withColumn("q_bs", bucket_ids("qv")).withColumn(
-        "__qn", norm(F.col("qv"))
+        "__qn", norm(F.col("qv"), dim)
     ).filter(F.col("__qn") > 0).select(
         "query_id", "qv", "__qn", "q_bs",
         F.posexplode("q_bs").alias("tbl", "bucket"),
@@ -785,7 +823,7 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")),
+                dot(F.col("qv"), F.col("cv"), dim) / (F.col("__qn") * F.col("__cn")),
                 6,
             ).alias("cos"),
         )

@@ -224,7 +224,9 @@ WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 6) >= 0.5
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return SIM.cosine_topk(emb, queries, "embedding", "vec_id", k=5)
+    # dim=64: the fixture embedding width — unrolls the per-pair dot/norm
+    # folds into codegen (bit-identical; oracle hash re-verified)
+    return SIM.cosine_topk(emb, queries, "embedding", "vec_id", k=5, dim=64)
 
 
 SQL_COSINE_TOPK = """
@@ -633,7 +635,7 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.cluster_profile(
         emb, "embedding", "vec_id", label_col="label", k=10, seed=42,
-        cache_version=PERSIST.data_version(sf_dir, ("embeddings",)),
+        cache_version=PERSIST.data_version(sf_dir, ("embeddings",)), dim=64,
     ).orderBy("cluster")
 
 
@@ -1429,7 +1431,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k-by-dim centroid table IS the quantizer's trained state)
     return SIM.ivf_topk(
         emb, queries, "embedding", "vec_id", k=5, n_cells=16, nprobe=4,
-        cache_version=PERSIST.data_version(sf_dir, ("embeddings",)),
+        cache_version=PERSIST.data_version(sf_dir, ("embeddings",)), dim=64,
     )
 
 
@@ -1443,9 +1445,14 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_data_mining_project_spark.operators.dedup import ensure_parallelism
 
     # driver test parquet is one row group → one partition; the Arrow-batched
-    # bucket matmul + HOF verification need the cores
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") < 10)
+    # bucket matmul + verification need the cores — but only on the CORPUS
+    # side. The 10-row query side is broadcast inside lsh_topk; inheriting
+    # the 32-way spread made its bucket UDF spawn a Python worker per core
+    # for 10 rows (measured: a 32-task, zero-shuffle 12.7 s-exec stage that
+    # was pure worker startup).
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(raw)
+    queries = raw.filter(F.col("vec_id") < 10)
     return SIM.lsh_topk(
         emb, queries, "embedding", "vec_id", k=5, dim=64, bits=4, tables=16, seed=42
     )
