@@ -19,9 +19,6 @@ float once) for deterministic, engine-portable results.
 
 from __future__ import annotations
 
-import functools
-import operator
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -32,45 +29,31 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Sequential-fold dot product — deterministic order.
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — deterministic order, JVM codegen.
 
-    With ``dim`` (a known fixed vector width) the fold is unrolled into a
-    whole-stage-codegen multiply-add chain — higher-order functions are
-    evaluated interpreted, one lambda frame per element, which dominates
-    pair-verification stages (measured ~3× on the 20k-pair cosine_topk
-    shape). Bit-identical to the fold for every input: the adds run in the
-    same left-to-right order, and the trailing ``+ 0.0`` reproduces the
-    fold's ``0.0`` seed on the one input class where it matters (an
-    all-negative-zero sum). ``F.get`` (NULL out of range, no ANSI abort)
-    mirrors ``zip_with``'s NULL padding when an array is shorter than
-    ``dim``; callers must pass the exact width — extra elements past
-    ``dim`` would be silently ignored, where the fold includes them.
-    Each product is cast to double AFTER the multiply: the fold multiplies
-    at the arrays' native element type (float×float stays a float product)
-    and only the accumulator add promotes to double, so the unrolled chain
-    must do the same — a bare float term chain would accumulate in single
-    precision, and a pre-multiply cast would compute double products the
-    fold never saw. The cast is a Catalyst no-op for double arrays.
+    A fixed-width UNROLLED variant (64 chained ``F.get`` multiply-adds via
+    ``reduce(operator.add)``) was tried in r13 and REVERTED on measurement:
+    the 64-deep left-leaning expression tree cost ~1.5–2.5 s of
+    driver-side analysis/codegen per novel plan (single-shot entry wall
+     5.9 → 3.7 s with the fold) and did not even win executor time on the
+    real entries (ivf_topk verification stage 8.6 s unrolled vs 7.2 s
+    fold — a 64-term codegen'd add chain defeats JIT inlining). The fold
+    keeps plans small; at widths where per-element cost truly dominates,
+    the Arrow/numpy batch paths in this module are the scale shape.
     """
-    if dim is not None:
-        terms = ((F.get(a, i) * F.get(b, i)).cast("double") for i in range(dim))
-        return functools.reduce(operator.add, terms) + F.lit(0.0)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
-    """L2 norm; ``dim`` unrolls the fold exactly like :func:`dot`."""
-    if dim is not None:
-        terms = ((F.get(a, i) * F.get(a, i)).cast("double") for i in range(dim))
-        return F.sqrt(functools.reduce(operator.add, terms) + F.lit(0.0))
+def norm(a: Column) -> Column:
+    """L2 norm — same sequential fold contract as :func:`dot`."""
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
 
 
 def cosine_topk(
@@ -79,7 +62,6 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k for each query vector.
 
@@ -103,7 +85,7 @@ def cosine_topk(
             F.col(id_col).alias("query_id"),
             _as_double(F.col(vec_col)).alias("qv"),
         )
-        .withColumn("__qn", norm(F.col("qv"), dim))
+        .withColumn("__qn", norm(F.col("qv")))
         .filter(F.col("__qn") > 0)
     )
     c = (
@@ -111,7 +93,7 @@ def cosine_topk(
             F.col(id_col).alias("neighbor_id"),
             _as_double(F.col(vec_col)).alias("cv"),
         )
-        .withColumn("__cn", norm(F.col("cv"), dim))
+        .withColumn("__cn", norm(F.col("cv")))
         .filter(F.col("__cn") > 0)
     )
     scored = (
@@ -121,7 +103,7 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("qv"), F.col("cv"), dim) / (F.col("__qn") * F.col("__cn")),
+                dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")),
                 6,
             ).alias("cos"),
         )
@@ -153,7 +135,6 @@ def cosine_near_dups(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
-    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, all-pairs).
 
@@ -175,7 +156,7 @@ def cosine_near_dups(
     # the pair loop folds both arrays 3× per pair instead of 1×
     base = (
         corpus.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
-        .withColumn("n", norm(F.col("v"), dim))
+        .withColumn("n", norm(F.col("v")))
         .filter(F.col("n") > 0)
     )
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
@@ -186,7 +167,7 @@ def cosine_near_dups(
         .select(
             "id_a",
             "id_b",
-            F.round(dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6).alias("cos"),
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -536,7 +517,6 @@ def cluster_profile(
     k: int = 10,
     seed: int = 42,
     cache_version: str | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """Corpus organization by embedding clustering: seeded KMeans over the
     embedding column, profiled per cluster — size, cohesion (mean cosine of
@@ -572,7 +552,7 @@ def cluster_profile(
         )
     )
     members = assigned.join(cent_df, "cell").withColumn(
-        "__cos", cosine(F.col(vec_col), F.col("centroid"), dim)
+        "__cos", cosine(F.col(vec_col), F.col("centroid"))
     )
     if label_col is None:
         return members.groupBy(F.col("cell").alias("cluster")).agg(
@@ -666,7 +646,6 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     cache_version: str | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest cells per query,
     exact cosine within. Scans ~nprobe/n_cells of the corpus per query —
@@ -686,7 +665,7 @@ def ivf_topk(
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
         )
-        .withColumn("__qn", norm(F.col("qv"), dim))  # once per query, pre-explode
+        .withColumn("__qn", norm(F.col("qv")))  # once per query, pre-explode
         .filter(F.col("__qn") > 0)  # zero-norm drop (cosine_topk contract)
     )
     # rank cells per query by SQUARED EUCLIDEAN distance to the centroid —
@@ -721,7 +700,7 @@ def ivf_topk(
         assigned.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
         )
-        .withColumn("__cn", norm(F.col("cv"), dim))
+        .withColumn("__cn", norm(F.col("cv")))
         .filter(F.col("__cn") > 0),  # zero-norm drop (cosine_topk contract)
         "cell",
     ).filter(F.col("neighbor_id") != F.col("query_id"))
@@ -729,7 +708,7 @@ def ivf_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            dot(F.col("qv"), F.col("cv"), dim) / (F.col("__qn") * F.col("__cn")), 6
+            dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")), 6
         ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -801,13 +780,13 @@ def lsh_topk(
     # norms BEFORE the posexplode: once per vector, not once per table;
     # zero-norm rows dropped (cosine_topk contract — ANSI 0/0 would abort)
     cb = c.withColumn("c_bs", bucket_ids("cv")).withColumn(
-        "__cn", norm(F.col("cv"), dim)
+        "__cn", norm(F.col("cv"))
     ).filter(F.col("__cn") > 0).select(
         "neighbor_id", "cv", "__cn", "c_bs",
         F.posexplode("c_bs").alias("tbl", "bucket"),
     )
     qb = q.withColumn("q_bs", bucket_ids("qv")).withColumn(
-        "__qn", norm(F.col("qv"), dim)
+        "__qn", norm(F.col("qv"))
     ).filter(F.col("__qn") > 0).select(
         "query_id", "qv", "__qn", "q_bs",
         F.posexplode("q_bs").alias("tbl", "bucket"),
@@ -823,7 +802,7 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("qv"), F.col("cv"), dim) / (F.col("__qn") * F.col("__cn")),
+                dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")),
                 6,
             ).alias("cos"),
         )

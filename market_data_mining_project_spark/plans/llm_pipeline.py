@@ -224,9 +224,7 @@ WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 6) >= 0.5
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    # dim=64: the fixture embedding width — unrolls the per-pair dot/norm
-    # folds into codegen (bit-identical; oracle hash re-verified)
-    return SIM.cosine_topk(emb, queries, "embedding", "vec_id", k=5, dim=64)
+    return SIM.cosine_topk(emb, queries, "embedding", "vec_id", k=5)
 
 
 SQL_COSINE_TOPK = """
@@ -635,7 +633,7 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.cluster_profile(
         emb, "embedding", "vec_id", label_col="label", k=10, seed=42,
-        cache_version=PERSIST.data_version(sf_dir, ("embeddings",)), dim=64,
+        cache_version=PERSIST.data_version(sf_dir, ("embeddings",)),
     ).orderBy("cluster")
 
 
@@ -1431,7 +1429,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k-by-dim centroid table IS the quantizer's trained state)
     return SIM.ivf_topk(
         emb, queries, "embedding", "vec_id", k=5, n_cells=16, nprobe=4,
-        cache_version=PERSIST.data_version(sf_dir, ("embeddings",)), dim=64,
+        cache_version=PERSIST.data_version(sf_dir, ("embeddings",)),
     )
 
 
