@@ -121,7 +121,7 @@ LEFT JOIN nll USING (doc_id)
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = D.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     kept = D.exact_dedup(docs, "text", "doc_id")
     return kept.agg(
         F.count(F.lit(1)).alias("kept_docs"),
@@ -150,7 +150,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter that catches boilerplate/templated docs document-level near-dup
     misses. Complements ``ngram_jaccard`` (pairwise similarity) with a
     corpus-frequency signal that needs no pair enumeration at all."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = D.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     cov = D.dup_span_coverage(docs, "text", "doc_id", n=5, min_docs=2)
     return cov.select(
         "doc_id",
@@ -189,7 +189,7 @@ GROUP BY pg.doc_id
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = D.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
 
 
@@ -321,7 +321,7 @@ WHERE ROUND(list_dot_product(a.v, b.v)
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token accounting: whitespace tokens vs BPE-ish
     pre-tokenizer counts (the training-data budget numbers)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = D.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     counted = docs.select(
         "lang",
         TXT.token_count(F.col("text")).alias("ws_tokens"),
@@ -786,7 +786,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from market_data_mining_project_spark.operators.relational import stratified_sample
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = D.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     # only the classifier's inputs — not the full text_profile — get
     # computed and cached: the tokens array, the numeric signals, and the
@@ -1122,7 +1122,7 @@ def _jaccard_pairs_mat(spark: SparkSession, sf_dir: str):
     from market_data_mining_project_spark.sources import materialize as MAT
 
     def build():
-        docs = load_table(spark, sf_dir, "documents")
+        docs = D.ensure_parallelism(load_table(spark, sf_dir, "documents"))
         return D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
 
     return MAT.derived_table(
@@ -1269,7 +1269,7 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-expresses every stage (incl. the recursive-CTE closure) as one DuckDB
     statement; the keep-one-per-cluster contract is additionally pytest-gated
     (tests/test_dedup_similarity.py)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = D.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     prof = TXT.text_profile(TXT.detect_language(docs, "text"), "text")
     kept = prof.filter(F.col("quality") >= 0.3)
     kept = D.exact_dedup(kept, "text", "doc_id").cache()
@@ -1525,7 +1525,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     on IMMEDIATELY adjacent phone matches, absent by construction). The
     regex semantics are additionally pytest-pinned on hand-built strings
     (tests/test_dedup_similarity.py)."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = D.ensure_parallelism(load_table(spark, sf_dir, "documents")).withColumn(
         "text",
         F.when(
             F.col("doc_id") % 50 == 0, F.concat(F.col("text"), F.lit(_PII_PLANT))
@@ -1606,7 +1606,7 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc-identical to the bucketed plan whenever scores are deterministic
     — that equivalence plus an exact driver recount stay pytest-gated,
     tests/test_dedup_similarity.py::test_token_budget_*)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = D.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     prof = TXT.text_profile(TXT.detect_language(docs, "text"), "text").withColumn(
         "bpe_tokens", TXT.bpe_ish_token_count(F.col("text"))
     )
