@@ -1258,11 +1258,23 @@ def q_horizon_predictions(
     # training frame from the shared materialized copy (written here on first
     # call from the already-cached parts, reused by model_grid_metrics — the
     # two ML consumers otherwise each recompute the labels range-join + joins)
-    feats = _horizon_features_mat(
+    feats_mat = _horizon_features_mat(
         spark,
         sf_dir,
         feats=_build_horizon_features(labels, cust_stats, brand_stats, dept_freq),
     )
+    # The serving join only needs brand_stats' two columns, and every feats
+    # row carries them verbatim (feats = labels ⋈ … ⋈ broadcast(brand_stats),
+    # all inner, and every labels row survives those joins — cust_stats and
+    # dept_freq cover every fact (customer, brand)), so the materialized
+    # frame's distinct projection IS brand_stats, brand set and values both.
+    # Serving through it drops the labels ±window range join — the scoring
+    # action's single most expensive subtree — from every serve (guide §2.4:
+    # the decision values already exist; don't recompute their pipeline).
+    feats = feats_mat
+    brand_stats = feats_mat.select(
+        "p_brand", "brand_repurchase_rate", "brand_popularity"
+    ).distinct()
     # Bounded training set, like the reference's sample_size=100000 with
     # per-month-bucket stratification (ml_models.py:246-320): cap rows per
     # (day // 30) time bucket with a deterministic hash order, so training
