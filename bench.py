@@ -37,9 +37,22 @@ direction of the driver's bounded tail keeps all three profile totals:
    "value_warm_fresh": ..., "queries_warm_fresh": {...},
    "totals": {"cold": ..., "warm": ..., "warm_fresh": ...}}``
 
-``telemetry`` (cold pass only) sums shuffle spill and takes max
-peak-execution-memory over each entry's completed stages via the status
-REST API — the fits-at-the-next-SF signal a timing alone can't give.
+``telemetry`` (cold pass only) sums shuffle spill, executor task time and
+shuffle write, and takes max peak-execution-memory over each entry's
+completed stages via the status REST API — the fits-at-the-next-SF signal
+a timing alone can't give (task_time_ms / wall additionally says how
+data-parallel an entry is, the core-scaling signal).
+
+The telemetry map is emitted as its OWN labelled line on **stderr** (and
+included in the stdout JSON line only when ``SPARK_GRAFT_BENCH_TELEMETRY=1``):
+the driver records a bounded tail of the stdout line, and at 72 entries the
+per-entry telemetry alone pushed the three per-query maps out of that
+window (r13: the round-over-round comparison silently failed because the
+stored tail of the r12 line starts mid-JSON). Every timing key — ``queries``
+/ ``queries_warm`` / ``queries_warm_fresh``, the scalars, and the
+``totals`` trailer — is unchanged; the timing methodology is untouched.
+The stdout line is also serialized compactly (no separator spaces) for the
+same reason.
 
 ``SPARK_GRAFT_BENCH_REPEATS=N`` (default 1) re-times each WARM-pass query
 N times and reports the per-query MINIMUM — the standard ambient-load
@@ -133,6 +146,10 @@ class _StageTelemetry:
             "peak_exec_mem": max((s.get("peakExecutionMemory", 0) for s in new), default=0),
             "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in new),
             "stages": len(new),
+            # summed executor task time: task_time / (wall × cores) is the
+            # core-utilization signal a wall clock alone can't give — a
+            # data-parallel entry approaches 1.0, a fixed-overhead entry ~0
+            "task_time_ms": sum(s.get("executorRunTime", 0) for s in new),
         }
 
 
@@ -287,7 +304,17 @@ def main() -> None:
         "queries_warm": warm,
     }
     if telemetry:
-        out["telemetry"] = telemetry
+        # stderr by default: the driver's bounded tail of the stdout line
+        # must fit the three per-query timing maps + totals; the per-entry
+        # telemetry (~8 KB) is diagnostic and rides its own labelled line.
+        # SPARK_GRAFT_BENCH_TELEMETRY=1 restores the r13 inline shape.
+        if os.environ.get("SPARK_GRAFT_BENCH_TELEMETRY") == "1":
+            out["telemetry"] = telemetry
+        else:
+            print(
+                "bench telemetry: " + json.dumps(telemetry, separators=(",", ":")),
+                file=sys.stderr,
+            )
     if os.environ.get("SPARK_GRAFT_BENCH_FRESH", "1") != "0":
         # measured AFTER the in-process passes so the child sees exactly
         # the artifacts they published; its own JVM spin-up is excluded by
@@ -306,7 +333,7 @@ def main() -> None:
         "warm_fresh": out.get("value_warm_fresh"),
         "cache_state": out["cache_state"],
     }
-    print(json.dumps(out))
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -78,8 +78,19 @@ def binary_metrics(predictions: DataFrame, label: str = "label") -> dict[str, fl
     count matrix — running MulticlassClassificationEvaluator once per metric
     re-scans the predictions four times (80 Spark jobs across the 16-cell M9
     grid). One groupBy + driver-side arithmetic (the matrix is #classes²
-    cells) is job-for-job identical in result and 4× fewer passes."""
-    predictions = predictions.cache()
+    cells) is job-for-job identical in result and 4× fewer passes.
+
+    localCheckpoint, not cache (r14): fits now run concurrently with other
+    catalog entries (ml.fit_pool), and a sweeping session legitimately calls
+    ``spark.catalog.clearCache()`` between entries — which would drop an
+    in-flight fit's cached predictions mid-evaluation and silently turn the
+    two metric passes into full rescoring. Checkpointed blocks are
+    clearCache-immune; rows identical; blocks are freed by the
+    ContextCleaner once the frame is unreachable (both-pass frames here are
+    bounded-sample-sized). EAGER: a lazy checkpoint measured as if absent —
+    later queries re-plan from the original lineage instead of the marked
+    RDD (the r14 dup_clusters experiment hit the same 2× re-execution)."""
+    predictions = predictions.localCheckpoint()
     out: dict[str, float] = {}
     try:
         out["auc"] = BinaryClassificationEvaluator(
@@ -93,7 +104,6 @@ def binary_metrics(predictions: DataFrame, label: str = "label") -> dict[str, fl
             F.col(label).alias("l"), F.col("prediction").alias("p")
         ).agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    predictions.unpersist()
     total = sum(cells.values())
     labels = {l for l, _ in cells} | {p for _, p in cells}
     correct = sum(n for (l, p), n in cells.items() if l == p)
@@ -195,9 +205,16 @@ def train_multi_horizon_grid(
 
     train, test = labeled.randomSplit([train_fraction, 1 - train_fraction], seed=SEED)
     prep = Pipeline(stages=_assembler(feature_cols)).fit(train)
-    train_t = prep.transform(train).cache()
-    test_t = prep.transform(test).cache()
-    train_t.count()  # materialize once before the concurrent fits share it
+    # localCheckpoint (eager), not cache (r14): the grid itself may run as a
+    # background fit-pool job while the sweeping session clearCache()s
+    # between entries — a dropped cache mid-grid would re-run the scaled
+    # feature plan per fit per iteration. Checkpointed blocks are
+    # clearCache-immune and materialize here (no separate count needed);
+    # partition contents are identical to the cached form, so every fit
+    # sees the same rows. The ContextCleaner frees the bounded-sample-sized
+    # blocks once the frames go unreachable.
+    train_t = prep.transform(train).localCheckpoint()
+    test_t = prep.transform(test).localCheckpoint()
 
     def fit_cell(cell: tuple[str, str]) -> dict[str, float]:
         label_col, kind = cell
@@ -207,12 +224,8 @@ def train_multi_horizon_grid(
         return binary_metrics(clf.fit(tr).transform(te))
 
     cells = [(label_col, kind) for label_col in label_cols for kind in kinds]
-    try:
-        with ThreadPoolExecutor(max_workers=parallelism) as pool:
-            metrics = list(pool.map(fit_cell, cells))
-    finally:
-        train_t.unpersist()
-        test_t.unpersist()
+    with ThreadPoolExecutor(max_workers=parallelism) as pool:
+        metrics = list(pool.map(fit_cell, cells))
     return dict(zip(cells, metrics))
 
 

@@ -128,6 +128,97 @@ def ntile_scores_histogram(rfm: DataFrame, customer: str, quantiles: int = 5) ->
     ).drop("__r_tile")
 
 
+def ntile_scores_histogram_multi(
+    rfm: DataFrame, customer: str, quantiles: int = 5
+) -> DataFrame:
+    """All three R/F/M quintile scores in ONE unpivoted histogram pass —
+    bit-identical scores to :func:`ntile_scores_histogram` (same
+    rank = base + within-value row_number decomposition, same SQL NTILE
+    bucket arithmetic, same ``customer ASC`` tiebreak), with the three
+    per-metric passes folded together (guide §2.4 — share exchanges):
+
+    - the metrics ``stack`` to (metric, value) rows, so ONE hash aggregate
+      builds all three counting histograms and ONE window partitioned by
+      (metric, value) assigns all three within-value tiebreak ranks, where
+      the chained form paid a histogram aggregate + walk window + join-back
+      + within-value window PER metric;
+    - scores pivot back over one groupBy(customer) and re-attach with a
+      null-safe equi-join (sf0.1 plan: 13 shuffle exchanges → 7, stages
+      28 → 17 for rfm_segments).
+
+    Preconditions, stated honestly: ``customer`` is unique per row (the
+    :func:`rfm_base` output contract — scores re-attach by join instead of
+    in-place windows) and the metrics are long/double with |value| < 2^53
+    (days, basket counts, money: always), so the unifying CAST to DOUBLE
+    is order- and equality-preserving and every histogram group/rank is
+    identical to the per-metric native-type walk."""
+    cols = ("recency", "frequency", "monetary")
+    stack_expr = (
+        f"stack({len(cols)}, "
+        + ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in cols)
+        + ") AS (__m, __v)"
+    )
+    stacked = rfm.select(F.col(customer).alias("__cust"), F.expr(stack_expr))
+    hist = stacked.groupBy("__m", "__v").agg(F.count(F.lit(1)).alias("__cnt"))
+    # windows over the HISTOGRAM only (≤ Σ|distinct metric values| narrow
+    # rows, never the data frame) — the ntile_score_histogram bound
+    w_cum = (
+        Window.partitionBy("__m")
+        .orderBy(F.col("__v").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("__m").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    walk = hist.select(
+        F.col("__m").alias("__wm"),
+        F.col("__v").alias("__wv"),
+        (F.sum("__cnt").over(w_cum) - F.col("__cnt")).alias("__base"),
+        F.sum("__cnt").over(w_all).alias("__n"),
+    )
+    w_in = Window.partitionBy("__m", "__v").orderBy(F.col("__cust").asc())
+    # inner join is complete by construction (walk is an aggregate of the
+    # SAME stacked frame — no hist_from contract to guard); eqNullSafe so a
+    # NULL metric value reaches its walk row like the chained form
+    ranked = stacked.withColumn("__rn", F.row_number().over(w_in)).join(
+        walk,
+        (F.col("__m") == F.col("__wm")) & F.col("__v").eqNullSafe(F.col("__wv")),
+    )
+    r = F.col("__base") + F.col("__rn").cast("long")
+    total = F.col("__n").cast("long")
+    q = F.lit(int(quantiles)).cast("long")
+
+    def idiv(x: Column, y: Column) -> Column:
+        # exact long floor-division (ntile_score_histogram's idiv, verbatim)
+        return ((x - x % y) / y).cast("long")
+
+    b = idiv(total, q)
+    rem = total % q
+    threshold = rem * (b + 1)
+    tile = (
+        F.when(r <= threshold, idiv(r - 1, b + 1) + 1)
+        .otherwise(rem + idiv(r - threshold - 1, F.greatest(b, F.lit(1))) + 1)
+        .cast("int")
+    )
+    scores = (
+        ranked.withColumn("__tile", tile)
+        .groupBy("__cust")
+        .agg(
+            F.max(F.when(F.col("__m") == "recency", F.col("__tile"))).alias("__r_tile"),
+            F.max(F.when(F.col("__m") == "frequency", F.col("__tile"))).alias(
+                "frequency_score"
+            ),
+            F.max(F.when(F.col("__m") == "monetary", F.col("__tile"))).alias(
+                "monetary_score"
+            ),
+        )
+    )
+    out = rfm.join(scores, F.col(customer).eqNullSafe(F.col("__cust"))).drop("__cust")
+    return out.withColumn(
+        "recency_score", (F.lit(quantiles + 1) - F.col("__r_tile")).cast("int")
+    ).drop("__r_tile")
+
+
 def quantile_edge_scores(
     rfm: DataFrame, quantiles: int = 5, relative_error: float = 1e-4,
     exact: bool = False, out_suffix: str = "",
@@ -233,7 +324,13 @@ def rfm_pipeline(
     """End-to-end M5: metrics → scores → segments, one lazy plan.
 
     The exact path ships the DISTRIBUTED histogram NTILE (identical scores
-    to the window NTILE, pytest-pinned; no global single-task sort)."""
+    to the window NTILE, pytest-pinned; no global single-task sort), in its
+    one-pass multi-metric form (r14: one stacked histogram walk instead of
+    three chained per-metric walks — scores pinned identical)."""
     base = rfm_base(fact, customer, basket, day, sales)
-    scored = ntile_scores_histogram(base, customer) if exact else quantile_edge_scores(base)
+    scored = (
+        ntile_scores_histogram_multi(base, customer)
+        if exact
+        else quantile_edge_scores(base)
+    )
     return segment(scored)

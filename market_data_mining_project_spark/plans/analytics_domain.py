@@ -8,11 +8,13 @@ l_orderkey≈basket_id, p_brand≈department, day = days since 1995-01-01.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from market_data_mining_project_spark.functions.expressions import money
+from market_data_mining_project_spark.ml import fit_pool as FITPOOL
 from market_data_mining_project_spark.ml import persistence as PERSIST
 from market_data_mining_project_spark.operators import churn as CHURN
 from market_data_mining_project_spark.operators import diff as DIFF
@@ -1158,6 +1160,11 @@ def q_horizon_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HORIZON_FEATS_PATHS: dict[str, str] = {}
+# serializes concurrent first-builders (the background MLP/grid fits and a
+# foreground horizon_predictions serve can race here since r14's fit pool):
+# derived_table's publish is already atomic first-wins, so a race is safe —
+# the lock only stops the LOSER from paying a duplicate multi-second build
+_HORIZON_FEATS_LOCK = threading.Lock()
 
 
 def _horizon_features_mat(
@@ -1173,14 +1180,15 @@ def _horizon_features_mat(
     measured/oracled operator."""
     from market_data_mining_project_spark.sources import materialize as MAT
 
-    return MAT.derived_table(
-        spark,
-        _HORIZON_FEATS_PATHS,
-        sf_dir,
-        "horizon_feats_",
-        lambda: feats if feats is not None else q_horizon_features(spark, sf_dir),
-        persist_version=PERSIST.data_version_cached(sf_dir),
-    )
+    with _HORIZON_FEATS_LOCK:
+        return MAT.derived_table(
+            spark,
+            _HORIZON_FEATS_PATHS,
+            sf_dir,
+            "horizon_feats_",
+            lambda: feats if feats is not None else q_horizon_features(spark, sf_dir),
+            persist_version=PERSIST.data_version_cached(sf_dir),
+        )
 
 
 SQL_HORIZON_FEATURES = f"""
@@ -1229,6 +1237,95 @@ JOIN dept d ON l.o_custkey = d.o_custkey AND l.p_brand = d.p_brand
 """
 
 
+def _horizon_mlp_trainer(spark: SparkSession, sf_dir: str):
+    """THE trainer behind the shared 'horizon_mlp_90d' artifact (the
+    ``_churn_trainer`` pattern): one definition, consumed both by the
+    prefetching fit pool and by ``q_horizon_predictions`` itself, so the
+    two paths cannot drift apart on hyperparameters. The bounded stratified
+    sample is drawn from the materialized feature frame with a
+    deterministic hash order and coalesce(4) — byte-identical input frame
+    and partitioning to the former inline fit, hence the identical model.
+
+    Bounded training set, like the reference's sample_size=100000 with
+    per-month-bucket stratification (ml_models.py:246-320): cap rows per
+    (day // 30) time bucket with a deterministic hash order, so training
+    cost stays fixed as the fact table scales and every period is
+    represented. ~85 buckets × 250 ≈ a 21k budget — the same ~4% sampling
+    ratio the reference applies to its 2.6M-row table. maxIter trimmed
+    from the reference's 300 — on the bounded sample LBFGS reaches its
+    plateau (line-search stalls) within ~25 iterations."""
+    from market_data_mining_project_spark.ml.pipelines import train_classifier
+    from market_data_mining_project_spark.operators.relational import stratified_sample
+
+    def train():
+        # localCheckpoint, not cache: the fit may run as a background
+        # fit-pool job while the sweeping session clearCache()s between
+        # entries — a dropped cache would re-run the sample plan per LBFGS
+        # pass. Same partition contents as the cached form ⇒ identical
+        # randomSplit ⇒ identical model; blocks are freed by the
+        # ContextCleaner when the sample goes unreachable after the fit.
+        feats = (
+            stratified_sample(
+                _horizon_features_mat(spark, sf_dir),
+                bucket=F.expr("day div 30"),
+                per_bucket=250,
+                order_key=F.md5(F.concat_ws("|", "o_custkey", "p_brand", "day")),
+            )
+            .coalesce(4)
+            .localCheckpoint()
+        )
+        return train_classifier(
+            feats, HORIZON_FEATURE_COLS, "buy_90d", kind="neural_network",
+            overrides={"maxIter": 25},
+        )
+
+    return train
+
+
+def _fit_prefetch(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Submit every independent catalog model fit to the shared fit pool
+    (optimization guide §2.6 — overlap independent jobs): the churn GBT,
+    the horizon MLP, the 16-cell horizon grid and the implicit-ALS factor
+    model are independent estimators over independently-materialized
+    inputs, yet a catalog sweep paid them strictly serially, one per
+    consuming entry (~60 s of the sf0.1 cold pass). Every ML entry calls
+    this on entry, so a sweep's FIRST ML consumer starts the whole set and
+    the later consumers find their artifact fitted (or in flight) instead
+    of paying it inline. Single-query sessions still compute exactly their
+    own result — the extra fits land in the same load-or-train cache any
+    later consumer would have populated.
+
+    Results are NOT cached across runs: each fn wraps the existing
+    ``load_or_train`` / metrics-artifact contract (artifact = the model,
+    keyed on the data fingerprint; scoring recomputes from parquet).
+    Single-flight keys carry (artifact, data version, cache root) so test
+    sandboxes redirecting ``SPARK_GRAFT_MODEL_DIR`` stay isolated exactly
+    as the on-disk cache already is. Submission order = pool start order
+    (2 workers): ALS first because its consumer is the catalog's first
+    entry and blocks on it; the grid last because its consumer runs after
+    ``horizon_predictions``'s."""
+    version = PERSIST.data_version_cached(sf_dir)
+    root = PERSIST.model_cache_root()
+    FITPOOL.prefetch(("als", version, root), lambda: _als_build(spark, sf_dir, version))
+    FITPOOL.prefetch(
+        ("churn_gbt", version, root),
+        lambda: PERSIST.load_or_train(
+            "churn_gbt", version, _churn_trainer(spark, sf_dir)
+        ),
+    )
+    FITPOOL.prefetch(
+        ("horizon_mlp_90d", version, root),
+        lambda: PERSIST.load_or_train(
+            "horizon_mlp_90d", version, _horizon_mlp_trainer(spark, sf_dir)
+        ),
+    )
+    FITPOOL.prefetch(
+        ("horizon_grid_metrics", version, root),
+        lambda: _grid_metrics_rows(spark, sf_dir),
+    )
+    return version, root
+
+
 def q_horizon_predictions(
     spark: SparkSession, sf_dir: str, min_score: float = 0.1
 ) -> DataFrame:
@@ -1242,13 +1339,9 @@ def q_horizon_predictions(
     ~5%, so the catalog binds min_score to 0.1 (≈2× the mean score), same
     pipeline shape. Rows-only (MLP weights are not SQL); ranges and shape
     are pytest-gated (tests/test_ann_horizon.py)."""
-    from market_data_mining_project_spark.ml.pipelines import (
-        score_with_probability,
-        train_classifier,
-    )
+    from market_data_mining_project_spark.ml.pipelines import score_with_probability
 
-    from market_data_mining_project_spark.operators.relational import stratified_sample
-
+    version, root = _fit_prefetch(spark, sf_dir)
     fact, labels, cust_stats, brand_stats, dept_freq = _horizon_feature_parts(spark, sf_dir)
     # both the training-feature join and the serving-state join consume these
     # per-customer/per-pair stat frames — cache the (small) aggregates so the
@@ -1271,42 +1364,20 @@ def q_horizon_predictions(
     # Serving through it drops the labels ±window range join — the scoring
     # action's single most expensive subtree — from every serve (guide §2.4:
     # the decision values already exist; don't recompute their pipeline).
-    feats = feats_mat
     brand_stats = feats_mat.select(
         "p_brand", "brand_repurchase_rate", "brand_popularity"
     ).distinct()
-    # Bounded training set, like the reference's sample_size=100000 with
-    # per-month-bucket stratification (ml_models.py:246-320): cap rows per
-    # (day // 30) time bucket with a deterministic hash order, so training
-    # cost stays fixed as the fact table scales and every period is
-    # represented. ~85 buckets × 250 ≈ a 21k budget — the same ~4% sampling
-    # ratio the reference applies to its 2.6M-row table.
-    feats = (
-        stratified_sample(
-            feats,
-            bucket=F.expr("day div 30"),
-            per_bucket=250,
-            order_key=F.md5(F.concat_ws("|", "o_custkey", "p_brand", "day")),
-        )
-        .coalesce(4)
-        .cache()
-    )
-    # maxIter trimmed from the reference's 300 — on the bounded sample LBFGS
-    # reaches its plateau (line-search stalls) within ~25 iterations.
     # load-or-train keyed on (horizon+kind, data version): a later session
-    # serves predictions without refitting (reference ml_models.py:101-214)
-    model, metrics, _cached = PERSIST.load_or_train(
-        "horizon_mlp_90d",
-        PERSIST.data_version(sf_dir),
-        lambda: train_classifier(
-            feats, HORIZON_FEATURE_COLS, "buy_90d", kind="neural_network",
-            overrides={"maxIter": 25},
+    # serves predictions without refitting (reference ml_models.py:101-214).
+    # The fit rides the shared pool future (started by _fit_prefetch above,
+    # or by an earlier ML entry in the same sweep — guide §2.6), built by
+    # the one shared trainer so the model is identical either way.
+    model, metrics, _cached = FITPOOL.shared(
+        ("horizon_mlp_90d", version, root),
+        lambda: PERSIST.load_or_train(
+            "horizon_mlp_90d", version, _horizon_mlp_trainer(spark, sf_dir)
         ),
     )
-    # the stratified training sample is dead after the fit (same pattern as
-    # q_model_grid_metrics) — a long-lived session sweeping the catalog must
-    # not pin one per call
-    feats.unpersist()
 
     max_day = fact.agg(F.max("day").alias("mx"))
     recent = (
@@ -1373,6 +1444,12 @@ def q_horizon_predictions(
     return dept.orderBy(F.col("projected_revenue").desc(), F.col("p_brand").asc()).limit(10)
 
 
+_GRID_SCHEMA = (
+    "horizon_days int, model_kind string, accuracy double, "
+    "precision double, recall double, f1 double, auc double"
+)
+
+
 def q_model_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9's full training-status surface: the 4-horizon × 4-kind model grid
     trained in ONE call, emitting the (horizon, kind, metrics) table the
@@ -1385,25 +1462,36 @@ def q_model_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-time-bucket stratified sample (same cap as ``horizon_predictions``),
     the feature scaler is fit once and shared across all 16 classifier fits
     (``train_multi_horizon_grid``), and estimator budgets are trimmed — the
-    capability under test is the metrics *surface*, not leaderboard accuracy."""
+    capability under test is the metrics *surface*, not leaderboard accuracy.
+    The grid rides the shared fit pool (one single-flight cell per data
+    version, started by whichever ML entry a catalog sweep hits first —
+    guide §2.6), so a sweep overlaps the 16 fits with the rest of the
+    session instead of paying them inline here."""
+    version, root = _fit_prefetch(spark, sf_dir)
+    rows = FITPOOL.shared(
+        ("horizon_grid_metrics", version, root),
+        lambda: _grid_metrics_rows(spark, sf_dir),
+    )
+    return spark.createDataFrame([tuple(r) for r in rows], _GRID_SCHEMA)
+
+
+def _grid_metrics_rows(spark: SparkSession, sf_dir: str) -> list:
+    """The grid's metrics rows: served from the persisted metrics artifact
+    when one exists for the current data version, else trained and
+    persisted (the reference's has_cached_models gate, ml_models.py:197-210:
+    serve the cached surface only when EVERY cell is present — one
+    all-or-nothing artifact gives the same contract)."""
     from market_data_mining_project_spark.ml.pipelines import train_multi_horizon_grid
     from market_data_mining_project_spark.operators.relational import stratified_sample
 
-    grid_schema = (
-        "horizon_days int, model_kind string, accuracy double, "
-        "precision double, recall double, f1 double, auc double"
-    )
-    # the reference's has_cached_models gate covers exactly this grid
-    # (ml_models.py:197-210: serve the cached surface only when EVERY cell
-    # is present — one all-or-nothing artifact gives the same contract)
     grid_version = PERSIST.data_version(sf_dir)
     if PERSIST.has_cached_metrics_artifact("horizon_grid_metrics", grid_version):
-        cached = PERSIST.load_metrics_artifact("horizon_grid_metrics", grid_version)
-        return spark.createDataFrame(
-            [tuple(r) for r in cached["rows"]], grid_schema
-        )
+        return PERSIST.load_metrics_artifact("horizon_grid_metrics", grid_version)["rows"]
 
     feats = _horizon_features_mat(spark, sf_dir)
+    # localCheckpoint, not cache: clearCache-immune under the r14 concurrent
+    # fit pool (same rationale as _horizon_mlp_trainer); identical partition
+    # contents ⇒ identical randomSplit inside the grid
     feats = (
         stratified_sample(
             feats,
@@ -1412,7 +1500,7 @@ def q_model_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_key=F.md5(F.concat_ws("|", "o_custkey", "p_brand", "day")),
         )
         .coalesce(4)
-        .cache()
+        .localCheckpoint()
     )
     label_cols = ("buy_30d", "buy_90d", "buy_180d", "buy_365d")
     # MLP/SVM iteration budgets halved from 15 (judge-suggested trim): on the
@@ -1429,7 +1517,6 @@ def q_model_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "svm": {"maxIter": 8},
         },
     )
-    feats.unpersist()
     horizon_days = {"buy_30d": 30, "buy_90d": 90, "buy_180d": 180, "buy_365d": 365}
     rows = [
         (
@@ -1450,7 +1537,7 @@ def q_model_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     PERSIST.save_metrics_artifact(
         "horizon_grid_metrics", grid_version, {"rows": [list(r) for r in rows]}
     )
-    return spark.createDataFrame(rows, grid_schema)
+    return [list(r) for r in rows]
 
 
 # --- rows-only entries (non-SQL-expressible; pytest carries the ground truth) -----
@@ -1657,20 +1744,34 @@ WHERE CAST(cu AS DOUBLE) / ca >= 0.05
 """
 
 
+def _als_build(spark: SparkSession, sf_dir: str, version: str) -> DataFrame:
+    """The als_recommendations frame — the shared fit-pool cell body, ONE
+    definition so the prefetch path and the entry build the identical
+    seeded fit over the identical materialized ui matrix.
+
+    cache_version: load-or-train on the shared data-version key — a warm
+    session serves the identical factor model without the refit that
+    dominated every serve (r13; the churn/horizon/quality persistence
+    contract, reference ml_models.py:101-214)."""
+    ui = _ui_matrix(spark, sf_dir)
+    return REC.als_recommendations(
+        None, "o_custkey", "p_brand", k=5, rank=8, seed=42, ui=ui, max_iter=6,
+        cache_version=version,
+    )
+
+
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Implicit ALS recs (M13 scale path) — rows-only; ranking structure is
     pytest-checked. max_iter 6 (down from the MLlib default 10): on the
     25-item implicit matrix the factor updates converge in a handful of
     sweeps and each extra iteration is two full shuffles of the ratings —
-    measured ~3 s of the entry at sf0.1 for no ranking change on the gate."""
-    ui = _ui_matrix(spark, sf_dir)
-    # cache_version: load-or-train on the shared data-version key — a warm
-    # session serves the identical factor model without the refit that
-    # dominated every serve (r13; the churn/horizon/quality persistence
-    # contract, reference ml_models.py:101-214)
-    return REC.als_recommendations(
-        None, "o_custkey", "p_brand", k=5, rank=8, seed=42, ui=ui, max_iter=6,
-        cache_version=PERSIST.data_version_cached(sf_dir),
+    measured ~3 s of the entry at sf0.1 for no ranking change on the gate.
+    The eager fit inside the build rides the shared fit pool: this is the
+    catalog's FIRST entry, so its _fit_prefetch call is what starts the
+    churn/horizon/grid fits overlapping the rest of a sweep (guide §2.6)."""
+    version, root = _fit_prefetch(spark, sf_dir)
+    return FITPOOL.shared(
+        ("als", version, root), lambda: _als_build(spark, sf_dir, version)
     )
 
 
@@ -1694,9 +1795,16 @@ def _churn_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     window plan from re-executing per iteration. Parallelism-derived, not
     a literal: unlike the bounded stratified samples the per-customer
     frame grows with the customer base, so a fixed coalesce(4) would cap a
-    10^8-customer fit at 4-way parallelism."""
+    10^8-customer fit at 4-way parallelism.
+
+    localCheckpoint, not cache (r14): the GBT fit may run as a background
+    fit-pool job while the sweeping session clearCache()s between entries —
+    a dropped cache would re-run the 3-table join + window on EVERY
+    boosting iteration. Checkpointed blocks are clearCache-immune; the
+    partition contents (hence randomSplit's row assignment and the fitted
+    model) are identical to the cached form."""
     target = max(4, spark.sparkContext.defaultParallelism // 8)
-    return q_churn_features(spark, sf_dir).coalesce(target).cache()
+    return q_churn_features(spark, sf_dir).coalesce(target).localCheckpoint()
 
 
 def _churn_trainer(spark: SparkSession, sf_dir: str, feats: DataFrame | None = None):
@@ -1715,15 +1823,14 @@ def _churn_trainer(spark: SparkSession, sf_dir: str, feats: DataFrame | None = N
     from market_data_mining_project_spark.ml.pipelines import train_classifier
 
     def train():
+        # the feature frame is localCheckpointed (not cached): no unpersist
+        # needed — the ContextCleaner frees the per-customer-sized blocks
+        # once the frame goes unreachable
         local = feats if feats is not None else _churn_feature_frame(spark, sf_dir)
-        try:
-            return train_classifier(
-                local, CHURN_FEATURE_COLS, "churned", kind="gradient_boost",
-                overrides={"maxIter": 30},
-            )
-        finally:
-            if feats is None:  # we own the cache only when we built it
-                local.unpersist()
+        return train_classifier(
+            local, CHURN_FEATURE_COLS, "churned", kind="gradient_boost",
+            overrides={"maxIter": 30},
+        )
 
     return train
 
@@ -1737,6 +1844,7 @@ def _churn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_data_mining_project_spark.ml.pipelines import score_with_probability
     from market_data_mining_project_spark.sources import materialize as MAT
 
+    version, root = _fit_prefetch(spark, sf_dir)
     live: dict[str, DataFrame] = {}
 
     def build() -> DataFrame:
@@ -1745,11 +1853,14 @@ def _churn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         # load-or-train: a prior process's fit on the same data version is
         # reloaded instead of refit (reference ml_models.py:101-214 cache);
         # the trainer definition is shared with churn_feature_importances
-        # (same artifact key ⇒ same hyperparameters, by construction)
-        model, _metrics, _cached = PERSIST.load_or_train(
-            "churn_gbt",
-            PERSIST.data_version(sf_dir),
-            _churn_trainer(spark, sf_dir, feats),
+        # (same artifact key ⇒ same hyperparameters, by construction) and
+        # the fit rides the shared pool cell — if a sibling entry already
+        # started it, join it; else fit inline reusing the scoring frame
+        model, _metrics, _cached = FITPOOL.shared(
+            ("churn_gbt", version, root),
+            lambda: PERSIST.load_or_train(
+                "churn_gbt", version, _churn_trainer(spark, sf_dir, feats)
+            ),
         )
         # round BEFORE banding: the stored probability and the band must
         # agree at band boundaries (0.7500004 stores as 0.75 and must band
@@ -1770,13 +1881,10 @@ def _churn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _CHURN_SCORES_PATHS, sf_dir, "churn_scores_", build,
         persist_version=PERSIST.data_version_cached(sf_dir),
     )
-    # unpersist AFTER derived_table executed the scoring write — build()'s
-    # return value is materialized by the caller above, and the feature
-    # cache exists precisely so that write reuses the frame the GBT fit
-    # already computed
-    feats = live.get("feats")
-    if feats is not None:
-        feats.unpersist()
+    # the feature frame is localCheckpointed (clearCache-immune under the
+    # r14 concurrent fits); its blocks are freed by the ContextCleaner once
+    # `live` goes out of scope — no unpersist step
+    live.clear()
     return out
 
 
@@ -1799,8 +1907,12 @@ def q_churn_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
     for both entries. Rows-only: tree-split importance is not SQL; pytest
     gates sum-to-1, non-negativity and the name mapping
     (tests/test_rules_ml.py::test_churn_feature_importances_gates)."""
-    model, _metrics, _cached = PERSIST.load_or_train(
-        "churn_gbt", PERSIST.data_version(sf_dir), _churn_trainer(spark, sf_dir)
+    version, root = _fit_prefetch(spark, sf_dir)
+    model, _metrics, _cached = FITPOOL.shared(
+        ("churn_gbt", version, root),
+        lambda: PERSIST.load_or_train(
+            "churn_gbt", version, _churn_trainer(spark, sf_dir)
+        ),
     )
     imp = model.stages[-1].featureImportances
     ranked = sorted(

@@ -1303,12 +1303,24 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cluster").isNull() | (F.col("doc_id") == F.col("cluster")))
         .drop("doc", "cluster")
     )
+    # avg_quality through an EXACT decimal power sum (the
+    # _horizon_feature_parts determinism convention): quality is a double
+    # and the docs frame is round-robin repartitioned above, so a bare
+    # double AVG would be partition-order dependent — the 6-dp round could
+    # flip on an ulp boundary between core counts / scale factors. A
+    # DECIMAL(38,18) sum is order-independent and exact; the final double
+    # cast of the exact mean differs from the oracle's double AVG by
+    # ≤ ~1e-15 relative, far inside the 6-dp round (hash re-verified at
+    # sf0.001/0.01/0.1).
+    n = F.count(F.lit(1))
     return (
         final.groupBy("detected_lang")
         .agg(
-            F.count(F.lit(1)).alias("docs_kept"),
+            n.alias("docs_kept"),
             F.sum(TXT.bpe_ish_token_count(F.col("text"))).alias("bpe_tokens"),
-            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(
+                (F.sum(F.col("quality").cast("decimal(38,18)")) / n).cast("double"), 6
+            ).alias("avg_quality"),
         )
         .orderBy("detected_lang")
     )

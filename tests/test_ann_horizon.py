@@ -142,6 +142,39 @@ def test_horizon_predictions_serving_shape(spark, sf_dir):
         assert abs(r.projected_revenue - expected) <= 0.05 * max(expected, 1.0)
 
 
+def test_horizon_serving_brand_stats_match_labels_aggregate(spark, sf_dir):
+    """Pin the invariant q_horizon_predictions' serving path rests on (r13
+    ADVICE): the distinct (p_brand, brand_repurchase_rate, brand_popularity)
+    projection of the engineered feature frame equals the labels-derived
+    brand aggregate — set AND values. True because every labels row
+    survives _build_horizon_features' inner joins (cust_stats and dept_freq
+    cover every fact (customer, brand)); a future filter or join-type
+    change in the feature builder would break THIS test before it could
+    silently shrink the serving brand set."""
+    from market_data_mining_project_spark.plans.analytics_domain import (
+        _build_horizon_features,
+        _horizon_feature_parts,
+    )
+
+    _fact, labels, cust_stats, brand_stats, dept_freq = _horizon_feature_parts(
+        spark, sf_dir
+    )
+    feats = _build_horizon_features(labels, cust_stats, brand_stats, dept_freq)
+    from_feats = {
+        (r.p_brand, r.brand_repurchase_rate, r.brand_popularity)
+        for r in feats.select(
+            "p_brand", "brand_repurchase_rate", "brand_popularity"
+        ).distinct().collect()
+    }
+    from_labels = {
+        (r.p_brand, r.brand_repurchase_rate, r.brand_popularity)
+        for r in brand_stats.collect()
+    }
+    labels.unpersist()
+    assert from_feats == from_labels
+    assert len(from_feats) == len({b for b, _, _ in from_feats})  # one row per brand
+
+
 def test_horizon_labels_monotone(spark, sf_dir):
     """Longer horizons can only add positives: buy_30d ≤ buy_90d ≤ ... per row."""
     from market_data_mining_project_spark.plans.analytics_domain import q_horizon_labels

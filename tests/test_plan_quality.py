@@ -348,6 +348,15 @@ def test_rfm_histogram_scores_equal_window_scores(spark, sf_dir):
             tuple(r[c] for c in cols)
             for r in RFM.ntile_scores_histogram(base, "o_custkey").select(*cols).collect()
         )
+        # r14: the shipped one-pass multi-metric walk must ALSO be
+        # bit-identical (same rank decomposition, one stacked histogram)
+        got_multi = sorted(
+            tuple(r[c] for c in cols)
+            for r in RFM.ntile_scores_histogram_multi(base, "o_custkey")
+            .select(*cols)
+            .collect()
+        )
     finally:
         base.unpersist()
     assert got == want and want
+    assert got_multi == want
