@@ -216,7 +216,16 @@ def train_multi_horizon_grid(
     train_t = prep.transform(train).localCheckpoint()
     test_t = prep.transform(test).localCheckpoint()
 
+    # propagate the caller thread's FAIR scheduler pool tag (if any) to the
+    # worker threads: Python pool threads do NOT inherit Spark's thread-local
+    # properties, so a grid running as a background fit (ml/fit_pool.py)
+    # would otherwise submit its 16 fits' jobs into the FOREGROUND pool
+    sc = labeled.sparkSession.sparkContext
+    pool_tag = sc.getLocalProperty("spark.scheduler.pool")
+
     def fit_cell(cell: tuple[str, str]) -> dict[str, float]:
+        if pool_tag is not None and sc.getLocalProperty("spark.scheduler.pool") != pool_tag:
+            sc.setLocalProperty("spark.scheduler.pool", pool_tag)
         label_col, kind = cell
         tr = train_t.withColumn("label", F.col(label_col).cast("double"))
         te = test_t.withColumn("label", F.col(label_col).cast("double"))

@@ -1306,24 +1306,53 @@ def _fit_prefetch(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     ``horizon_predictions``'s."""
     version = PERSIST.data_version_cached(sf_dir)
     root = PERSIST.model_cache_root()
-    FITPOOL.prefetch(("als", version, root), lambda: _als_build(spark, sf_dir, version))
+    bg = lambda fn: _background_pooled(spark, fn)  # noqa: E731
+    FITPOOL.prefetch(
+        ("als", version, root), bg(lambda: _als_build(spark, sf_dir, version))
+    )
     FITPOOL.prefetch(
         ("churn_gbt", version, root),
-        lambda: PERSIST.load_or_train(
-            "churn_gbt", version, _churn_trainer(spark, sf_dir)
+        bg(
+            lambda: PERSIST.load_or_train(
+                "churn_gbt", version, _churn_trainer(spark, sf_dir)
+            )
         ),
     )
     FITPOOL.prefetch(
         ("horizon_mlp_90d", version, root),
-        lambda: PERSIST.load_or_train(
-            "horizon_mlp_90d", version, _horizon_mlp_trainer(spark, sf_dir)
+        bg(
+            lambda: PERSIST.load_or_train(
+                "horizon_mlp_90d", version, _horizon_mlp_trainer(spark, sf_dir)
+            )
         ),
     )
     FITPOOL.prefetch(
         ("horizon_grid_metrics", version, root),
-        lambda: _grid_metrics_rows(spark, sf_dir),
+        bg(lambda: _grid_metrics_rows(spark, sf_dir)),
     )
     return version, root
+
+
+def _background_pooled(spark: SparkSession, fn):
+    """Run ``fn`` with this thread's Spark jobs tagged into the FAIR
+    scheduler's background-fits pool (session.py sets
+    spark.scheduler.mode=FAIR): without the tag, a background fit's
+    hundreds of tiny iterative jobs hold FIFO priority over every LATER
+    foreground action and the measured entry queues behind them. The
+    property is thread-local and restored afterwards — the single-flight
+    cell may execute on the FOREGROUND thread (the consumer-inline path),
+    whose later jobs must return to the default pool."""
+
+    def run():
+        sc = spark.sparkContext
+        prev = sc.getLocalProperty("spark.scheduler.pool")
+        sc.setLocalProperty("spark.scheduler.pool", "mdmp_background_fits")
+        try:
+            return fn()
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", prev)
+
+    return run
 
 
 def q_horizon_predictions(

@@ -106,7 +106,9 @@ def per_entry_map(artifact: dict, path: str) -> dict[str, float]:
     body = tail.split('"totals"')[0]
     import re
 
-    pairs = re.findall(r'"([A-Za-z0-9_]+)": ([0-9]+(?:\.[0-9]+)?)[,}]', body)
+    # \s* not a literal space: since r14 the bench line serializes compactly
+    # (no separator spaces), and a driver tail of either vintage must parse
+    pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)[,}]', body)
     parsed = {name: float(val) for name, val in pairs}
     # drop bench.py scalar keys that can precede the per-entry maps in a
     # pathologically short tail (value/value_warm/... are totals, not entries)
